@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}}.
+
+Each query is executed to completion with a cheap full-materialization action
+(count of the result) — results are small aggregates, so timing is dominated
+by the actual scan/shuffle work, not driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_spotify.registry import QUERIES  # noqa: E402
+from spark_spotify.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "etl_silver_clean",
+    "etl_fact_star",
+    "etl_daily_stats",
+    "ana_heatmap",
+    "ana_period_ratio",
+    "ana_loyalty",
+    "ana_sankey",
+    "ana_sessionize",
+    "rel_pricing_summary",
+    "rel_star_revenue",
+    "rel_top_parts",
+    "text_stats",
+    "text_dedup_exact",
+    "sim_ann_cosine_topk",
+    "op_merge_upsert",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("spark_spotify_bench")
+
+    # JVM/codegen warmup outside the timed region
+    QUERIES["etl_watermark"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,492 @@
+"""Dashboard analytics queries, re-expressed Spark-first over the events fact.
+
+Each function reproduces one reference dashboard query's operator shape
+(SURVEY.md §2.5-2.9), with the reference's join-back / correlated-subquery /
+pandas patterns rewritten as window functions — the decorrelated, single-pass
+plans Catalyst optimizes well.  All use the silver projection (narrow, no
+UDFs); aggregations are map-side combinable; the only shuffles are the
+groupBy/window keys themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_spotify.etl.dims import CAL_END, CAL_START
+from spark_spotify.etl.silver import clean_events
+from spark_spotify.functions.agg import dec, dsum
+from spark_spotify.operators.merge import merge_upsert
+from spark_spotify.sources.tables import load_table
+
+_H = "CAST(EXTRACT(hour FROM ts) AS INT)"
+_TP = (
+    f"CASE WHEN {_H} BETWEEN 6 AND 11 THEN 'morning' "
+    f"WHEN {_H} BETWEEN 12 AND 17 THEN 'afternoon' "
+    f"WHEN {_H} BETWEEN 18 AND 23 THEN 'evening' ELSE 'night' END"
+)
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_events(load_table(spark, sf_dir, "events"))
+
+
+# --- heatmap: date × hour grid, zero-filled (main_heatmap.py:13-41, J6/F7/F10)
+
+
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN of a generated date×hour axis onto hourly aggregates so hours
+    with zero plays appear as 0 (reference generate_series + LEFT JOIN +
+    COALESCE, main_heatmap.py:17-34)."""
+    dates = spark.range(1).select(
+        F.explode(F.sequence(F.lit(CAL_START), F.lit(CAL_END))).alias("played_date")
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("played_hour"))
+    grid = dates.crossJoin(hours)
+    hourly = (
+        _silver(spark, sf_dir)
+        .groupBy("played_date", "played_hour")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("sv"),
+        )
+    )
+    return grid.join(hourly, ["played_date", "played_hour"], "left").select(
+        "played_date",
+        "played_hour",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).cast("double").alias("total_value"),
+    )
+
+
+# --- period ratio: share of each day's value by time period
+# (main_ratio.py:14-79 — reference does a self-join of aggregates; we use the
+#  window-sum rewrite, SURVEY.md §2.5/J8)
+
+
+def q_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _silver(spark, sf_dir)
+        .groupBy(
+            F.date_format("played_date", "EEEE").alias("day_name"),
+            F.col("time_period"),
+        )
+        .agg(
+            F.sum(dec(F.col("value"))).alias("pv_dec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("day_name")
+    return (
+        per.withColumn("dt_dec", F.sum("pv_dec").over(w))
+        .select(
+            "day_name",
+            "time_period",
+            F.col("pv_dec").cast("double").alias("period_value"),
+            "n_events",
+            F.round(
+                F.lit(100.0)
+                * F.col("pv_dec").cast("double")
+                / F.col("dt_dec").cast("double"),
+                1,
+            ).alias("pct_of_day"),
+        )
+    )
+
+
+# --- top-k users (treemap top-10 pattern, track_treemap.py:36-38, O1)
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _silver(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("event_type").alias("unique_event_types"),
+        )
+        .orderBy(F.desc("n_plays"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# --- loyalty (artist_loyal.py:14-54: A7 ratio arithmetic, A10 HAVING,
+#     P8 filter-on-derived, O3 two-key top-100)
+
+
+def q_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _silver(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            F.countDistinct("played_date").alias("active_days"),
+            F.min("played_date").alias("first_day"),
+            F.max("played_date").alias("last_day"),
+        )
+        .withColumn(
+            "span_days", F.datediff(F.col("last_day"), F.col("first_day")) + 1
+        )
+        .filter(F.col("n_plays") >= 3)
+        .filter(F.col("span_days") > 3)
+    )
+    ratio = F.col("active_days") / F.col("span_days")
+    loyalty_level = (
+        F.when(ratio >= 0.8, "daily")
+        .when(ratio >= 0.5, "regular")
+        .when(ratio >= 0.3, "frequent")
+        .otherwise("casual")
+    )
+    return (
+        g.select(
+            "user_id",
+            "n_plays",
+            "active_days",
+            F.col("span_days").cast("int").alias("span_days"),
+            F.round(F.col("n_plays") / F.col("active_days"), 3).alias(
+                "plays_per_active_day"
+            ),
+            F.round(ratio, 3).alias("loyalty_ratio"),
+            loyalty_level.alias("loyalty_level"),
+        )
+        .orderBy(F.desc("loyalty_ratio"), F.desc("n_plays"), F.asc("user_id"))
+        .limit(100)
+    )
+
+
+# --- sankey lifecycle buckets (track_sankey.py:14-59: A6 conditional aggs,
+#     P9 CASE buckets)
+
+
+def q_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _silver(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per_user = (
+        s.withColumn("first_seen", F.min("played_date").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            F.count(
+                F.when(
+                    F.col("played_date") <= F.date_add(F.col("first_seen"), 6), 1
+                )
+            ).alias("first_week_plays"),
+            F.min("played_date").alias("first_seen_d"),
+            F.max("played_date").alias("last_seen_d"),
+        )
+        .withColumn(
+            "span_days", F.datediff(F.col("last_seen_d"), F.col("first_seen_d"))
+        )
+    )
+    conversion = (
+        F.when(F.col("n_plays") == 1, "one_play")
+        .when(F.col("n_plays") <= 5, "casual")
+        .when(F.col("n_plays") <= 15, "regular")
+        .otherwise("heavy")
+    )
+    lifecycle = (
+        F.when(F.col("span_days") <= 3, "new")
+        .when(F.col("span_days") <= 7, "exploring")
+        .when(F.col("span_days") <= 14, "engaged")
+        .otherwise("loyal")
+    )
+    return (
+        per_user.select(
+            conversion.alias("conversion_category"),
+            lifecycle.alias("lifecycle_stage"),
+            "n_plays",
+            "first_week_plays",
+        )
+        .groupBy("conversion_category", "lifecycle_stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_plays").alias("total_plays"),
+            F.sum("first_week_plays").alias("total_first_week_plays"),
+        )
+    )
+
+
+# --- weekly delta (discovery metrics track.py:22-33 + C7 lag rewrite,
+#     A9 integer-division week bucket)
+
+
+def q_weekly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = (
+        _silver(spark, sf_dir)
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("played_date"), F.lit(CAL_START)) / 7
+            )
+            .cast("int")
+            .alias("week_no")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+    w = Window.orderBy("week_no")
+    return wk.select(
+        "week_no",
+        "n_plays",
+        "unique_users",
+        (F.col("n_plays") - F.lag("n_plays").over(w)).alias("delta_plays"),
+    )
+
+
+# --- pivot day × period (pandas pivot C1, main_page.py:62)
+
+
+PERIODS = ["morning", "afternoon", "evening", "night"]
+
+
+def q_pivot_day_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _silver(spark, sf_dir)
+        .groupBy(F.date_format("played_date", "EEEE").alias("day_name"))
+        .pivot("time_period", PERIODS)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day_name",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in PERIODS
+        ],
+    )
+
+
+# --- sessionization (gap > 30 min).  Not in the reference (its "sessions" are
+#     AVG minutes, main_ratio.py:105) — standard lag+cumsum sessionize, an op a
+#     listening-history engine needs.  Scale: single shuffle on user_id; both
+#     windows share the same partitioning so Catalyst plans one Exchange.
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _silver(spark, sf_dir).select("user_id", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = s.withColumn(
+        "new_session",
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu)))
+            > SESSION_GAP_MIN * 60 * 1_000_000
+        )
+        .cast("int"),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = with_gap.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("session_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("session_events").alias("n_events"),
+        F.round(
+            F.sum("session_events") / F.count(F.lit(1)), 2
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.max((F.col("end_us") - F.col("start_us")) / 60_000_000.0), 2
+        ).alias("max_session_minutes"),
+    )
+
+
+# --- merge upsert exercised end-to-end (A14/S7 semantics via operators.merge)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a 'new' per-(user,event_type) snapshot over an 'old' one —
+    incoming wins on key collision (ON CONFLICT DO UPDATE semantics,
+    daily_etl_pipeline.py:322-324)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_old = "2024-01-16"
+    cutoff_new = "2024-01-08"
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+
+    old = snap(ev.filter(F.col("ts") < cutoff_old))
+    new = snap(ev.filter(F.col("ts") >= cutoff_new))
+    return merge_upsert(old, new, ["user_id", "event_type"])
+
+
+ORACLE = {
+    "ana_heatmap": f"""
+WITH grid AS (
+  SELECT CAST(gs AS DATE) AS played_date, h AS played_hour
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(gs)
+  CROSS JOIN (SELECT CAST(h AS INT) AS h FROM generate_series(0, 23) s(h))
+), hourly AS (
+  SELECT CAST(ts AS DATE) AS played_date, {_H} AS played_hour,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT g.played_date, g.played_hour,
+       COALESCE(h.cnt, 0) AS n_events,
+       COALESCE(h.sv, 0.0) AS total_value
+FROM grid g LEFT JOIN hourly h USING (played_date, played_hour)
+""",
+    "ana_period_ratio": f"""
+WITH per AS (
+  SELECT dayname(ts) AS day_name, {_TP} AS time_period,
+         SUM(CAST(value AS DECIMAL(18,4))) AS pv_dec,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day_name, time_period,
+       CAST(pv_dec AS DOUBLE) AS period_value,
+       n_events,
+       round(100.0 * CAST(pv_dec AS DOUBLE)
+             / CAST(SUM(pv_dec) OVER (PARTITION BY day_name) AS DOUBLE), 1)
+         AS pct_of_day
+FROM per
+""",
+    "ana_top_users": """
+SELECT user_id, COUNT(*) AS n_plays,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT event_type) AS unique_event_types
+FROM events
+GROUP BY user_id
+ORDER BY n_plays DESC, user_id ASC
+LIMIT 10
+""",
+    "ana_loyalty": """
+WITH g AS (
+  SELECT user_id, COUNT(*) AS n_plays,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+), g2 AS (
+  SELECT *, CAST(date_diff('day', first_day, last_day) + 1 AS INT) AS span_days
+  FROM g WHERE n_plays >= 3
+)
+SELECT user_id, n_plays, active_days, span_days,
+       round(n_plays / active_days, 3) AS plays_per_active_day,
+       round(active_days / span_days, 3) AS loyalty_ratio,
+       CASE WHEN active_days / span_days >= 0.8 THEN 'daily'
+            WHEN active_days / span_days >= 0.5 THEN 'regular'
+            WHEN active_days / span_days >= 0.3 THEN 'frequent'
+            ELSE 'casual' END AS loyalty_level
+FROM g2
+WHERE span_days > 3
+ORDER BY loyalty_ratio DESC, n_plays DESC, user_id ASC
+LIMIT 100
+""",
+    "ana_sankey": """
+WITH per_event AS (
+  SELECT user_id, CAST(ts AS DATE) AS played_date,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_seen
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_plays,
+         COUNT(CASE WHEN played_date <= first_seen + INTERVAL 6 DAY THEN 1 END)
+           AS first_week_plays,
+         MIN(played_date) AS first_seen_d,
+         MAX(played_date) AS last_seen_d
+  FROM per_event GROUP BY user_id
+), buckets AS (
+  SELECT CASE WHEN n_plays = 1 THEN 'one_play'
+              WHEN n_plays <= 5 THEN 'casual'
+              WHEN n_plays <= 15 THEN 'regular'
+              ELSE 'heavy' END AS conversion_category,
+         CASE WHEN date_diff('day', first_seen_d, last_seen_d) <= 3 THEN 'new'
+              WHEN date_diff('day', first_seen_d, last_seen_d) <= 7 THEN 'exploring'
+              WHEN date_diff('day', first_seen_d, last_seen_d) <= 14 THEN 'engaged'
+              ELSE 'loyal' END AS lifecycle_stage,
+         n_plays, first_week_plays
+  FROM per_user
+)
+SELECT conversion_category, lifecycle_stage,
+       COUNT(*) AS n_users,
+       SUM(n_plays) AS total_plays,
+       SUM(first_week_plays) AS total_first_week_plays
+FROM buckets GROUP BY 1, 2
+""",
+    "ana_weekly_delta": """
+WITH wk AS (
+  SELECT CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)
+           AS week_no,
+         COUNT(*) AS n_plays,
+         COUNT(DISTINCT user_id) AS unique_users
+  FROM events GROUP BY 1
+)
+SELECT week_no, n_plays, unique_users,
+       n_plays - lag(n_plays) OVER (ORDER BY week_no) AS delta_plays
+FROM wk
+""",
+    "ana_pivot_day_period": f"""
+WITH silver AS (
+  SELECT dayname(ts) AS day_name, {_TP} AS time_period FROM events
+)
+SELECT day_name,
+       COUNT(CASE WHEN time_period = 'morning' THEN 1 END) AS morning,
+       COUNT(CASE WHEN time_period = 'afternoon' THEN 1 END) AS afternoon,
+       COUNT(CASE WHEN time_period = 'evening' THEN 1 END) AS evening,
+       COUNT(CASE WHEN time_period = 'night' THEN 1 END) AS night
+FROM silver GROUP BY day_name
+""",
+    "ana_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_no, COUNT(*) AS session_events,
+         epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(session_events) AS n_events,
+       round(SUM(session_events) / COUNT(*), 2) AS avg_events_per_session,
+       round(MAX((end_us - start_us) / 60000000.0), 2) AS max_session_minutes
+FROM sessions GROUP BY user_id
+""",
+    "op_merge_upsert": """
+WITH snap_old AS (
+  SELECT user_id, event_type, COUNT(*) AS n_plays,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+), snap_new AS (
+  SELECT user_id, event_type, COUNT(*) AS n_plays,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1, 2
+)
+SELECT * FROM snap_new
+UNION ALL
+SELECT o.* FROM snap_old o
+WHERE NOT EXISTS (SELECT 1 FROM snap_new n
+                  WHERE n.user_id = o.user_id AND n.event_type = o.event_type)
+""",
+}
+
+QUERIES = {
+    "ana_heatmap": q_heatmap,
+    "ana_period_ratio": q_period_ratio,
+    "ana_top_users": q_top_users,
+    "ana_loyalty": q_loyalty,
+    "ana_sankey": q_sankey,
+    "ana_weekly_delta": q_weekly_delta,
+    "ana_pivot_day_period": q_pivot_day_period,
+    "ana_sessionize": q_sessionize,
+    "op_merge_upsert": q_merge_upsert,
+}

@@ -1,0 +1,282 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+Exercises, on generic relational inputs, the operator families the reference
+delegates to PostgreSQL (SURVEY.md §2.3/2.4/2.6): multi-way star equi-joins
+(J1/J4), anti-joins (J2/J3), semi-joins (J9), left joins with null-producing
+sides (J5), conditional and multi-key aggregation, HAVING, stddev, top-k.
+
+Scale design: dimension sides (region/nation/part/customer-at-ratio) get
+explicit ``broadcast`` hints so the lineitem-side scan never shuffles for a
+join; aggregates sum exact decimals (see functions.agg) so partial aggregation
+order can't change results; top-k uses orderBy+limit which Spark executes as
+TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.functions.agg import dec, dsum, money_expr
+from spark_spotify.sources.tables import load_table
+
+_SQL_MONEY = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))"
+)
+
+Q1_CUTOFF = "2000-12-01"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
+    averages (sum-of-decimal / count).  Reference analogs: A1/A3/A7/A8."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= Q1_CUTOFF
+    )
+    disc_price = money_expr(F.col("l_extendedprice"), F.col("l_discount"))
+    charge = (
+        disc_price
+        * (F.lit(1).cast("decimal(18,4)") + dec(F.col("l_tax")))
+    ).cast("decimal(18,6)")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.sum(dec(F.col("l_quantity"))).alias("_sq"),
+        F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
+        F.sum(dec(F.col("l_discount"))).alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("_sq").cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / n, 4).alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / n, 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/nation revenue rollup through the full star (J1/J4): lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ region, dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(money_expr(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+URGENT = "1-URGENT"
+
+
+def q_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J2/J3, NOT IN/NOT EXISTS rewrite): customers with no
+    1-URGENT order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == URGENT).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(urgent, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+BIG_ORDER = 400_000.0
+
+
+def q_customers_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (J9/EXISTS): customers with at least one order above the
+    threshold."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > BIG_ORDER).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(big, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN with null-producing side (J5, artist_gender.py:21-24 shape):
+    customers kept even with zero orders; null-aware conditional counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+        ).alias("customers_without_orders"),
+        dsum(F.col("o_totalprice")).alias("total_spend"),
+    )
+
+
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment stats incl. stddev (A5) and HAVING (A10).
+
+    Stddev is computed from exact decimal sums (sqrt((Σx² − (Σx)²/n)/(n−1)))
+    rather than the engine's streaming stddev so both engines produce the same
+    64-bit double regardless of accumulation order."""
+    c = load_table(spark, sf_dir, "customer")
+    x = dec(F.col("c_acctbal"))
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(28,8)")).alias("_s2"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+    n = F.col("n_customers")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return (
+        g.filter(n >= 10)
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(s1 / n, 4).alias("avg_acctbal"),
+            F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4).alias("std_acctbal"),
+            "min_acctbal",
+            "max_acctbal",
+        )
+    )
+
+
+TOPK_PARTS = 15
+
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by revenue with total-order tie-break (O1/O3).  part is broadcast;
+    Spark executes the limit as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            F.sum(money_expr(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(TOPK_PARTS)
+    )
+
+
+ORACLE = {
+    "rel_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST({_SQL_MONEY} *
+       (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6)))
+     AS DOUBLE) AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_star_revenue": f"""
+SELECT r.r_name, n.n_name,
+  CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+  COUNT(DISTINCT c.c_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    "rel_customers_no_urgent": """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+    "rel_customers_big_order": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+""",
+    "rel_segment_orders": """
+SELECT c.c_mktsegment,
+  COUNT(DISTINCT c.c_custkey) AS n_customers,
+  COUNT(o.o_orderkey) AS n_orders,
+  COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END)
+    AS customers_without_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    "rel_segment_stats": """
+WITH g AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) *
+                       CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+            AS DOUBLE) AS s2,
+         MIN(c_acctbal) AS min_acctbal,
+         MAX(c_acctbal) AS max_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers,
+       round(s1 / n_customers, 4) AS avg_acctbal,
+       round(sqrt((s2 - s1 * s1 / n_customers) / (n_customers - 1)), 4)
+         AS std_acctbal,
+       min_acctbal, max_acctbal
+FROM g WHERE n_customers >= 10
+""",
+    "rel_top_parts": f"""
+SELECT p.p_partkey, p.p_name, p.p_brand,
+  CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name, p.p_brand
+ORDER BY revenue DESC, p.p_partkey ASC
+LIMIT 15
+""",
+}
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_star_revenue": q_star_revenue,
+    "rel_customers_no_urgent": q_customers_no_urgent,
+    "rel_customers_big_order": q_customers_big_order,
+    "rel_segment_orders": q_segment_orders,
+    "rel_segment_stats": q_segment_stats,
+    "rel_top_parts": q_top_parts,
+}

@@ -1,0 +1,86 @@
+"""Gold fact build: the star join.
+
+Reference: load_to_warehouse (daily_etl_pipeline.py:436-503) — cleaned events
+INNER JOIN dim_dates ON date, INNER JOIN the entity dim, LEFT JOIN the
+secondary dim (keeps plays whose artist is unknown, :460), NOT EXISTS dedup on
+the natural key (:462-466).
+
+Spark physics: both dims and the calendar are tiny -> explicit ``broadcast``
+hints so the fact side never shuffles for the joins (at 100 TB the fact-side
+scan is the only big I/O; the join adds no exchange).  The dedup
+``dropDuplicates`` on the already-unique event_id is a no-op kept for parity
+with the reference's idempotent-load semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.etl.dims import date_dim, event_type_dim, user_dim
+from spark_spotify.etl.silver import clean_events
+from spark_spotify.sources.tables import load_table
+
+
+def build_fact(spark: SparkSession, events: DataFrame) -> DataFrame:
+    silver = clean_events(events)
+    dd = date_dim(spark)
+    det = event_type_dim(events)
+    du = user_dim(events).select(
+        "user_id", F.col("first_seen").alias("user_first_seen")
+    )
+    return (
+        silver.dropDuplicates(["event_id"])
+        .join(F.broadcast(dd), silver.played_date == dd.date_value, "inner")
+        .join(F.broadcast(det), "event_type", "inner")
+        .join(F.broadcast(du), "user_id", "left")
+        .select(
+            "event_id",
+            "date_key",
+            "event_type_key",
+            "user_id",
+            "played_hour",
+            silver.is_weekend.alias("is_weekend"),
+            "time_period",
+            "value",
+            "user_first_seen",
+        )
+    )
+
+
+def q_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_fact(spark, load_table(spark, sf_dir, "events"))
+
+
+ORACLE = {
+    "etl_fact_star": """
+WITH dd AS (
+  SELECT CAST(gs AS DATE) AS date_value,
+         CAST(year(gs) * 10000 + month(gs) * 100 + day(gs) AS INT) AS date_key
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(gs)
+), det AS (
+  SELECT event_type, 'et_' || md5(event_type) AS event_type_key FROM events GROUP BY event_type
+), du AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS user_first_seen FROM events GROUP BY user_id
+)
+SELECT
+  e.event_id,
+  dd.date_key,
+  det.event_type_key,
+  e.user_id,
+  CAST(EXTRACT(hour FROM e.ts) AS INT) AS played_hour,
+  dayofweek(e.ts) IN (0, 6) AS is_weekend,
+  CASE WHEN CAST(EXTRACT(hour FROM e.ts) AS INT) BETWEEN 6 AND 11 THEN 'morning'
+       WHEN CAST(EXTRACT(hour FROM e.ts) AS INT) BETWEEN 12 AND 17 THEN 'afternoon'
+       WHEN CAST(EXTRACT(hour FROM e.ts) AS INT) BETWEEN 18 AND 23 THEN 'evening'
+       ELSE 'night' END AS time_period,
+  e.value,
+  du.user_first_seen
+FROM events e
+JOIN dd ON CAST(e.ts AS DATE) = dd.date_value
+JOIN det ON e.event_type = det.event_type
+LEFT JOIN du ON e.user_id = du.user_id
+""",
+}
+
+QUERIES = {"etl_fact_star": q_fact_star}

@@ -1,0 +1,91 @@
+"""Silver layer: clean + derive time fields + quality-score the raw events.
+
+Re-expresses the reference's ``process_time_fields`` INSERT..SELECT
+(daily_etl_pipeline.py:235-270) and its Python twin ``validate_track_record``/
+``calculate_quality_score`` (src/spotify/spotify_client.py:472-548) as pure
+Column expressions over the ``events`` stream table: timestamp -> date/hour/
+dow derivations (F1/F2), 4-way time-period CASE (P9), weekend flag (P5),
+JSON-property extraction from the raw payload (F14), quality score + flags
+(P10).
+
+Everything is a narrow projection — no shuffle, fully pipelined inside one
+WholeStageCodegen over the parquet scan; at 100 TB this stage is purely
+scan-bound and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.functions.time import SQL_TIME_PERIOD, is_weekend, pg_dow, time_period
+from spark_spotify.sources.tables import load_table
+
+# Short-play threshold: the reference flags duration < 10s as 'short_duration'
+# (daily_etl_pipeline.py:262-268); `value` plays that role here.
+SHORT_VALUE = 1.0
+
+
+def clean_events(events: DataFrame) -> DataFrame:
+    """events -> silver: the reference's clean_staging.listening_cleaned shape
+    (daily_etl_pipeline.py:235-270) mapped onto the events table."""
+    h = F.hour("ts")
+    quality_score = (
+        F.when(F.col("value").isNull(), F.lit(0.5))
+        .when(F.col("value") < SHORT_VALUE, F.lit(0.7))
+        .otherwise(F.lit(1.0))
+        .cast("double")
+    )
+    quality_flags = F.concat_ws(
+        ",",
+        F.when(F.col("value").isNull(), F.lit("missing_value")),
+        F.when(F.col("value") < SHORT_VALUE, F.lit("short_play")),
+    )
+    return events.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.to_date("ts").alias("played_date"),
+        h.cast("int").alias("played_hour"),
+        pg_dow(F.col("ts")).alias("played_dow"),
+        time_period(h).alias("time_period"),
+        is_weekend(F.col("ts")).alias("is_weekend"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        quality_score.alias("quality_score"),
+        quality_flags.alias("quality_flags"),
+    )
+
+
+def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_events(load_table(spark, sf_dir, "events"))
+
+
+_TP = SQL_TIME_PERIOD.format(h="CAST(EXTRACT(hour FROM ts) AS INT)")
+
+ORACLE = {
+    "etl_silver_clean": f"""
+SELECT
+  event_id,
+  ts,
+  CAST(ts AS DATE) AS played_date,
+  CAST(EXTRACT(hour FROM ts) AS INT) AS played_hour,
+  CAST(dayofweek(ts) AS INT) AS played_dow,
+  {_TP} AS time_period,
+  dayofweek(ts) IN (0, 6) AS is_weekend,
+  user_id,
+  event_type,
+  value,
+  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+  CAST(CASE WHEN value IS NULL THEN 0.5
+            WHEN value < 1.0 THEN 0.7
+            ELSE 1.0 END AS DOUBLE) AS quality_score,
+  concat_ws(',',
+    CASE WHEN value IS NULL THEN 'missing_value' END,
+    CASE WHEN value < 1.0 THEN 'short_play' END) AS quality_flags
+FROM events
+""",
+}
+
+QUERIES = {"etl_silver_clean": q_silver_clean}

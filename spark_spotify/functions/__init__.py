@@ -1,0 +1,8 @@
+from spark_spotify.functions.time import (
+    SQL_TIME_PERIOD,
+    pg_dow,
+    time_period,
+)
+from spark_spotify.functions.agg import dec, dsum, dsum6, money_expr
+
+__all__ = ["pg_dow", "time_period", "SQL_TIME_PERIOD", "dec", "dsum", "dsum6", "money_expr"]

@@ -1,0 +1,32 @@
+"""Central query registry: name -> (Spark callable, DuckDB oracle SQL).
+
+Single source of truth consumed by ``__spark_entry__.py`` (driver contract),
+``tests/`` (local oracle harness) and ``bench.py``.  Every operator family in
+SURVEY.md §2 has at least one entry here; each entry's Spark function and
+oracle SQL are written side-by-side in the owning module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_spotify.analytics import listening, relational, similarity, textops
+from spark_spotify.etl import dims, fact, silver, stats
+
+_MODULES = [silver, dims, fact, stats, listening, relational, textops, similarity]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        assert _name not in QUERIES, f"duplicate query name: {_name}"
+        QUERIES[_name] = _fn
+    ORACLE.update(_m.ORACLE)
+
+# Every query with an oracle must exist; oracle-less queries are allowed
+# (driver falls back to a rows-only check) but flag typos loudly.
+for _name in ORACLE:
+    assert _name in QUERIES, f"oracle without query: {_name}"

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the local[N] harness but configured the way a
+large cluster run would be (AQE on, UTC, sane shuffle parallelism).
+
+At 100 TB the same settings hold: AQE re-plans shuffle partition counts and skew
+joins at runtime, so the static ``spark.sql.shuffle.partitions`` is only the
+initial value; session timezone is pinned UTC so event-time semantics never
+depend on the submitting host (the reference mixed naive and UTC datetimes —
+SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark_spotify") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create (the driver
+    hands us its own session).  UTC is required for oracle hash parity."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

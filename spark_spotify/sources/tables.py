@@ -1,0 +1,56 @@
+"""Parquet table catalog over the driver's synthetic warehouse.
+
+Replaces the reference's three storage tiers (MongoDB bronze, PostgreSQL
+silver/gold — SURVEY.md §1.1) with columnar Parquet scans.  Catalyst pushes
+filters and prunes columns into these scans for free; at 100 TB the same reads
+would hit a date-partitioned Parquet/Delta layout and get partition pruning on
+top (the reference's incremental watermark scan, daily_etl_pipeline.py:132-137,
+becomes a pruned partition read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.session import pin_session
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one warehouse table. Plain column-pruned, filter-pushdown parquet
+    scan — never collect, never infer.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as a nanos long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a microsecond
+    timestamp — the same ns->us truncation DuckDB applies, so event-time
+    values are bit-identical across engines.
+    """
+    pin_session(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so Spark SQL text queries can run
+    against the same catalog names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
