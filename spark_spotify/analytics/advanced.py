@@ -1,0 +1,209 @@
+"""Advanced operator queries: as-of join, behavior radar, exact percentiles,
+language-ID heuristic.
+
+- as-of: each event joined to the user's most recent prior-or-same 'purchase'
+  (operators/asof.py).
+- radar: the dashboard "behavior radar" multi-metric profile
+  (main_ratio.py:97-151) incl. the reference's Postgres *integer* division
+  for repeat_ratio (main_ratio.py:114 — int/int truncates; reproduced with
+  explicit floor(), SURVEY.md §7.2).
+- percentiles: exact linear-interpolation percentiles (Spark ``percentile``
+  == DuckDB ``quantile_cont``); at 100 TB you'd flip to percentile_approx —
+  kept exact here so the oracle can gate it.
+- lang-ID: marker-token n-gram heuristic producing a deterministic
+  prediction + confidence per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.functions.agg import dec, dsum
+from spark_spotify.operators.asof import asof_last_event
+from spark_spotify.sources.tables import load_table
+
+# --- as-of join -----------------------------------------------------------
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    with_asof = asof_last_event(
+        ev,
+        key="user_id",
+        ts="ts",
+        mark=F.col("event_type") == "purchase",
+        order_tiebreak="event_id",
+    )
+    return with_asof.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("asof_ts").alias("last_purchase_ts"),
+        F.round(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
+            / 1_000_000.0,
+            3,
+        ).alias("secs_since_purchase"),
+    )
+
+
+# --- behavior radar -------------------------------------------------------
+
+
+def q_behavior_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = dec(F.col("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_plays"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(28,8)")).alias("_s2"),
+        F.avg(
+            F.when(F.hour("ts").between(6, 17), 1).otherwise(0)
+        ).alias("_daytime_frac"),
+    )
+    n = F.col("total_plays")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return g.select(
+        "event_type",
+        "total_plays",
+        "unique_users",
+        # Postgres int/int truncation quirk, reproduced deliberately:
+        F.floor(n / F.col("unique_users")).cast("bigint").alias("repeat_ratio"),
+        F.round(s1 / n, 4).alias("avg_value"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4).alias("std_value"),
+        F.round(F.col("_daytime_frac") * 100, 1).alias("daytime_pct"),
+    )
+
+
+# --- exact percentiles ----------------------------------------------------
+
+
+PCTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = F.percentile(F.col("value"), F.lit(PCTS))
+    return ev.groupBy("event_type").agg(
+        F.round(p[0], 4).alias("p25"),
+        F.round(p[1], 4).alias("p50"),
+        F.round(p[2], 4).alias("p75"),
+        F.round(p[3], 4).alias("p95"),
+    )
+
+
+# --- language-ID heuristic -----------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "query_heavy": ["query", "filter", "join"],
+    "data_heavy": ["data", "row", "table"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+
+    def score(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    s_en = score(LANG_MARKERS["en"])
+    s_q = score(LANG_MARKERS["query_heavy"])
+    s_d = score(LANG_MARKERS["data_heavy"])
+    best = F.greatest(s_en, s_q, s_d)
+    pred = (
+        F.when(s_en == best, "en")
+        .when(s_q == best, "query_heavy")
+        .otherwise("data_heavy")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        s_en.cast("int").alias("score_en"),
+        s_q.cast("int").alias("score_query"),
+        s_d.cast("int").alias("score_data"),
+        pred.alias("predicted_profile"),
+        F.round(best / F.size(toks), 3).alias("confidence"),
+    )
+
+
+ORACLE = {
+    "op_asof_purchase": """
+SELECT event_id, user_id, ts, event_type,
+       MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts,
+       round((epoch_us(ts) - epoch_us(
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+         / 1000000.0, 3) AS secs_since_purchase
+FROM events
+""",
+    "ana_behavior_radar": """
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) AS total_plays,
+         COUNT(DISTINCT user_id) AS unique_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) *
+                       CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+            AS DOUBLE) AS s2,
+         AVG(CASE WHEN CAST(EXTRACT(hour FROM ts) AS INT) BETWEEN 6 AND 17
+                  THEN 1 ELSE 0 END) AS daytime_frac
+  FROM events GROUP BY event_type
+)
+SELECT event_type, total_plays, unique_users,
+       CAST(floor(total_plays / unique_users) AS BIGINT) AS repeat_ratio,
+       round(s1 / total_plays, 4) AS avg_value,
+       round(sqrt((s2 - s1 * s1 / total_plays) / (total_plays - 1)), 4)
+         AS std_value,
+       round(daytime_frac * 100, 1) AS daytime_pct
+FROM g
+""",
+    "ana_value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 4) AS p75,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95
+FROM events GROUP BY event_type
+""",
+    "text_lang_id": """
+WITH s AS (
+  SELECT doc_id, lang,
+         string_split(trim(text), ' ') AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ('the','a','of'))) AS score_en,
+         len(list_filter(toks, t -> t IN ('query','filter','join'))) AS score_query,
+         len(list_filter(toks, t -> t IN ('data','row','table'))) AS score_data,
+         len(toks) AS n_toks
+  FROM s
+)
+SELECT doc_id, lang,
+       CAST(score_en AS INT) AS score_en,
+       CAST(score_query AS INT) AS score_query,
+       CAST(score_data AS INT) AS score_data,
+       CASE WHEN score_en = greatest(score_en, score_query, score_data) THEN 'en'
+            WHEN score_query = greatest(score_en, score_query, score_data) THEN 'query_heavy'
+            ELSE 'data_heavy' END AS predicted_profile,
+       round(greatest(score_en, score_query, score_data) / n_toks, 3)
+         AS confidence
+FROM sc
+""",
+}
+
+QUERIES = {
+    "op_asof_purchase": q_asof_purchase,
+    "ana_behavior_radar": q_behavior_radar,
+    "ana_value_percentiles": q_value_percentiles,
+    "text_lang_id": q_lang_id,
+}

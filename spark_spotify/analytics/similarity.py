@@ -72,7 +72,101 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(others, anchor, TOP_K)
 
 
+# --- LSH-bucketed ANN (the scale path) ------------------------------------
+#
+# Random-hyperplane LSH with *integer* hyperplanes r_i[j] = ((31*i + 17*j)
+# mod 7) - 3: deterministic, engine-portable (no RNG, no libm), and sign
+# buckets computed with the same fold primitives as the exact path.  Probing
+# only the anchor's bucket turns the per-query scan from O(N) into
+# O(N / 2^n_planes) — at 100 TB the bucket id becomes the table's partition
+# key so a query touches one partition.  Brute force above is its oracle.
+
+N_PLANES = 6
+LSH_TOP_K = 5
+
+
+def _plane(i: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((F.lit(31 * i) + F.lit(17) * j) % 7 - 3).cast("double"),
+    )
+
+
+def bucket_col(e: Column) -> Column:
+    bits = [
+        F.when(_dot(e, _plane(i)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(N_PLANES)
+    ]
+    return F.concat(*bits)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    with_bucket = emb.select(
+        "vec_id", "label", e.alias("emb"), bucket_col(e).alias("bucket")
+    )
+    anchor = (
+        with_bucket.filter(F.col("vec_id") == ANCHOR_ID)
+        .select(F.col("emb").alias("q"), F.col("bucket").alias("q_bucket"))
+    )
+    cand = with_bucket.filter(F.col("vec_id") != ANCHOR_ID).join(
+        F.broadcast(anchor),
+        F.col("bucket") == F.col("q_bucket"),
+        "inner",
+    )
+    cos = _dot(F.col("emb"), F.col("q")) / (
+        _norm(F.col("emb")) * _norm(F.col("q"))
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(LSH_TOP_K)
+    )
+
+
+def _sql_plane(i: int) -> str:
+    return (
+        f"list_transform(range(64), "
+        f"j -> CAST((31*{i} + 17*j) % 7 - 3 AS DOUBLE))"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    )
+
+
+_SQL_BUCKET = "|| ".join(
+    f"(CASE WHEN {_sql_dot('e', _sql_plane(i))} > 0 THEN '1' ELSE '0' END) "
+    for i in range(N_PLANES)
+)
+
 ORACLE = {
+    "sim_ann_lsh_topk": f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         {_SQL_BUCKET} AS bucket
+  FROM embeddings
+), anchor AS (
+  SELECT e AS q, bucket AS q_bucket FROM b WHERE vec_id = 0
+)
+SELECT b.vec_id, b.label, b.bucket,
+       round({_sql_dot('b.e', 'a.q')}
+             / (sqrt({_sql_dot('b.e', 'b.e')}) * sqrt({_sql_dot('a.q', 'a.q')})),
+             6) AS cosine_sim
+FROM b JOIN anchor a ON b.bucket = a.q_bucket
+WHERE b.vec_id <> 0
+ORDER BY cosine_sim DESC, b.vec_id ASC
+LIMIT 5
+""",
     "sim_ann_cosine_topk": """
 WITH anchor AS (
   SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
@@ -97,4 +191,7 @@ LIMIT 10
 """,
 }
 
-QUERIES = {"sim_ann_cosine_topk": q_ann_cosine_topk}
+QUERIES = {
+    "sim_ann_cosine_topk": q_ann_cosine_topk,
+    "sim_ann_lsh_topk": q_ann_lsh_topk,
+}

@@ -12,10 +12,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_spotify.analytics import listening, relational, similarity, textops
+from spark_spotify import multimodal
+from spark_spotify.analytics import (
+    advanced,
+    listening,
+    neardup,
+    relational,
+    similarity,
+    textops,
+)
 from spark_spotify.etl import dims, fact, silver, stats
 
-_MODULES = [silver, dims, fact, stats, listening, relational, textops, similarity]
+_MODULES = [
+    silver,
+    dims,
+    fact,
+    stats,
+    listening,
+    relational,
+    textops,
+    similarity,
+    neardup,
+    advanced,
+    multimodal,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
