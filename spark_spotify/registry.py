@@ -22,6 +22,7 @@ from spark_spotify.analytics import (
     textops,
 )
 from spark_spotify.etl import dims, fact, silver, stats
+from spark_spotify.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     silver,
@@ -35,6 +36,7 @@ _MODULES = [
     neardup,
     advanced,
     multimodal,
+    streaming_pipeline,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,72 @@
+"""Batch REST ingestion source (SURVEY.md §2.1 S1/S2/S6/S7 semantics).
+
+The reference's collector (curl_spotify_tracker.py:402-636) fetches
+recently-played pages via curl, probes MongoDB row-by-row for existing ids
+(:442-456), dedups with ``set()`` (:459-461), batch-fetches details (50/50/20
+ids per call, :284-339) and upserts per-row (:102-153).  The Spark redesign
+(SURVEY.md §3.1) keeps the network fetch driver-side (it is a ≤50-row API
+page — not a distributed problem) and makes everything after it set-wise:
+
+- ``fetch_fn`` is injectable (tests pass a fake; production passes an
+  HTTP client with the reference's retry/rate-limit policy);
+- new-id detection = one ``left_anti`` join against the dim, replacing the
+  per-row existence probes;
+- the upsert = operators.merge.insert_if_absent, replacing per-row
+  ``replace_one``.
+
+At scale the enrichment step flips to ``mapInPandas`` over an id-DataFrame
+(noted at S2) — the driver-side batcher here is correct for API-bound
+ingestion where the API itself caps throughput.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_spotify.operators.merge import insert_if_absent
+
+PLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("track_id", T.StringType(), False),
+        T.StructField("played_at", T.TimestampType(), False),
+        T.StructField("track_name", T.StringType()),
+        T.StructField("artist_name", T.StringType()),
+        T.StructField("album_name", T.StringType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("explicit", T.BooleanType()),
+        T.StructField("popularity", T.IntegerType()),
+    ]
+)
+
+DETAIL_BATCH = 50  # Spotify cap (curl_spotify_tracker.py:286)
+
+
+def ingest_plays(
+    spark: SparkSession,
+    fetch_fn: Callable[[], Iterable[dict]],
+    bronze: DataFrame | None,
+) -> DataFrame:
+    """One collection cycle: fetch a page, dedup set-wise, idempotent-append
+    to bronze keyed (track_id, played_at)."""
+    items = list(fetch_fn())
+    incoming = spark.createDataFrame(items, PLAY_SCHEMA)
+    if bronze is None:
+        return incoming.dropDuplicates(["track_id", "played_at"])
+    return insert_if_absent(bronze, incoming, ["track_id", "played_at"])
+
+
+def new_ids_for_enrichment(bronze: DataFrame, dim: DataFrame, key: str) -> list[list[str]]:
+    """Ids present in bronze but absent from the dim, batched at the API cap —
+    the set-wise replacement for the reference's per-row existence probes
+    (left_anti join, then driver-side batching only over the *novel* ids)."""
+    new = (
+        bronze.select(F.col(key)).distinct()
+        .join(dim.select(F.col(key)), key, "left_anti")
+        .orderBy(key)
+    )
+    ids = [r[0] for r in new.collect()]
+    return [ids[i : i + DETAIL_BATCH] for i in range(0, len(ids), DETAIL_BATCH)]

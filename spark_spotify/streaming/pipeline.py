@@ -1,0 +1,120 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's "streaming" is a 2-hour cron micro-batch
+(curl_spotify_tracker.py:358) with a watermark table
+(daily_etl_pipeline.py:53-84) and idempotent re-delivery handling (:154).
+Here that becomes a real Structured Streaming pipeline:
+
+- file-source ``readStream`` over the events parquet (stand-in for a Kafka
+  topic / file drop);
+- ``withWatermark`` bounding late-data state (the reference's last-sync
+  watermark, made an engine concept);
+- tumbling-window hourly rollup in append mode (agg_daily_stats hourly twin);
+- ``foreachBatch`` + merge_upsert as the exactly-once idempotent sink
+  (ON CONFLICT DO NOTHING made transactional per micro-batch).
+
+Emission semantics (append mode): a window is emitted once the final
+watermark (max event time − delay) passes its end — deterministic for a
+bounded availableNow run, which is what makes the oracle below possible.
+
+Scale: state is bounded by watermark horizon × window count; the rollup
+shuffles on (window, event_type) only; foreachBatch merges are delta-sized.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_spotify.session import pin_session
+
+WATERMARK_DELAY = "10 minutes"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streaming sources take a directory; target the single events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming rollup to completion synchronously (availableNow +
+    memory sink) and return the emitted result as a DataFrame."""
+    name = f"rollup_{uuid.uuid4().hex[:12]}"
+    q = (
+        hourly_rollup(read_event_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_hourly_rollup(spark, sf_dir)
+
+
+# Append-mode emission rule, replayed relationally: only windows whose end is
+# at or below the final watermark (max ts − delay) are emitted.
+ORACLE = {
+    "stream_hourly_rollup": """
+WITH m AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+), h AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT h.hour_start, h.event_type, h.n_events, h.total_value
+FROM h, m
+WHERE h.hour_start + INTERVAL 1 HOUR <= m.wm
+""",
+}
+
+QUERIES = {"stream_hourly_rollup": q_stream_hourly_rollup}
