@@ -35,7 +35,14 @@ BENCH_QUERIES = [
     "text_stats",
     "text_dedup_exact",
     "sim_ann_cosine_topk",
+    "sim_ann_lsh_topk",
     "op_merge_upsert",
+    "op_asof_purchase",
+    "ana_behavior_radar",
+    "ana_value_percentiles",
+    "dedup_minhash_near_dups",
+    "mm_media_decode",
+    "stream_hourly_rollup",
 ]
 
 

@@ -11,13 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.operators.dedup import (
-    candidate_pairs,
-    estimate_jaccard,
-    minhash_near_dups,
-    minhash_signature,
-    shingles,
-)
+from spark_spotify.operators.dedup import minhash_near_dups, signatures
 from spark_spotify.sources.tables import load_table
 
 
@@ -26,22 +20,15 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature surface check: per-doc first 4 minhash components, pivoted
-    wide so each doc is one row (deterministic regardless of banding)."""
-    sig = minhash_signature(
-        shingles(load_table(spark, sf_dir, "documents")), k=4
-    )
-    return (
-        sig.groupBy("doc_id")
-        .pivot("seed", [0, 1, 2, 3])
-        .agg(F.first("mh"))
-        .select(
-            "doc_id",
-            F.col("0").alias("mh0"),
-            F.col("1").alias("mh1"),
-            F.col("2").alias("mh2"),
-            F.col("3").alias("mh3"),
-        )
+    """Signature surface check: per-doc first 4 minhash components, one row
+    per doc (deterministic regardless of banding)."""
+    sig = signatures(load_table(spark, sf_dir, "documents"), k=4)
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh0"),
+        F.col("sig")[1].alias("mh1"),
+        F.col("sig")[2].alias("mh2"),
+        F.col("sig")[3].alias("mh3"),
     )
 
 

@@ -2,78 +2,88 @@
 
 The canonical 100 TB dedup pipeline (BASELINE.json extension family):
 
-1. shingle: w-token rolling shingles per document (explode, distinct);
-2. minhash: K independent hash functions; hash_k(s) = md5(k || '|' || s) and
-   the signature component is the lexicographic MIN — md5-as-string min is a
-   perfectly valid uniform hash order, and (critically) computes identically
-   in any engine with md5, which makes the whole pipeline oracle-checkable;
-3. LSH banding: signature components pair up into bands; documents sharing
-   any band value become candidate pairs (the only join is on band value —
-   uniformly distributed keys, no skew);
-4. verify: estimated Jaccard = fraction of matching signature components;
-   optionally exact n-gram Jaccard on the surviving candidates.
+1. shingle: w-token rolling shingles per document, kept as a per-row array —
+   no explode, no shuffle;
+2. minhash: K signature components computed per-row as
+   ``array_min(transform(shingles, s -> md5(seed || '|' || s)))`` — the MIN
+   of an md5-as-string order is a valid uniform hash min and (critically)
+   computes identically in any engine with md5, which makes the whole
+   pipeline oracle-checkable.  Duplicate shingles can't change a MIN, so no
+   distinct pass is needed;
+3. LSH banding: adjacent signature pairs form band values; documents sharing
+   any band value become candidate pairs — the only shuffle in the whole
+   pipeline is this band-value join (uniform md5 keys, no skew);
+4. verify: estimated Jaccard = matching signature components / K (zip_with
+   on the two signature arrays), exact Jaccard via array_intersect of the
+   distinct shingle sets — both per-pair array ops, no re-join to corpus
+   rows beyond fetching the two arrays.
 
-Scale: the candidate join is |bands| × docs rows keyed by band hash —
-shuffle-friendly; no all-pairs O(N²) stage exists anywhere. Everything is
-built-in expressions (explode / groupBy / join) — no UDFs.
+Scale: stages 1-2 are embarrassingly parallel scan work; stage 3 is one
+shuffle keyed by band hash; stage 4 touches only candidate pairs (output-
+sized, not corpus-sized).  No O(N²) stage exists anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_HASHES = 12
 SHINGLE_W = 3
+N_BANDS = N_HASHES // 2
 JACCARD_THRESHOLD = 0.5
 
 
-def shingles(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
-    """doc_id -> distinct w-token shingles (joined by single spaces)."""
-    toks = F.split(F.trim(F.col("text")), " ")
+def shingle_array(text: Column, w: int = SHINGLE_W) -> Column:
+    """w-token rolling shingles of a document as array<string> (may contain
+    duplicates; empty if the doc has fewer than w tokens)."""
+    toks = F.split(F.trim(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - w)
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " ")
+    idx = F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
+        F.array().cast("array<int>")
     )
-    return (
-        docs.filter(n >= w)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " "))
+
+
+def minhash_sig(sh: Column, k: int = N_HASHES) -> Column:
+    """K-component MinHash signature as array<string> (md5-order min)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)),
+            )
+        ),
     )
 
 
-def minhash_signature(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """Long-form signature: (doc_id, seed, mh) — mh = MIN(md5(seed|shingle)).
-
-    Long (row-per-seed) layout instead of a signature array keeps everything
-    in plain groupBy/join land and makes the band join a cheap reshuffle.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    hashed = sh.select("doc_id", "shingle").select(
+def signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """doc_id, shingles, sig — per-row, shuffle-free."""
+    return docs.select(
         "doc_id",
-        seeds,
-        "shingle",
-    )
-    return (
-        hashed.select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
+        shingle_array(F.col("text")).alias("shingles"),
+        minhash_sig(shingle_array(F.col("text")), k).alias("sig"),
+    ).filter(F.size("shingles") > 0)
 
 
-def candidate_pairs(sig: DataFrame) -> DataFrame:
-    """LSH banding with rows-per-band = 2: band value = min||max of the two
-    signature components (order-insensitive, so no collect_list needed)."""
-    bands = sig.groupBy(
-        "doc_id", F.floor(F.col("seed") / 2).cast("int").alias("band")
-    ).agg(F.concat_ws("|", F.min("mh"), F.max("mh")).alias("band_val"))
+def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding with rows-per-band = 2: band value = the (order-
+    insensitive) least||greatest of the two signature components; one
+    self-join on (band, band_val)."""
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(
+                    "|",
+                    F.least(F.col("sig")[b * 2], F.col("sig")[b * 2 + 1]),
+                    F.greatest(F.col("sig")[b * 2], F.col("sig")[b * 2 + 1]),
+                ),
+            )
+        ).alias("band", "band_val"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -90,70 +100,48 @@ def candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def estimate_jaccard(pairs: DataFrame, sig: DataFrame) -> DataFrame:
-    """Estimated Jaccard = matching signature components / K."""
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
+def minhash_near_dups(docs: DataFrame) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> estimated + exact
+    Jaccard, filtered at the threshold.
+
+    ``sigs`` feeds the banding join and both verify joins; persist it so the
+    shingle/hash computation runs once (at warehouse scale this intermediate
+    would be materialized to Parquet and maintained incrementally).
+    """
+    sigs = signatures(docs).persist()
+    pairs = candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.array_distinct("shingles").alias("sh_a"),
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b")
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.array_distinct("shingles").alias("sh_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jaccard = F.round(
+        n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 3
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.size("sig_a"),
+        3,
     )
     return (
         pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.count(F.when(F.col("mh_a") == F.col("mh_b"), 1))
-                / F.count(F.lit(1)),
-                3,
-            ).alias("est_jaccard")
-        )
-    )
-
-
-def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle Jaccard for candidate pairs: |A∩B| / (|A|+|B|−|A∩B|)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                3,
-            ).alias("jaccard"),
+            est.alias("est_jaccard"),
+            jaccard.alias("jaccard"),
         )
-    )
-
-
-def minhash_near_dups(docs: DataFrame) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> LSH candidates -> estimated +
-    exact Jaccard, filtered at the threshold."""
-    sh = shingles(docs)
-    sig = minhash_signature(sh)
-    pairs = candidate_pairs(sig)
-    est = estimate_jaccard(pairs, sig)
-    exact = exact_jaccard(pairs, sh)
-    return (
-        est.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
     )
