@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "ana_behavior_radar",
     "ana_value_percentiles",
     "dedup_minhash_near_dups",
+    "dedup_simhash_near_dups",
+    "dedup_emb_cosine",
+    "text_fingerprint",
+    "text_token_regex",
     "mm_media_decode",
     "stream_hourly_rollup",
 ]

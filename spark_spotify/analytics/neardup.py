@@ -1,9 +1,10 @@
-"""Near-duplicate detection queries (MinHash/LSH) over documents.
+"""Near-duplicate detection queries (MinHash, SimHash, embedding-cosine)
+over the documents and embeddings tables.
 
-Thin query wrappers around ``spark_spotify.operators.dedup``; the oracle twin
-replays the identical shingle -> md5-minhash -> band -> verify pipeline in
-ANSI SQL (md5-as-string MIN is engine-portable, which is exactly why the
-signature hash was chosen — see operators/dedup.py docstring).
+Thin query wrappers around ``spark_spotify.operators.{dedup,simhash}``; each
+oracle twin replays the identical hash -> band -> verify pipeline in ANSI SQL
+(md5-derived hashes and integer hyperplanes are engine-portable, which is
+exactly why those primitives were chosen — see the operator docstrings).
 """
 
 from __future__ import annotations
@@ -11,12 +12,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_spotify.analytics.similarity import (
+    _SQL_BUCKET,
+    _dot,
+    _norm,
+    _sql_dot,
+    bucket_col,
+)
 from spark_spotify.operators.dedup import minhash_near_dups, signatures
+from spark_spotify.operators.simhash import simhash_near_dups
 from spark_spotify.sources.tables import load_table
+
+EMB_COSINE_THRESHOLD = 0.35
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH bucketing (the
+    same deterministic integer hyperplanes as sim_ann_lsh_topk) restricts the
+    pair join to same-bucket vectors; exact cosine verifies candidates.
+
+    Scale: the self-join is keyed by the 2^n_planes bucket id — at 100 TB the
+    bucket becomes the table's partition key, so candidate generation is a
+    co-partitioned join with no corpus-sized shuffle and no O(N²) stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    # norms precomputed per row (scan-side), so the per-pair work after the
+    # bucket join is a single dot product
+    b = emb.select(
+        "vec_id",
+        e.alias("emb"),
+        _norm(e).alias("nrm"),
+        bucket_col(e).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= EMB_COSINE_THRESHOLD)
+    )
 
 
 def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,9 +151,72 @@ JOIN sizes sa ON sa.doc_id = e.doc_a
 JOIN sizes sb ON sb.doc_id = e.doc_b
 WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 3) >= 0.5
 """,
+    # 32-bit SimHash: token hash = leading 32 bits of md5(token); majority
+    # rule per bit sets the signature; 4 byte-bands generate candidates;
+    # bit_count(xor) verifies.  Mirrors operators/simhash.py exactly.
+    "dedup_simhash_near_dups": """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t
+),
+tv AS (
+  SELECT doc_id, n,
+         CAST(list_sum(list_transform(range(8),
+           p -> (strpos('0123456789abcdef',
+                        substr(md5(tk), CAST(p AS INT) + 1, 1)) - 1)
+                * pow(16, 7 - p))) AS BIGINT) AS v
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id, n, g.b, SUM((v >> CAST(g.b AS INT)) & 1) AS c
+  FROM tv CROSS JOIN generate_series(0, 31) g(b)
+  GROUP BY doc_id, n, g.b
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * c >= n THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                  ELSE 0 END) AS simhash
+  FROM cnt GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, g.band,
+         CAST((simhash >> CAST(g.band * 8 AS INT)) & 255 AS INT)
+           AS band_val
+  FROM sh CROSS JOIN generate_series(0, 3) g(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS simhash_a, b.simhash AS simhash_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+       CAST(bit_count(xor(simhash_a, simhash_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
+""",
+    "dedup_emb_cosine": f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_BUCKET} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round({_sql_dot('a.e', 'c.e')}
+             / (sqrt({_sql_dot('a.e', 'a.e')})
+                * sqrt({_sql_dot('c.e', 'c.e')})), 6) AS cosine_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({_sql_dot('a.e', 'c.e')}
+            / (sqrt({_sql_dot('a.e', 'a.e')})
+               * sqrt({_sql_dot('c.e', 'c.e')})), 6) >= {EMB_COSINE_THRESHOLD}
+""",
 }
 
 QUERIES = {
     "dedup_minhash_signature": q_minhash_signature_sample,
     "dedup_minhash_near_dups": q_minhash_near_dups,
+    "dedup_simhash_near_dups": q_simhash_near_dups,
+    "dedup_emb_cosine": q_emb_cosine_dups,
 }

@@ -99,6 +99,76 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_K = 8  # char k-gram width
+FP_W = 4  # winnowing window (hashes per window)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    md5 over rolling char 8-grams of the normalized text, keep the min hash
+    of each 4-hash window, distinct.  Guarantees any shared substring of
+    length >= K + W - 1 produces a shared fingerprint — the plagiarism /
+    contamination-detection primitive of a training-data pipeline.
+
+    Entirely per-row array expressions (no explode): at 100 TB this is pure
+    scan work; downstream containment joins key on the (uniform) fingerprint
+    hash.  Docs shorter than K+W-1 chars have no full window and are
+    filtered (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(norm) - FP_K),
+        lambda i: F.md5(F.substr(norm, i + 1, F.lit(FP_K))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("grams")) - FP_W),
+            lambda i: F.array_min(F.slice(F.col("grams"), i + 1, FP_W)),
+        )
+    )
+    return (
+        d.filter(F.length(norm) >= FP_K + FP_W - 1)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            fps.alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+    )
+
+
+def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization profile: regex token count (letter runs, digit
+    runs, single punctuation — the pre-tokenizer split every BPE vocabulary
+    starts from) vs whitespace token count, per document.  Stays JVM-side
+    via regexp_extract_all; the identical RE runs under DuckDB's RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    words = F.filter(pieces, lambda p: p.rlike("^[A-Za-z]"))
+    nums = F.filter(pieces, lambda p: p.rlike("^[0-9]"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.size(nums).alias("n_num_tokens"),
+        (F.size(pieces) - F.size(words) - F.size(nums)).alias(
+            "n_punct_tokens"
+        ),
+        F.round(
+            F.size(pieces) / F.size(F.split(F.trim(F.col("text")), " ")), 3
+        ).alias("bpe_per_ws"),
+    )
+
+
 ORACLE = {
     "text_stats": """
 WITH t AS (
@@ -146,10 +216,62 @@ SELECT doc_id,
                           ORDER BY doc_id) = 1 AS is_keeper
 FROM documents
 """,
+    "text_fingerprint": f"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS nt FROM documents
+  WHERE length(lower(trim(text))) >= {FP_K + FP_W - 1}
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(0, length(nt) - {FP_K} + 1),
+                        i -> md5(substr(nt, CAST(i AS INT) + 1, {FP_K})))
+           AS gs
+  FROM norm
+),
+fps AS (
+  SELECT doc_id, len(gs) AS n_grams,
+         list_distinct(
+           list_transform(range(0, len(gs) - {FP_W} + 1),
+                          i -> list_min(gs[CAST(i AS INT) + 1
+                                           : CAST(i AS INT) + {FP_W}])))
+           AS f
+  FROM grams
+)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       CAST(len(f) AS INT) AS n_fingerprints,
+       list_min(f) AS min_fp, list_max(f) AS max_fp
+FROM fps
+""",
+    "text_token_regex": f"""
+WITH p AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_ws,
+         regexp_extract_all(text, '{_BPE_RE}') AS pieces
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_ws, len(pieces) AS n_bpe,
+         len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]')))
+           AS n_word,
+         len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]')))
+           AS n_num
+  FROM p
+)
+SELECT doc_id,
+       CAST(n_ws AS INT) AS n_ws_tokens,
+       CAST(n_bpe AS INT) AS n_bpe_tokens,
+       CAST(n_word AS INT) AS n_word_tokens,
+       CAST(n_num AS INT) AS n_num_tokens,
+       CAST(n_bpe - n_word - n_num AS INT) AS n_punct_tokens,
+       round(n_bpe / n_ws, 3) AS bpe_per_ws
+FROM c
+""",
 }
 
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
+    "text_fingerprint": q_text_fingerprint,
+    "text_token_regex": q_text_token_regex,
 }

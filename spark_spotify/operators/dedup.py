@@ -2,25 +2,33 @@
 
 The canonical 100 TB dedup pipeline (BASELINE.json extension family):
 
-1. shingle: w-token rolling shingles per document, kept as a per-row array —
-   no explode, no shuffle;
-2. minhash: K signature components computed per-row as
-   ``array_min(transform(shingles, s -> md5(seed || '|' || s)))`` — the MIN
-   of an md5-as-string order is a valid uniform hash min and (critically)
-   computes identically in any engine with md5, which makes the whole
-   pipeline oracle-checkable.  Duplicate shingles can't change a MIN, so no
-   distinct pass is needed;
+1. shingle: w-token rolling shingles per document, exploded to one row per
+   (doc, shingle);
+2. minhash: the K signature components are K parallel
+   ``MIN(md5(seed || '|' || shingle))`` aggregates in one groupBy(doc_id) —
+   the MIN of an md5-as-string order is a valid uniform hash min and
+   (critically) computes identically in any engine with md5, which makes
+   the whole pipeline oracle-checkable.  Duplicate shingles can't change a
+   MIN, so no distinct pass is needed.  Catalyst's partial aggregation
+   collapses the exploded shingles to one K-component row per doc map-side,
+   so the shuffle carries signatures, not shingles;
 3. LSH banding: adjacent signature pairs form band values; documents sharing
-   any band value become candidate pairs — the only shuffle in the whole
-   pipeline is this band-value join (uniform md5 keys, no skew);
+   any band value become candidate pairs via one join keyed by band value
+   (uniform md5 keys, no skew);
 4. verify: estimated Jaccard = matching signature components / K (zip_with
    on the two signature arrays), exact Jaccard via array_intersect of the
-   distinct shingle sets — both per-pair array ops, no re-join to corpus
-   rows beyond fetching the two arrays.
+   distinct shingle sets (collected in the same aggregation) — both
+   per-pair array ops, no re-join to corpus rows beyond fetching the two
+   arrays.
 
-Scale: stages 1-2 are embarrassingly parallel scan work; stage 3 is one
-shuffle keyed by band hash; stage 4 touches only candidate pairs (output-
-sized, not corpus-sized).  No O(N²) stage exists anywhere.
+Deliberately explode+groupBy for the signature stage rather than per-row
+array folds: Spark's higher-order lambda functions are codegen-incompatible
+(interpreted, ~10× slower here at K=12), while exploded MIN aggregates stay
+in WholeStageCodegen; the shuffle it introduces is signature-sized.
+
+Scale: stage 1-2 is scan + partial agg; stage 3 is one shuffle keyed by
+band hash; stage 4 touches only candidate pairs (output-sized, not
+corpus-sized).  No O(N²) stage exists anywhere.
 """
 
 from __future__ import annotations
@@ -45,26 +53,27 @@ def shingle_array(text: Column, w: int = SHINGLE_W) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " "))
 
 
-def minhash_sig(sh: Column, k: int = N_HASHES) -> Column:
-    """K-component MinHash signature as array<string> (md5-order min)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
-
-
 def signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """doc_id, shingles, sig — per-row, shuffle-free."""
-    return docs.select(
+    """doc_id, shingles (distinct set), sig (K-component MinHash as
+    array<string>, md5-order min) — one explode + one partial-aggregated
+    groupBy; docs with fewer than w tokens (no shingles) drop out."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"))).alias("shingle")
+    )
+    agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(k)
+        ],
+        F.collect_set("shingle").alias("shingles"),
+    )
+    return agg.select(
         "doc_id",
-        shingle_array(F.col("text")).alias("shingles"),
-        minhash_sig(shingle_array(F.col("text")), k).alias("sig"),
-    ).filter(F.size("shingles") > 0)
+        "shingles",
+        F.array(*[f"mh{seed}" for seed in range(k)]).alias("sig"),
+    )
 
 
 def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -113,12 +122,12 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sig").alias("sig_a"),
-        F.array_distinct("shingles").alias("sh_a"),
+        F.col("shingles").alias("sh_a"),
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sig").alias("sig_b"),
-        F.array_distinct("shingles").alias("sh_b"),
+        F.col("shingles").alias("sh_b"),
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jaccard = F.round(
