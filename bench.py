@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "text_token_regex",
     "mm_media_decode",
     "stream_hourly_rollup",
+    "stream_sessions",
+    "agg_rollup_revenue",
+    "op_salted_segment_value",
+    "ana_segment_split",
+    "sim_ann_ivf_topk",
+    "agg_approx_distinct",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Scale-path operators: multi-granularity rollup, salted skew join,
+left-join-to-nullable-dim profiling, approximate distinct counts.
+
+These extend the reference's operator surface (SURVEY.md §2.7 notes it has
+no grouping sets; §4 lists salting as a 100 TB candidate) with the
+aggregation/join machinery a warehouse actually needs at scale.  All but the
+approx-distinct query are oracle-paired; approx_count_distinct is a sketch
+(HLL++) DuckDB cannot reproduce bit-for-bit, so it ships with the weaker
+rows-only driver check and carries its exact twin in the same row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.functions.agg import SQL_DSUM, dsum
+from spark_spotify.operators.salted import salted_join
+from spark_spotify.sources.tables import load_table
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three granularities in ONE pass — (nation, segment),
+    per-nation subtotal, grand total — via ROLLUP (SURVEY.md §2.7: the
+    reference computes each granularity as a separate query; grouping sets
+    collapse them into a single shuffle with partial aggregation).
+
+    grouping_id disambiguates subtotal rows from genuine NULL keys."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "inner"
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().cast("int").alias("grp_id"),
+        )
+        .select("n_name", "c_mktsegment", "grp_id", "n_orders", "revenue")
+    )
+
+
+def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer on user_id with an 8-way salted shuffle join
+    (operators/salted.py), aggregated per market segment.  Result is
+    row-identical to the plain join — the oracle IS the plain join — only
+    the shuffle layout differs; the plan shows the (key, salt) exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(
+        ev, c, "user_id", "c_custkey", salt_source=F.col("event_id")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+def q_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join events to the (nullable) customer dim and profile per
+    segment — the reference's gender/band pattern (J5 + A6,
+    artist_gender.py:21-28): unmatched users survive as an 'UNKNOWN' bucket,
+    and purchase share is a conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"], "left")
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+    return (
+        j.select(seg.alias("segment"), "user_id", "event_type", "value")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                * 100,
+                2,
+            ).alias("purchase_pct"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs approximate distinct users per event type.  At 100 TB
+    COUNT(DISTINCT) is a full shuffle of the distinct keys;
+    approx_count_distinct (HLL++, rsd 5%) is a constant-size sketch merged
+    map-side.  No oracle — HLL sketches aren't portable across engines —
+    so the exact column rides along as the in-row ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+ORACLE = {
+    "agg_rollup_revenue": f"""
+SELECT n_name, c_mktsegment,
+       CAST(GROUPING(n_name, c_mktsegment) AS INT) AS grp_id,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x='o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+""",
+    "op_salted_segment_value": f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {SQL_DSUM.format(x='value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    "ana_segment_split": f"""
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       round(AVG(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100,
+             2) AS purchase_pct,
+       {SQL_DSUM.format(x='value')} AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY COALESCE(c_mktsegment, 'UNKNOWN')
+""",
+}
+
+QUERIES = {
+    "agg_rollup_revenue": q_rollup_revenue,
+    "op_salted_segment_value": q_salted_segment_value,
+    "ana_segment_split": q_segment_split,
+    "agg_approx_distinct": q_approx_distinct,
+}

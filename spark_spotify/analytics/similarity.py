@@ -130,6 +130,67 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-bucketed ANN (coarse-quantizer scale path) ------------------------
+#
+# Inverted-file ANN: a coarse quantizer assigns every vector to its nearest
+# centroid's cell; a query probes only its own cell (nprobe=1).  Centroids
+# here are the first N_CELLS corpus vectors — a deterministic quantizer both
+# engines reproduce exactly (Lloyd iterations are a driver-side loop that
+# would improve recall, not change the operator's dataflow).  At 100 TB the
+# cell id becomes the table's partition key: assignment is a broadcast join
+# + per-row argmax, probing is partition pruning.
+
+N_CELLS = 8
+IVF_TOP_K = 5
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    vecs = emb.select(
+        "vec_id", "label", e.alias("emb"), _norm(e).alias("nrm")
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot(F.col("emb"), F.col("cvec")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    cells = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "nrm", F.col("cent_id").alias("cell"))
+    )
+    anchor = cells.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("emb").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.filter(F.col("vec_id") != ANCHOR_ID).join(
+        F.broadcast(anchor), F.col("cell") == F.col("qcell"), "inner"
+    )
+    cos = _dot(F.col("emb"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOP_K)
+    )
+
+
 def _sql_plane(i: int) -> str:
     return (
         f"list_transform(range(64), "
@@ -150,6 +211,40 @@ _SQL_BUCKET = "|| ".join(
 )
 
 ORACLE = {
+    "sim_ann_ivf_topk": f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+  WHERE vec_id < {N_CELLS}
+),
+a AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
+         {_sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS cos_c
+  FROM v CROSS JOIN c
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+  FROM a
+),
+cells AS (
+  SELECT vec_id, label, e, nrm, cent_id AS cell FROM r WHERE rn = 1
+),
+anchor AS (
+  SELECT e AS q, nrm AS qn, cell AS qcell FROM cells WHERE vec_id = {ANCHOR_ID}
+)
+SELECT cells.vec_id, cells.label, cells.cell,
+       round({_sql_dot('cells.e', 'anchor.q')} / (cells.nrm * anchor.qn), 6)
+         AS cosine_sim
+FROM cells JOIN anchor ON cells.cell = anchor.qcell
+WHERE cells.vec_id <> {ANCHOR_ID}
+ORDER BY cosine_sim DESC, cells.vec_id ASC
+LIMIT {IVF_TOP_K}
+""",
     "sim_ann_lsh_topk": f"""
 WITH b AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -194,4 +289,5 @@ LIMIT 10
 QUERIES = {
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "sim_ann_ivf_topk": q_ann_ivf_topk,
 }

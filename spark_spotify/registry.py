@@ -18,6 +18,7 @@ from spark_spotify.analytics import (
     listening,
     neardup,
     relational,
+    scaleops,
     similarity,
     textops,
 )
@@ -35,6 +36,7 @@ _MODULES = [
     similarity,
     neardup,
     advanced,
+    scaleops,
     multimodal,
     streaming_pipeline,
 ]

@@ -99,6 +99,50 @@ def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_rollup(spark, sf_dir)
 
 
+SESSION_GAP = "30 minutes"
+
+
+def session_rollup(stream: DataFrame) -> DataFrame:
+    """Stateful session windows per user: a session extends while consecutive
+    events arrive within SESSION_GAP; window end = last event + gap.  State
+    per open session is bounded by the watermark horizon (closed sessions
+    are evicted once the watermark passes their end)."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"sessions_{uuid.uuid4().hex[:12]}"
+    q = (
+        session_rollup(read_event_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
@@ -115,6 +159,38 @@ SELECT h.hour_start, h.event_type, h.n_events, h.total_value
 FROM h, m
 WHERE h.hour_start + INTERVAL 1 HOUR <= m.wm
 """,
+    # Session-window emission replayed relationally: gaps-and-islands with a
+    # >= gap boundary (Spark's session range is [start, last+gap), so an
+    # event at exactly last+gap opens a NEW session), emitted once the final
+    # watermark passes session end = last event + gap.
+    "stream_sessions": """
+WITH m AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+), f AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), n AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+), s AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM n GROUP BY user_id, sid
+)
+SELECT session_start, session_end, user_id, n_events, total_value
+FROM s, m WHERE session_end <= wm
+""",
 }
 
-QUERIES = {"stream_hourly_rollup": q_stream_hourly_rollup}
+QUERIES = {
+    "stream_hourly_rollup": q_stream_hourly_rollup,
+    "stream_sessions": q_stream_sessions,
+}
