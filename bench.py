@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "mm_media_decode",
     "stream_hourly_rollup",
     "stream_sessions",
+    "stream_dedup",
+    "ana_treemap_norm",
     "agg_rollup_revenue",
     "op_salted_segment_value",
     "ana_segment_split",

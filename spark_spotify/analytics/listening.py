@@ -111,6 +111,41 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- treemap with normalized color score (track_treemap.py:13-38 J7/O1 +
+#     the client-side min-max normalization track.py:50-58, C6)
+
+
+def q_treemap_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users of the trailing 30 days: the computed window start is a
+    1-row scalar CROSS JOIN (reference date_range CTE, track_treemap.py:30-33)
+    applied before the filter; the treemap color score is the reference's
+    pandas min-max normalization done engine-side with an unpartitioned
+    window over the 10-row top-k (presentation-sized, so the single-partition
+    window is free)."""
+    s = _silver(spark, sf_dir).select("user_id", "played_date", "value")
+    rng = s.agg(F.max("played_date").alias("end_d")).select(
+        F.date_sub(F.col("end_d"), 29).alias("start_d")
+    )
+    top = (
+        s.crossJoin(F.broadcast(rng))
+        .filter(F.col("played_date") >= F.col("start_d"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(F.desc("n_plays"), F.asc("user_id"))
+        .limit(10)
+    )
+    w = Window.partitionBy()
+    mn = F.min("n_plays").over(w)
+    mx = F.max("n_plays").over(w)
+    score = F.when(mx == mn, F.lit(0.5)).otherwise(
+        (F.col("n_plays") - mn) / (mx - mn)
+    )
+    return top.withColumn("color_score", F.round(score, 3))
+
+
 # --- loyalty (artist_loyal.py:14-54: A7 ratio arithmetic, A10 HAVING,
 #     P8 filter-on-derived, O3 two-key top-100)
 
@@ -362,6 +397,25 @@ GROUP BY user_id
 ORDER BY n_plays DESC, user_id ASC
 LIMIT 10
 """,
+    "ana_treemap_norm": """
+WITH rng AS (
+  SELECT MAX(CAST(ts AS DATE)) - 29 AS start_d FROM events
+), top AS (
+  SELECT user_id, COUNT(*) AS n_plays,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events CROSS JOIN rng
+  WHERE CAST(ts AS DATE) >= start_d
+  GROUP BY user_id
+  ORDER BY n_plays DESC, user_id ASC
+  LIMIT 10
+)
+SELECT user_id, n_plays, total_value,
+       round(CASE WHEN MAX(n_plays) OVER () = MIN(n_plays) OVER () THEN 0.5
+                  ELSE (n_plays - MIN(n_plays) OVER ())
+                       / (MAX(n_plays) OVER () - MIN(n_plays) OVER ())
+             END, 3) AS color_score
+FROM top
+""",
     "ana_loyalty": """
 WITH g AS (
   SELECT user_id, COUNT(*) AS n_plays,
@@ -484,6 +538,7 @@ QUERIES = {
     "ana_period_ratio": q_period_ratio,
     "ana_top_users": q_top_users,
     "ana_loyalty": q_loyalty,
+    "ana_treemap_norm": q_treemap_norm,
     "ana_sankey": q_sankey,
     "ana_weekly_delta": q_weekly_delta,
     "ana_pivot_day_period": q_pivot_day_period,

@@ -126,6 +126,36 @@ def session_rollup(stream: DataFrame) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent re-delivery, the engine way: the source stream unioned
+    with itself simulates the reference's at-least-once double delivery
+    (curl re-pulls the same plays every 2 h; ON CONFLICT DO NOTHING drops
+    them, daily_etl_pipeline.py:154).  ``dropDuplicatesWithinWatermark``
+    keys state by event_id and evicts it once the watermark passes the
+    event's time — bounded state, unlike a global dropDuplicates.
+    Output = each event exactly once (oracle: plain SELECT)."""
+    src = read_event_stream(spark, sf_dir)
+    doubled = src.unionByName(read_event_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sessions_{uuid.uuid4().hex[:12]}"
     q = (
@@ -188,9 +218,13 @@ WITH m AS (
 SELECT session_start, session_end, user_id, n_events, total_value
 FROM s, m WHERE session_end <= wm
 """,
+    "stream_dedup": """
+SELECT event_id, user_id, event_type FROM events
+""",
 }
 
 QUERIES = {
     "stream_hourly_rollup": q_stream_hourly_rollup,
+    "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
 }

@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the 100 TB efficiency gates.
+
+Correctness is the oracle harness's job; these tests pin the *plan shapes*
+that make the same queries viable at cluster scale: filter pushdown reaching
+the parquet scan, column pruning, broadcast of dim tables in the star join,
+whole-stage codegen on hot paths, partial (map-side) aggregation, and
+partition pruning on a partitioned warehouse write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_spotify.registry import QUERIES
+from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.warehouse import read_partitioned, write_partitioned
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = _plan(df)
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in scan_schema
+    assert "l_comment" not in scan_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["etl_fact_star"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every dim side must broadcast
+
+
+def test_rollup_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(QUERIES["agg_rollup_revenue"](spark, sf_dir))
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" in plan  # rollup grouping-sets expansion
+
+
+def test_relational_query_uses_codegen(spark, sf_dir):
+    df = QUERIES["rel_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan; codegen marks appear post-exec
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # "*(n)" marks a WholeStageCodegen stage in simple mode
+    assert "*(" in simple
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    plan = _plan(QUERIES["op_salted_segment_value"](spark, sf_dir))
+    assert "_salt" in plan  # salt participates in the join keys
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, path, ["event_type"])
+    back = read_partitioned(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = _plan(back)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf
+    # pruned read returns exactly the matching rows
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == want
+
+
+def test_partitioned_write_one_file_per_partition(spark, sf_dir, tmp_path):
+    import glob
+
+    path = str(tmp_path / "events_layout")
+    write_partitioned(
+        load_table(spark, sf_dir, "events"), path, ["event_type"]
+    )
+    for d in glob.glob(f"{path}/event_type=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
