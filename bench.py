@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_token_regex",
     "mm_media_decode",
+    "mm_media_resize",
+    "mm_frame_sample",
     "stream_hourly_rollup",
     "stream_sessions",
     "stream_dedup",

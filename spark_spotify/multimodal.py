@@ -79,6 +79,83 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(build_media_table(docs))
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "out_w int, out_h int"
+)
+RESIZE_BOX = 224
+
+
+def resize_media(decoded: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """Aspect-preserving fit-to-box resize plan, Arrow-batched.  The real
+    pixel resample is part of the stubbed codec path; the dimension math is
+    the genuine article (integer, so it reproduces exactly in any engine)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            landscape = w >= h
+            out_w = landscape * box + (~landscape) * (box * w // h)
+            out_h = landscape * (box * h // w) + (~landscape) * box
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                }
+            )
+
+    return decoded.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_feature int"
+FRAME_STRIDE = 4
+
+
+def sample_frames(decoded: DataFrame) -> DataFrame:
+    """Stride frame-sampling for video rows — a row-expanding mapInPandas
+    (1 input row -> ceil(n_frames/stride) frame rows); the per-frame feature
+    is a deterministic hash standing in for the embedding a real extractor
+    would emit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            rows = {"doc_id": [], "frame_no": [], "frame_feature": []}
+            for doc_id, n_frames in zip(vids["doc_id"], vids["n_frames"]):
+                for f in range(0, int(n_frames), FRAME_STRIDE):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(f)
+                    rows["frame_feature"].append(
+                        (int(doc_id) * 31 + f * 7) % 997
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_no": pd.Series(rows["frame_no"], dtype="int32"),
+                    "frame_feature": pd.Series(
+                        rows["frame_feature"], dtype="int32"
+                    ),
+                }
+            )
+
+    return decoded.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(build_media_table(docs)))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_media(build_media_table(docs)))
+
+
 ORACLE = {
     "mm_media_decode": """
 SELECT doc_id,
@@ -91,6 +168,41 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
 FROM documents
 """,
+    "mm_media_resize": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image'
+              WHEN source = 'src1' THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) % 640 + 32 AS INT) AS width,
+         CAST(octet_length(encode(text)) * 7 % 480 + 32 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, media_type, width, height,
+       CAST(CASE WHEN width >= height THEN 224
+                 ELSE 224 * width // height END AS INT) AS out_w,
+       CAST(CASE WHEN width >= height THEN 224 * height // width
+                 ELSE 224 END AS INT) AS out_h
+FROM d
+""",
+    "mm_frame_sample": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image'
+              WHEN source = 'src1' THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_no,
+       CAST((doc_id * 31 + f * 7) % 997 AS INT) AS frame_feature
+FROM d CROSS JOIN generate_series(0, 15, 4) g(f)
+WHERE media_type = 'video' AND f < n_frames
+""",
 }
 
-QUERIES = {"mm_media_decode": q_media_decode}
+QUERIES = {
+    "mm_media_decode": q_media_decode,
+    "mm_media_resize": q_media_resize,
+    "mm_frame_sample": q_frame_sample,
+}
