@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "rel_pricing_summary",
     "rel_star_revenue",
     "rel_top_parts",
+    "rel_customer_setops",
     "text_stats",
     "text_dedup_exact",
     "sim_ann_cosine_topk",

