@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "op_salted_segment_value",
     "ana_segment_split",
     "sim_ann_ivf_topk",
+    "sim_label_cohesion",
     "agg_approx_distinct",
 ]
 

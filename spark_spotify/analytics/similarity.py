@@ -191,6 +191,73 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- label cohesion (embedding-quality profiling) --------------------------
+#
+# Per-label centroid + cosine-to-centroid cohesion — the "are my clusters
+# tight" diagnostic of an embedding pipeline.  Determinism across engines
+# needs care because float sums are order-dependent:
+#   * centroid components: each float is quantized to an integer
+#     round(x * 1e6) first, so the cross-row SUM is exact integer math
+#     (associative, partitioning-independent); one final division returns
+#     to double;
+#   * per-vector cosine: a per-row left-fold over the two arrays (fixed
+#     order, same as DuckDB's list_reduce);
+#   * per-label mean cosine: the 6dp-rounded cosines are summed as exact
+#     decimals (the dsum trick).
+# Scale: one (label, dim)-keyed shuffle for centroids (64 rows per label
+# after map-side partial agg), centroids broadcast back, cohesion is one
+# more label-keyed agg.
+
+Q_SCALE = 1_000_000
+EMB_DIM = 64
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", "label", e.alias("v"), _norm(e).alias("nrm"))
+    dims = base.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    ).withColumn("qx", F.round(F.col("x") * Q_SCALE, 0).cast("bigint"))
+    centd = dims.groupBy("label", "dim").agg(
+        F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    cent = centd.groupBy("label").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (F.col("sq") / (F.col("n") * F.lit(float(Q_SCALE)))).alias(
+                            "c"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    joined = base.join(F.broadcast(cent), "label")
+    cos = F.round(
+        _dot(F.col("v"), F.col("cvec")) / (F.col("nrm") * _norm(F.col("cvec"))),
+        6,
+    )
+    return (
+        joined.select("label", cos.alias("cos_c"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("cos_c").cast("decimal(18,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cohesion"),
+            F.min("cos_c").alias("min_cohesion"),
+            F.max("cos_c").alias("max_cohesion"),
+        )
+    )
+
+
 def _sql_plane(i: int) -> str:
     return (
         f"list_transform(range(64), "
@@ -211,6 +278,39 @@ _SQL_BUCKET = "|| ".join(
 )
 
 ORACLE = {
+    "sim_label_cohesion": f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+dims AS (
+  SELECT label, CAST(r.i AS INT) AS dim,
+         CAST(round(v[CAST(r.i AS INT) + 1] * {Q_SCALE}, 0) AS BIGINT) AS qx
+  FROM base CROSS JOIN range({EMB_DIM}) r(i)
+),
+centd AS (
+  SELECT label, dim, SUM(qx) AS sq, COUNT(*) AS n
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+         list(sq / (n * {Q_SCALE}.0) ORDER BY dim) AS cvec
+  FROM centd GROUP BY label
+),
+scored AS (
+  SELECT b.label,
+         round({_sql_dot('b.v', 'c.cvec')}
+               / (b.nrm * sqrt({_sql_dot('c.cvec', 'c.cvec')})), 6) AS cos_c
+  FROM base b JOIN cent c ON b.label = c.label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(cos_c AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*),
+             6) AS avg_cohesion,
+       MIN(cos_c) AS min_cohesion,
+       MAX(cos_c) AS max_cohesion
+FROM scored GROUP BY label
+""",
     "sim_ann_ivf_topk": f"""
 WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -290,4 +390,5 @@ QUERIES = {
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
+    "sim_label_cohesion": q_label_cohesion,
 }
