@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "ana_value_percentiles",
     "dedup_minhash_near_dups",
     "dedup_simhash_near_dups",
+    "dedup_ngram_jaccard",
+    "ana_monthly_discovery",
     "dedup_emb_cosine",
     "text_fingerprint",
     "text_token_regex",

@@ -270,6 +270,31 @@ def q_weekly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- monthly discovery curve (A9 date_trunc-month grouping track.py:32 /
+#     artist.py:34 + the C7 consecutive-period delta track.py:23-24, as lag)
+
+
+def q_monthly_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _silver(spark, sf_dir).select("user_id", "played_date")
+    firsts = s.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("month", F.min("played_date"))).alias("month")
+    )
+    monthly = firsts.groupBy("month").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "new_users",
+        (F.col("new_users") - F.lag("new_users").over(w)).alias(
+            "delta_new_users"
+        ),
+        F.sum("new_users")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_users"),
+    )
+
+
 # --- pivot day × period (pandas pivot C1, main_page.py:62)
 
 
@@ -396,6 +421,20 @@ FROM events
 GROUP BY user_id
 ORDER BY n_plays DESC, user_id ASC
 LIMIT 10
+""",
+    "ana_monthly_discovery": """
+WITH firsts AS (
+  SELECT user_id,
+         date_trunc('month', MIN(CAST(ts AS DATE))) AS month
+  FROM events GROUP BY user_id
+), monthly AS (
+  SELECT month, COUNT(*) AS new_users FROM firsts GROUP BY month
+)
+SELECT month, new_users,
+       new_users - lag(new_users) OVER (ORDER BY month) AS delta_new_users,
+       SUM(new_users) OVER (ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM monthly
 """,
     "ana_treemap_norm": """
 WITH rng AS (
@@ -539,6 +578,7 @@ QUERIES = {
     "ana_top_users": q_top_users,
     "ana_loyalty": q_loyalty,
     "ana_treemap_norm": q_treemap_norm,
+    "ana_monthly_discovery": q_monthly_discovery,
     "ana_sankey": q_sankey,
     "ana_weekly_delta": q_weekly_delta,
     "ana_pivot_day_period": q_pivot_day_period,

@@ -19,7 +19,11 @@ from spark_spotify.analytics.similarity import (
     _sql_dot,
     bucket_col,
 )
-from spark_spotify.operators.dedup import minhash_near_dups, signatures
+from spark_spotify.operators.dedup import (
+    minhash_near_dups,
+    ngram_jaccard_near_dups,
+    signatures,
+)
 from spark_spotify.operators.simhash import simhash_near_dups
 from spark_spotify.sources.tables import load_table
 
@@ -32,6 +36,10 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_near_dups(load_table(spark, sf_dir, "documents"))
 
 
 def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +206,48 @@ SELECT doc_a, doc_b, simhash_a, simhash_b,
 FROM pairs
 WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
 """,
+    # char-5-gram MinHash LSH + exact n-gram Jaccard (mirrors
+    # operators/dedup.ngram_jaccard_near_dups)
+    "dedup_ngram_jaccard": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(nt, CAST(i AS INT), 5) AS shingle
+  FROM (
+    SELECT doc_id, nt, unnest(range(1, length(nt) - 3)) AS i
+    FROM (SELECT doc_id, lower(trim(text)) AS nt FROM documents)
+  )
+),
+sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, generate_series(0, 11) g(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_val
+  FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 3)
+         AS ngram_jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 3) >= 0.4
+""",
     "dedup_emb_cosine": f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_BUCKET} AS bucket
@@ -218,5 +268,6 @@ QUERIES = {
     "dedup_minhash_signature": q_minhash_signature_sample,
     "dedup_minhash_near_dups": q_minhash_near_dups,
     "dedup_simhash_near_dups": q_simhash_near_dups,
+    "dedup_ngram_jaccard": q_ngram_jaccard_dups,
     "dedup_emb_cosine": q_emb_cosine_dups,
 }

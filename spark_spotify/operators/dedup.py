@@ -53,13 +53,32 @@ def shingle_array(text: Column, w: int = SHINGLE_W) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " "))
 
 
-def signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """doc_id, shingles (distinct set), sig (K-component MinHash as
-    array<string>, md5-order min) — one explode + one partial-aggregated
-    groupBy; docs with fewer than w tokens (no shingles) drop out."""
-    sh = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("text"))).alias("shingle")
+NGRAM_N = 5
+NGRAM_JACCARD_THRESHOLD = 0.4
+
+
+def char_gram_array(text: Column, n: int = NGRAM_N) -> Column:
+    """Rolling character n-grams of the lowercased document as
+    array<string> (empty if the doc is shorter than n chars)."""
+    norm = F.lower(F.trim(text))
+    ln = F.length(norm)
+    idx = F.when(ln >= n, F.sequence(F.lit(0), ln - n)).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, lambda i: F.substr(norm, i + 1, F.lit(n)))
+
+
+def signatures(
+    docs: DataFrame, k: int = N_HASHES, feature: Column | None = None
+) -> DataFrame:
+    """doc_id, shingles (distinct feature set), sig (K-component MinHash as
+    array<string>, md5-order min) — one explode + one partial-aggregated
+    groupBy; docs with no features drop out.  ``feature`` defaults to
+    w-token shingles; pass ``char_gram_array(...)`` for character-n-gram
+    MinHash."""
+    if feature is None:
+        feature = shingle_array(F.col("text"))
+    sh = docs.select("doc_id", F.explode(feature).alias("shingle"))
     agg = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -153,4 +172,96 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
             jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+NGRAM_ROWS_PER_BAND = 4  # band match P = j^4: char-gram baselines run high
+NGRAM_BANDS = N_HASHES // NGRAM_ROWS_PER_BAND
+
+
+def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
+    """Character-n-gram Jaccard near-dup: MinHash-LSH candidates over char
+    5-gram sets — robust to tokenization damage (whitespace loss,
+    concatenation) that breaks token shingles.
+
+    Char grams need a stricter band shape than token shingles: random
+    documents already share many common 5-grams (' the ', 'tion '), so
+    2-row bands admit corpus-quadratic candidates (measured 1.4M pairs on
+    5k docs).  4-row bands (match P = j^4) keep candidates output-sized.
+    Signatures are plain MIN aggregates — no gram-set collection; the exact
+    Jaccard joins the per-doc distinct gram rows only for surviving
+    candidate pairs, so the wide data never shuffles."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_gram_array(F.col("text")))).alias(
+            "g"
+        ),
+    ).persist()
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))).alias(
+                f"mh{seed}"
+            )
+            for seed in range(N_HASHES)
+        ]
+    )
+    r = NGRAM_ROWS_PER_BAND
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[f"mh{b * r + i}" for i in range(r)]
+                    )
+                    for b in range(NGRAM_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    inter = (
+        pairs.join(
+            grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("doc_b"), "g"),
+            ["doc_b", "g"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        3,
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_g").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jaccard.alias("ngram_jaccard"))
+        .filter(F.col("ngram_jaccard") >= NGRAM_JACCARD_THRESHOLD)
     )
