@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "sim_ann_ivf_topk",
     "sim_label_cohesion",
     "agg_approx_distinct",
+    "curate_split_assign",
+    "curate_stratified_sample",
+    "curate_ngram_topk",
+    "rel_value_range_join",
+    "ana_rolling_value_7d",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, corpus n-gram statistics.
+
+The dataset-assembly side of a training-data pipeline (companion to
+``textops``/``neardup``): assign every document to train/val/test with a
+content-independent hash so the split is reproducible across engines and
+cluster layouts, downsample over-represented strata (languages) with the same
+hash family, and surface the per-language top bigrams that vocabulary /
+contamination analyses start from.
+
+Scale: all three are shuffle-minimal. Split/sample are pure scan work (a
+per-row md5 + string compare — no shuffle at all, any parallelism gives the
+identical assignment, which is the whole point of hash-based splits vs
+``rand()``). The n-gram top-k explodes to (lang, bigram) and relies on
+map-side partial aggregation to collapse the heavy hitters before the
+shuffle; the final per-lang top-5 is a window over the already-aggregated
+counts (O(distinct bigrams), not O(tokens)).
+
+Reference anchor: the reference has no curation layer (its "sampling" is the
+Spotify API's 50-row cap, curl_spotify_tracker.py:417); these extend the
+documents-table family mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_spotify.sources.tables import load_table
+
+# Split fractions are expressed as hex prefixes of md5: the first two hex
+# chars are uniform over 00..ff (256 buckets); lexicographic compare on the
+# hex string is identical in Spark and DuckDB, so no hex->int parsing is
+# needed anywhere.
+TRAIN_HI = "cc"  # 204/256 = 79.7% train
+VAL_HI = "e6"  # 230/256 -> 10.2% val, 10.2% test
+
+# Per-language keep thresholds for the stratified sample: downsample the
+# over-represented language, keep the tail languages whole.
+STRATA_HI = {"en": "55", "zh": "ff", "de": "ff", "es": "ff", "fr": "ff"}
+DEFAULT_HI = "80"
+
+NGRAM_TOP_K = 5
+
+
+def _bucket(seed: str, key: F.Column) -> F.Column:
+    """Uniform 256-way bucket id: first 2 hex chars of md5(seed || key)."""
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 2)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket (80/10/10).
+
+    Keyed on doc_id only — re-running on a grown corpus never moves an
+    existing document between splits, the property that keeps eval sets
+    uncontaminated across dataset versions."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket("split:", F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_HI, "train").when(b < VAL_HI, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        b.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff its hash
+    bucket clears the language's threshold (en keeps 85/256 ~ 33%, the rest
+    keep everything). Hash-based, so the sample is stable under reruns and
+    independent of partitioning — unlike ``df.sample()``."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket("sample:", F.col("doc_id"))
+    hi = F.lit(DEFAULT_HI)
+    for lang, thresh in STRATA_HI.items():
+        hi = F.when(F.col("lang") == lang, thresh).otherwise(hi)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", b.alias("bucket"))
+        .filter(F.col("bucket") < hi)
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language (count desc, bigram asc tiebreak).
+
+    Bigrams are built per-row with array expressions (no self-join), exploded
+    once, and partially aggregated map-side; the window runs over per-lang
+    distinct-bigram counts only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("bigram")
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_TOP_K)
+        .select("lang", "rank", "bigram", "n_occurrences")
+    )
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{hi}'"
+        for lang, hi in STRATA_HI.items()
+    )
+    return f"CASE {arms} ELSE '{DEFAULT_HI}' END"
+
+
+ORACLE = {
+    "curate_split_assign": f"""
+SELECT doc_id, lang, source,
+       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 < '{TRAIN_HI}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 < '{VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    "curate_stratified_sample": f"""
+SELECT doc_id, lang, source, n_chars,
+       substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      < ({_strata_case_sql()})
+""",
+    "curate_ngram_topk": f"""
+WITH t AS (
+  SELECT lang, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), b AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+), c AS (
+  SELECT lang, bigram, COUNT(*) AS n_occurrences
+  FROM b GROUP BY lang, bigram
+)
+SELECT lang, CAST(rank AS INT) AS rank, bigram, n_occurrences
+FROM (
+  SELECT lang, bigram, n_occurrences,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_occurrences DESC, bigram ASC) AS rank
+  FROM c
+)
+WHERE rank <= {NGRAM_TOP_K}
+""",
+}
+
+QUERIES = {
+    "curate_split_assign": q_split_assign,
+    "curate_stratified_sample": q_stratified_sample,
+    "curate_ngram_topk": q_ngram_topk,
+}

@@ -381,7 +381,75 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(old, new, ["user_id", "event_type"])
 
 
+ROLL_DAYS = 7
+
+
+def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue over the daily rollup: RANGE-frame window
+    (``rangeBetween`` on a day ordinal, so calendar gaps count as missing
+    days rather than missing rows — a ROWS frame would silently widen the
+    window across gaps).
+
+    Scale: the expensive part is the groupBy(day) pre-aggregation, which is
+    map-side combinable and shuffles one row per day; the unpartitioned
+    window then runs over O(days) rows — thousands, not billions — so the
+    single-partition window stage is trivially cheap at any corpus size.
+    Rolling sums accumulate exact decimals (functions/agg.py) so the result
+    is independent of both partitioning and frame evaluation order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(dec(F.col("value"))).alias("_dsum"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    day_ord = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.orderBy(day_ord)
+        .rangeBetween(-(ROLL_DAYS - 1), Window.currentRow)
+    )
+    return (
+        daily.withColumn("rolling_value", F.sum("_dsum").over(w))
+        .withColumn("rolling_days", F.count(F.lit(1)).over(w))
+        .select(
+            "day",
+            "n_events",
+            F.col("_dsum").cast("double").alias("day_value"),
+            F.col("rolling_value").cast("double").alias("rolling_value"),
+            F.col("rolling_days").cast("int").alias("rolling_days"),
+            F.round(
+                F.col("rolling_value").cast("double") / F.col("rolling_days"),
+                4,
+            ).alias("rolling_daily_avg"),
+        )
+    )
+
+
 ORACLE = {
+    "ana_rolling_value_7d": f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS dsum,
+         COUNT(*) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+), r AS (
+  SELECT day, n_events, dsum,
+         SUM(dsum) OVER (
+           ORDER BY datediff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+           AS rolling_value,
+         COUNT(*) OVER (
+           ORDER BY datediff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+           AS rolling_days
+  FROM daily
+)
+SELECT day, n_events,
+       CAST(dsum AS DOUBLE) AS day_value,
+       CAST(rolling_value AS DOUBLE) AS rolling_value,
+       CAST(rolling_days AS INT) AS rolling_days,
+       round(CAST(rolling_value AS DOUBLE) / rolling_days, 4)
+         AS rolling_daily_avg
+FROM r
+""",
     "ana_heatmap": f"""
 WITH grid AS (
   SELECT CAST(gs AS DATE) AS played_date, h AS played_hour
@@ -573,6 +641,7 @@ WHERE NOT EXISTS (SELECT 1 FROM snap_new n
 }
 
 QUERIES = {
+    "ana_rolling_value_7d": q_rolling_value_7d,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,
     "ana_top_users": q_top_users,

@@ -219,7 +219,59 @@ def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VALUE_TIERS = [
+    ("t1_low", 0.0, 20.0),
+    ("t2_mid", 20.0, 50.0),
+    ("t3_high", 50.0, 100.0),
+    ("t4_whale", 100.0, 1e9),
+]
+
+
+def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (beyond the reference — SURVEY.md §2.3 notes it has
+    none): each event banded into a value tier via ``lo <= value < hi``.
+
+    The tier table is a handful of rows, so the broadcast hint turns what
+    would be a cartesian nested-loop into a BroadcastNestedLoopJoin — per-row
+    work is a couple of comparisons against an in-memory table, no shuffle of
+    the fact side at any scale.  (With a monotonic tier table this could also
+    be a CASE expression; kept as a join because the tier list is data, not
+    code, in a real pipeline.)"""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        VALUE_TIERS, "tier string, lo double, hi double"
+    )
+    j = ev.join(
+        F.broadcast(tiers),
+        (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        "inner",
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_TIER_VALUES_SQL = ", ".join(
+    f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS
+)
+
+
 ORACLE = {
+    "rel_value_range_join": f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES_SQL})
+SELECT t.tier,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MIN(e.value) AS min_value,
+       MAX(e.value) AS max_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
     "rel_customer_setops": f"""
 WITH high AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal > {HIGH_BAL}
@@ -328,4 +380,5 @@ QUERIES = {
     "rel_segment_stats": q_segment_stats,
     "rel_top_parts": q_top_parts,
     "rel_customer_setops": q_customer_setops,
+    "rel_value_range_join": q_value_range_join,
 }

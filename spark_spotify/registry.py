@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_spotify import multimodal
 from spark_spotify.analytics import (
     advanced,
+    curation,
     listening,
     neardup,
     relational,
@@ -26,6 +27,7 @@ from spark_spotify.etl import dims, fact, silver, stats
 from spark_spotify.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
+    curation,
     silver,
     dims,
     fact,
