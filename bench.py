@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "curate_ngram_topk",
     "rel_value_range_join",
     "ana_rolling_value_7d",
+    "dedup_cluster_assign",
+    "stream_user_profile",
+    "ana_props_json",
+    "etl_scd2_user_state",
 ]
 
 

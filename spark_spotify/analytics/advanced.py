@@ -16,7 +16,7 @@ language-ID heuristic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_spotify.functions.agg import dec, dsum
@@ -133,7 +133,86 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD2 history build ---------------------------------------------------
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream: each
+    event closes the user's previous state row and opens a new one
+    (valid_from = event time, valid_to = next event time, open-ended row =
+    current). The reference's dims only upsert-in-place (last_updated,
+    daily_etl_pipeline.py:322-324); SCD2 is the warehouse pattern that keeps
+    the history those upserts destroy.
+
+    One window over (user_id, ts) — shuffle on user_id only; at 100 TB this
+    is the standard date-partition + key-cluster layout and the window stays
+    partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_type",
+        "value",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# --- JSON payload profiling (F14) ----------------------------------------
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing (SURVEY.md F14 — the reference json.loads's full
+    API payloads, curl_spotify_tracker.py:200): ``from_json`` with an
+    explicit schema (the typed, codegen'd path — never schema inference on
+    the hot path), then per-event-type profile of the extracted field.
+
+    At 100 TB the parse happens scan-side and prunes to the one referenced
+    key; semi-structured payload columns stay strings in storage."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 ORACLE = {
+    "etl_scd2_user_state": """
+SELECT user_id,
+       CAST(row_number() OVER w AS INT) AS version,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       event_type,
+       value,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "ana_props_json": """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM p GROUP BY event_type
+""",
     "op_asof_purchase": """
 SELECT event_id, user_id, ts, event_type,
        MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
@@ -206,4 +285,6 @@ QUERIES = {
     "ana_behavior_radar": q_behavior_radar,
     "ana_value_percentiles": q_value_percentiles,
     "text_lang_id": q_lang_id,
+    "ana_props_json": q_props_json,
+    "etl_scd2_user_state": q_scd2_user_state,
 }

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import fan_out, load_table
 
 # Split fractions are expressed as hex prefixes of md5: the first two hex
 # chars are uniform over 00..ff (256 buckets); lexicographic compare on the
@@ -105,7 +105,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("n_occurrences"), F.asc("bigram")
     )
     return (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        fan_out(d).select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .withColumn("rank", F.row_number().over(w))

@@ -19,6 +19,7 @@ from spark_spotify.analytics.similarity import (
     _sql_dot,
     bucket_col,
 )
+from spark_spotify.operators.components import cluster_assign
 from spark_spotify.operators.dedup import (
     minhash_near_dups,
     ngram_jaccard_near_dups,
@@ -77,6 +78,26 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= EMB_COSINE_THRESHOLD)
+    )
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    embedding-cosine near-dup pair graph (operators/components.py), one row
+    per vector with its cluster id, cluster size, and keeper flag — the
+    final "which rows survive dedup" verdict a training pipeline consumes.
+
+    Oracle: DuckDB recursive CTE computes the same transitive closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = q_emb_cosine_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return cluster_assign(nodes, edges).select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_keeper",
     )
 
 
@@ -248,6 +269,37 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 3) >= 0.4
 """,
+    "dedup_cluster_assign": f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_BUCKET} AS bucket
+  FROM embeddings
+),
+e0 AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round({_sql_dot('a.e', 'c.e')}
+              / (sqrt({_sql_dot('a.e', 'a.e')})
+                 * sqrt({_sql_dot('c.e', 'c.e')})), 6)
+        >= {EMB_COSINE_THRESHOLD}
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+sz AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT l.node AS vec_id, l.cluster_id, s.cluster_size,
+       l.node = l.cluster_id AS is_keeper
+FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+""",
     "dedup_emb_cosine": f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_BUCKET} AS bucket
@@ -270,4 +322,5 @@ QUERIES = {
     "dedup_simhash_near_dups": q_simhash_near_dups,
     "dedup_ngram_jaccard": q_ngram_jaccard_dups,
     "dedup_emb_cosine": q_emb_cosine_dups,
+    "dedup_cluster_assign": q_cluster_assign,
 }

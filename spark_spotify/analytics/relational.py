@@ -238,9 +238,22 @@ def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     be a CASE expression; kept as a join because the tier list is data, not
     code, in a real pipeline.)"""
     ev = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        VALUE_TIERS, "tier string, lo double, hi double"
-    )
+    # literal LocalRelation (not createDataFrame) so the tier table never
+    # takes the Python-RDD conversion path — it folds straight into the plan
+    tiers = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tier"),
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                    )
+                    for t, lo, hi in VALUE_TIERS
+                ]
+            )
+        ).alias("t")
+    ).select("t.*")
     j = ev.join(
         F.broadcast(tiers),
         (ev.value >= tiers.lo) & (ev.value < tiers.hi),

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_spotify.sources.tables import fan_out
+
 N_HASHES = 12
 SHINGLE_W = 3
 N_BANDS = N_HASHES // 2
@@ -78,7 +80,7 @@ def signatures(
     MinHash."""
     if feature is None:
         feature = shingle_array(F.col("text"))
-    sh = docs.select("doc_id", F.explode(feature).alias("shingle"))
+    sh = fan_out(docs).select("doc_id", F.explode(feature).alias("shingle"))
     agg = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -191,12 +193,14 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     Signatures are plain MIN aggregates — no gram-set collection; the exact
     Jaccard joins the per-doc distinct gram rows only for surviving
     candidate pairs, so the wide data never shuffles."""
-    grams = docs.select(
+    grams = fan_out(docs).select(
         "doc_id",
         F.explode(F.array_distinct(char_gram_array(F.col("text")))).alias(
             "g"
         ),
     ).persist()
+    # sig is persisted because the band self-join consumes it twice (both
+    # aliases) — without it the whole gram->min aggregation runs once per side
     sig = grams.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))).alias(
@@ -204,7 +208,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
             )
             for seed in range(N_HASHES)
         ]
-    )
+    ).persist()
     r = NGRAM_ROWS_PER_BAND
     bands = sig.select(
         "doc_id",

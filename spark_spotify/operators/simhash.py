@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_spotify.sources.tables import fan_out
+
 N_BITS = 32
 N_BANDS = 4  # 8 bits per band -> catches all pairs with hamming <= 3
 BAND_WIDTH = N_BITS // N_BANDS
@@ -47,7 +49,7 @@ HAMMING_MAX = 3
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> 32-bit SimHash (bigint) of whitespace tokens."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
     )

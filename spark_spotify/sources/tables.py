@@ -49,6 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_partitions: int = 32) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row work (shingling,
+    hashing, gram explosion).
+
+    Small dimension-sized tables arrive as a single parquet row group — one
+    input partition — so without this every downstream per-row expression
+    runs on one core no matter how wide the cluster is.  The repartition
+    shuffles only the *input* rows (cheap), not the exploded output.  At
+    100 TB inputs already arrive in thousands of file splits and this becomes
+    a no-op: we only widen, never coalesce."""
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so Spark SQL text queries can run
     against the same catalog names the DuckDB oracle uses."""

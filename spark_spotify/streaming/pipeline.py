@@ -173,9 +173,112 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+USER_PROFILE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+USER_PROFILE_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("max_cents", T.LongType()),
+    ]
+)
+
+
+def _user_profile_fn(key, pdf_iter, state):
+    """Arbitrary-stateful per-user profile: accumulate exact integer cents
+    (values carry <=2dp, so round(value*100) is lossless) — integer sums are
+    associative and batch-order-independent, which is what lets a stateful
+    Python operator hash-match a relational oracle."""
+    import pandas as pd
+
+    if state.exists:
+        n, cents, first_us, last_us, max_cents = state.get
+    else:
+        n, cents, first_us, last_us, max_cents = 0, 0, None, None, None
+    for pdf in pdf_iter:
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        ev_cents = pdf["value"].mul(100).round().astype("int64")
+        n += len(pdf)
+        cents += int(ev_cents.sum())
+        b_first, b_last = int(ts_us.min()), int(ts_us.max())
+        b_max = int(ev_cents.max())
+        first_us = b_first if first_us is None else min(first_us, b_first)
+        last_us = b_last if last_us is None else max(last_us, b_last)
+        max_cents = b_max if max_cents is None else max(max_cents, b_max)
+    state.update((n, cents, first_us, last_us, max_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "first_ts": [pd.to_datetime(first_us, unit="us")],
+            "last_ts": [pd.to_datetime(last_us, unit="us")],
+            "max_value": [max_cents / 100.0],
+        }
+    )
+
+
+def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10 — the surface for operators Spark's built-in windows
+    can't express): per-user running profile held as typed group state,
+    updated per micro-batch through an Arrow-batched pandas function.
+
+    State is five integers per user — bounded by user cardinality, not event
+    volume; at 100 TB the state store shards by the groupBy key across
+    executors.  A bounded availableNow run over the single-file source is
+    one micro-batch, so the emitted snapshot equals the per-user aggregate
+    and the relational oracle can gate it exactly (integer-cent arithmetic,
+    no float accumulation order anywhere)."""
+    src = read_event_stream(spark, sf_dir)
+    profiled = (
+        src.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_profile_fn,
+            outputStructType=USER_PROFILE_OUT,
+            stateStructType=USER_PROFILE_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    name = f"profile_{uuid.uuid4().hex[:12]}"
+    q = (
+        profiled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
+    "stream_user_profile": """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events GROUP BY user_id
+""",
     "stream_hourly_rollup": """
 WITH m AS (
   SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
@@ -227,4 +330,5 @@ QUERIES = {
     "stream_hourly_rollup": q_stream_hourly_rollup,
     "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
+    "stream_user_profile": q_stream_user_profile,
 }

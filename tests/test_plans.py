@@ -69,6 +69,30 @@ def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
     assert "_salt" in plan  # salt participates in the join keys
 
 
+def test_range_join_broadcasts_tier_table(spark, sf_dir):
+    plan = _plan(QUERIES["rel_value_range_join"](spark, sf_dir))
+    # non-equi join against the tiny tier table must be a broadcast nested
+    # loop (no shuffle of the fact side), built from a literal LocalRelation
+    # (never the Python-RDD conversion path)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ExistingRDD" not in plan
+
+
+def test_curation_split_is_scan_only(spark, sf_dir):
+    plan = _plan(QUERIES["curate_split_assign"](spark, sf_dir))
+    # hash-split assignment must stay shuffle-free: pure per-row scan work
+    assert "Exchange" not in plan
+
+
+def test_rolling_window_preaggregates_by_day(spark, sf_dir):
+    plan = _plan(QUERIES["ana_rolling_value_7d"](spark, sf_dir))
+    # the unpartitioned RANGE window must consume the daily pre-aggregate
+    # (the formatted tree prints parents first, so Window appears above the
+    # HashAggregate it reads from), never raw events
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "events_by_type")
     ev = load_table(spark, sf_dir, "events")
