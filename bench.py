@@ -2,9 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}}.
 
-Each query is executed to completion with a cheap full-materialization action
-(count of the result) — results are small aggregates, so timing is dominated
-by the actual scan/shuffle work, not driver collection.
+Each query is materialized with a ``noop``-format write: every output column
+is fully computed (a bare ``count()`` would let Catalyst prune projection-only
+work out of the timed region) but nothing is collected to the driver or
+written to disk.  The cache is cleared between queries so each timing is
+cold-cache and independent of suite order.
 """
 
 from __future__ import annotations
@@ -70,6 +72,10 @@ BENCH_QUERIES = [
     "stream_user_profile",
     "ana_props_json",
     "etl_scd2_user_state",
+    "rel_click_purchase_full",
+    "agg_grouping_sets_sales",
+    "ana_user_value_deciles",
+    "curate_keep_canonical",
 ]
 
 
@@ -85,8 +91,9 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -159,6 +159,39 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+# --- user value deciles ---------------------------------------------------
+
+
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation: per-user lifetime value -> 10 equal-count
+    buckets -> per-decile profile (the "whale curve" a monetization team
+    reads).  Covers the ntile window family (§2.5 — absent from the
+    reference, which bucket-cases by hand, P9).
+
+    The global ntile sorts USER-level rows (post-aggregation), not events —
+    the single-partition sort touches cardinality(users) rows only.  At
+    100 TB-of-events scale that's still the right shape; if user cardinality
+    itself explodes, the scale path is approx-quantile cutpoints + a
+    broadcast range join (the rel_value_range_join pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        dsum(F.col("value")).alias("user_value"),
+        F.count(F.lit(1)).alias("user_events"),
+    )
+    w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("user_value"), 2).alias("decile_value"),
+            F.round(F.min("user_value"), 2).alias("min_user_value"),
+            F.round(F.max("user_value"), 2).alias("max_user_value"),
+            F.sum("user_events").alias("n_events"),
+        )
+    )
+
+
 # --- JSON payload profiling (F14) ----------------------------------------
 
 
@@ -187,6 +220,25 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "ana_user_value_deciles": """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS user_value,
+         COUNT(*) AS user_events
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT *, NTILE(10) OVER (ORDER BY user_value DESC, user_id) AS decile
+  FROM per_user
+)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_users,
+       round(SUM(user_value), 2) AS decile_value,
+       round(MIN(user_value), 2) AS min_user_value,
+       round(MAX(user_value), 2) AS max_user_value,
+       SUM(user_events) AS n_events
+FROM d GROUP BY decile
+""",
     "etl_scd2_user_state": """
 SELECT user_id,
        CAST(row_number() OVER w AS INT) AS version,
@@ -287,4 +339,5 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "ana_props_json": q_props_json,
     "etl_scd2_user_state": q_scd2_user_state,
+    "ana_user_value_deciles": q_user_value_deciles,
 }

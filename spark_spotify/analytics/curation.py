@@ -114,6 +114,36 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate group
+    (md5 of normalized text), elect the canonical copy by quality
+    (longest n_chars, doc_id tiebreak) and point every duplicate at it —
+    the rewrite step a training pipeline runs after dedup detection.
+    Covers the first_value window family.
+
+    Both windows share one partitioning (fingerprint), so the plan is a
+    single hash-shuffle + one sort; at 100 TB the fingerprint is uniform
+    (md5) so the shuffle has zero skew."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    wp = Window.partitionBy("fingerprint")
+    wo = wp.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("canonical_doc_id", F.first("doc_id").over(wo))
+        .withColumn("group_size", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .select(
+            "doc_id",
+            "fingerprint",
+            "group_size",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 def _strata_case_sql() -> str:
     arms = " ".join(
         f"WHEN lang = '{lang}' THEN '{hi}'"
@@ -139,6 +169,18 @@ SELECT doc_id, lang, source, n_chars,
 FROM documents
 WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
       < ({_strata_case_sql()})
+""",
+    "curate_keep_canonical": """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS group_size,
+       FIRST_VALUE(doc_id) OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY n_chars DESC, doc_id ASC)
+           AS canonical_doc_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+           PARTITION BY md5(lower(trim(text)))
+           ORDER BY n_chars DESC, doc_id ASC) AS is_canonical
+FROM documents
 """,
     "curate_ngram_topk": f"""
 WITH t AS (
@@ -168,4 +210,5 @@ QUERIES = {
     "curate_split_assign": q_split_assign,
     "curate_stratified_sample": q_stratified_sample,
     "curate_ngram_topk": q_ngram_topk,
+    "curate_keep_canonical": q_keep_canonical,
 }

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.functions.agg import dec, dsum, money_expr
+from spark_spotify.functions.agg import SQL_DSUM, dec, dsum, money_expr
 from spark_spotify.sources.tables import load_table
 
 _SQL_MONEY = (
@@ -268,12 +268,72 @@ def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one outer-join shape the reference never uses —
+    SURVEY.md §2.3 stops at LEFT): per-user click activity vs purchase
+    activity, keeping users present on either side only.
+
+    Both sides are pre-aggregated to one row per user before the join, so
+    the full-outer shuffle carries user-level rows, not events; both sides
+    arrive hash-partitioned on user_id from their own aggregation, so AQE
+    reuses the partitioning and the join adds no extra exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value")).alias("purchase_value"),
+        )
+    )
+    presence = (
+        F.when(
+            F.col("n_clicks").isNotNull()
+            & F.col("n_purchases").isNotNull(),
+            "both",
+        )
+        .when(F.col("n_clicks").isNotNull(), "click_only")
+        .otherwise("purchase_only")
+    )
+    return clicks.join(buys, "user_id", "full_outer").select(
+        "user_id",
+        presence.alias("presence"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
 _TIER_VALUES_SQL = ", ".join(
     f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS
 )
 
 
 ORACLE = {
+    "rel_click_purchase_full": f"""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         {SQL_DSUM.format(x='value')} AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+            WHEN c.user_id IS NOT NULL THEN 'click_only'
+            ELSE 'purchase_only' END AS presence,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(purchase_value, 0.0) AS purchase_value
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""",
     "rel_value_range_join": f"""
 WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES_SQL})
 SELECT t.tier,
@@ -394,4 +454,5 @@ QUERIES = {
     "rel_top_parts": q_top_parts,
     "rel_customer_setops": q_customer_setops,
     "rel_value_range_join": q_value_range_join,
+    "rel_click_purchase_full": q_click_purchase_full,
 }

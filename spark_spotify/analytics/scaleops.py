@@ -94,6 +94,31 @@ def q_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — ((segment, status), (status), ()) —
+    a shape ROLLUP cannot express (the (status)-only subtotal crosses the
+    hierarchy).  One pass, one Expand + shuffle, vs three separate
+    aggregation jobs; grouping_id tags which set each row belongs to."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return (
+        joined.groupingSets(
+            [["c_mktsegment", "o_orderstatus"], ["o_orderstatus"], []],
+            "c_mktsegment",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().cast("int").alias("grp_id"),
+        )
+        .select(
+            "c_mktsegment", "o_orderstatus", "grp_id", "n_orders", "revenue"
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs approximate distinct users per event type.  At 100 TB
     COUNT(DISTINCT) is a full shuffle of the distinct keys;
@@ -126,6 +151,14 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """,
+    "agg_grouping_sets_sales": f"""
+SELECT c_mktsegment, o_orderstatus,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS INT) AS grp_id,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x='o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (o_orderstatus), ())
+""",
     "ana_segment_split": f"""
 SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
        COUNT(*) AS n_events,
@@ -141,6 +174,7 @@ GROUP BY COALESCE(c_mktsegment, 'UNKNOWN')
 
 QUERIES = {
     "agg_rollup_revenue": q_rollup_revenue,
+    "agg_grouping_sets_sales": q_grouping_sets_sales,
     "op_salted_segment_value": q_salted_segment_value,
     "ana_segment_split": q_segment_split,
     "agg_approx_distinct": q_approx_distinct,

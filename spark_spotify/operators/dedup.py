@@ -190,22 +190,25 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     documents already share many common 5-grams (' the ', 'tion '), so
     2-row bands admit corpus-quadratic candidates (measured 1.4M pairs on
     5k docs).  4-row bands (match P = j^4) keep candidates output-sized.
-    Signatures are plain MIN aggregates — no gram-set collection; the exact
-    Jaccard joins the per-doc distinct gram rows only for surviving
-    candidate pairs, so the wide data never shuffles."""
+
+    Gram rows are exploded WITH duplicates — a duplicate gram can't change a
+    MIN, and per-row ``array_distinct`` is quadratic in doc length (measured
+    3.3 s of a 4.5 s explode at sf0.1).  Dedup to distinct (doc, gram) rows
+    happens only for candidate docs, after a semi-join against the (tiny)
+    candidate-pair set — the full-corpus gram relation is never shuffled.
+    Signature hashing is ``xxhash64`` (bigint min, codegen'd) rather than
+    md5 strings: the signature is internal candidate-generation state, never
+    emitted, so the exact-Jaccard verify keeps the output oracle-exact
+    regardless of hash choice."""
     grams = fan_out(docs).select(
         "doc_id",
-        F.explode(F.array_distinct(char_gram_array(F.col("text")))).alias(
-            "g"
-        ),
+        F.explode(char_gram_array(F.col("text"))).alias("g"),
     ).persist()
     # sig is persisted because the band self-join consumes it twice (both
     # aliases) — without it the whole gram->min aggregation runs once per side
     sig = grams.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))).alias(
-                f"mh{seed}"
-            )
+            F.min(F.xxhash64(F.lit(seed), F.col("g"))).alias(f"mh{seed}")
             for seed in range(N_HASHES)
         ]
     ).persist()
@@ -215,9 +218,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "|", *[f"mh{b * r + i}" for i in range(r)]
-                    )
+                    F.xxhash64(*[f"mh{b * r + i}" for i in range(r)])
                     for b in range(NGRAM_BANDS)
                 ]
             )
@@ -236,13 +237,23 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cgrams = (
+        grams.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .dropDuplicates(["doc_id", "g"])
+        .persist()
+    )
+    sizes = cgrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     inter = (
         pairs.join(
-            grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a"
+            cgrams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a"
         )
         .join(
-            grams.select(F.col("doc_id").alias("doc_b"), "g"),
+            cgrams.select(F.col("doc_id").alias("doc_b"), "g"),
             ["doc_b", "g"],
         )
         .groupBy("doc_a", "doc_b")
