@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from spark_spotify.analytics.similarity import (
     _SQL_BUCKET,
+    E_SQL,
     _dot,
     _norm,
     _sql_dot,
@@ -53,19 +54,16 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned join with no corpus-sized shuffle and no O(N²) stage.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
     # norms precomputed per row (scan-side), so the per-pair work after the
     # bucket join is a single dot product
     b = emb.select(
         "vec_id",
-        e.alias("emb"),
-        _norm(e).alias("nrm"),
-        bucket_col(e).alias("bucket"),
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
+        bucket_col(E_SQL).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
+    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             c,

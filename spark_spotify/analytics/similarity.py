@@ -27,19 +27,33 @@ ANCHOR_ID = 0
 TOP_K = 10
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+EMB_DIM = 64
+
+# SQL fragment for the scan-side array<float> -> array<double> view
+E_SQL = "cast(embedding as array<double>)"
+
+
+def _dot(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    """Left-associated unrolled dot product over fixed-width vectors,
+    built as ONE SQL string -> one py4j call.
+
+    Two pitfalls this dodges, both measured on the bench: Spark's array
+    higher-order functions (``zip_with``/``aggregate``) are interpreted,
+    not whole-stage-codegen'd (~6× slower than unrolled arithmetic); and
+    composing the unrolled chain from PySpark Column operators costs ~190
+    py4j round-trips per dot (~5 s of driver time per query).  Addition
+    order is exactly the oracle's left fold from 0.0 (IEEE: 0.0 + x0 ==
+    x0), so the 64-bit result is bit-identical to DuckDB's
+    ``list_reduce``.  ``a``/``b`` are SQL fragments naming array<double>
+    columns (0-indexed with [] in Spark SQL)."""
+    return F.expr(
+        " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: str, dim: int = EMB_DIM) -> Column:
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
+        F.expr(" + ".join(f"({a}[{i}] * {a}[{i}])" for i in range(dim)))
     )
 
 
@@ -48,9 +62,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k of ``emb`` rows against a 1-row ``anchor`` DataFrame
     with column ``q`` (array<double>)."""
-    e = F.col("embedding").cast("array<double>")
     joined = emb.crossJoin(F.broadcast(anchor))
-    cos = _dot(e, F.col("q")) / (_norm(e) * _norm(F.col("q")))
+    cos = _dot(E_SQL, "q") / (_norm(E_SQL) * _norm("q"))
     return (
         joined.select(
             "vec_id",
@@ -66,7 +79,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     anchor = (
         emb.filter(F.col("vec_id") == ANCHOR_ID)
-        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .select(F.expr(E_SQL).alias("q"))
     )
     others = emb.filter(F.col("vec_id") != ANCHOR_ID)
     return cosine_topk(others, anchor, TOP_K)
@@ -85,16 +98,22 @@ N_PLANES = 6
 LSH_TOP_K = 5
 
 
-def _plane(i: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: ((F.lit(31 * i) + F.lit(17) * j) % 7 - 3).cast("double"),
+def _plane_dot(e: str, i: int) -> Column:
+    """Dot with hyperplane i, whose components are compile-time constants —
+    the products fold into codegen'd literal multiplies.  Zero-coefficient
+    terms are kept so the addition sequence matches the oracle's fold
+    bit-for-bit."""
+    return F.expr(
+        " + ".join(
+            f"({e}[{j}] * {float((31 * i + 17 * j) % 7 - 3)}D)"
+            for j in range(EMB_DIM)
+        )
     )
 
 
-def bucket_col(e: Column) -> Column:
+def bucket_col(e: str) -> Column:
     bits = [
-        F.when(_dot(e, _plane(i)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_plane_dot(e, i) > 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(N_PLANES)
     ]
     return F.concat(*bits)
@@ -102,9 +121,11 @@ def bucket_col(e: Column) -> Column:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
     with_bucket = emb.select(
-        "vec_id", "label", e.alias("emb"), bucket_col(e).alias("bucket")
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        bucket_col(E_SQL).alias("bucket"),
     )
     anchor = (
         with_bucket.filter(F.col("vec_id") == ANCHOR_ID)
@@ -115,9 +136,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") == F.col("q_bucket"),
         "inner",
     )
-    cos = _dot(F.col("emb"), F.col("q")) / (
-        _norm(F.col("emb")) * _norm(F.col("q"))
-    )
+    cos = _dot("emb", "q") / (_norm("emb") * _norm("q"))
     return (
         cand.select(
             "vec_id",
@@ -148,18 +167,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
     vecs = emb.select(
-        "vec_id", "label", e.alias("emb"), _norm(e).alias("nrm")
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
     )
     cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    cos_c = _dot(F.col("emb"), F.col("cvec")) / (
-        F.col("nrm") * F.col("cnrm")
-    )
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("cent_id")
     )
@@ -178,7 +197,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cells.filter(F.col("vec_id") != ANCHOR_ID).join(
         F.broadcast(anchor), F.col("cell") == F.col("qcell"), "inner"
     )
-    cos = _dot(F.col("emb"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
     return (
         cand.select(
             "vec_id",
@@ -209,13 +228,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more label-keyed agg.
 
 Q_SCALE = 1_000_000
-EMB_DIM = 64
 
 
 def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
-    base = emb.select("vec_id", "label", e.alias("v"), _norm(e).alias("nrm"))
+    base = emb.select(
+        "vec_id", "label", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+    )
     dims = base.select(
         "label", F.posexplode("v").alias("dim", "x")
     ).withColumn("qx", F.round(F.col("x") * Q_SCALE, 0).cast("bigint"))
@@ -239,7 +258,7 @@ def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = base.join(F.broadcast(cent), "label")
     cos = F.round(
-        _dot(F.col("v"), F.col("cvec")) / (F.col("nrm") * _norm(F.col("cvec"))),
+        _dot("v", "cvec") / (F.col("nrm") * _norm("cvec")),
         6,
     )
     return (

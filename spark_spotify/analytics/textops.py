@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import fan_out, load_table
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -115,7 +115,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan work; downstream containment joins key on the (uniform) fingerprint
     hash.  Docs shorter than K+W-1 chars have no full window and are
     filtered (both engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.col("text")))
     grams = F.transform(
         F.sequence(F.lit(0), F.length(norm) - FP_K),

@@ -3,22 +3,25 @@ pipeline.
 
 Near-dup detection (MinHash / SimHash / embedding-cosine) emits *pairs*; to
 actually deduplicate a corpus you need the transitive closure — if A~B and
-B~C, then {A,B,C} is one duplicate cluster with one keeper.  This is the
-standard iterative min-label-propagation (a.k.a. "hash-min") connected
-components: every node starts labeled with itself; each round, every node
-takes the min label among itself and its neighbors; fixpoint is reached in
-O(diameter) rounds.
+B~C, then {A,B,C} is one duplicate cluster with one keeper.  This is
+iterative min-label propagation ("hash-min") with path-halving: every node
+starts labeled with itself; each round every node takes the min label among
+itself and its neighbors, then labels are shortcut one hop (label :=
+label-of-label).  Plain propagation needs O(diameter) rounds — near-dup
+chains (A~B~C~…, each link just over threshold) make diameter linear in
+chain length; the halving step squares the reach per round, so convergence
+is O(log diameter) like the large-star/small-star rule (Kiveris et al.,
+"Connected Components in MapReduce", SoCC'14) but with one extra tiny join
+instead of a reorientation pass.
 
-Scale: each round is one edge⋈label join + a groupBy(node) MIN — both shuffle
-on node id, map-side combinable, no corpus-sized state on the driver (the
-driver only sees the one-row convergence count).  Duplicate-cluster graphs
-are overwhelmingly tiny cliques, so diameter — and the round count — is small
-regardless of corpus size.  Labels are ``localCheckpoint``-ed every round to
-cut the growing lineage that would otherwise re-run all prior rounds.  At
-100 TB you would switch the round body to the large-star/small-star
-alternating rule (Kiveris et al., "Connected Components in MapReduce",
-SoCC'14), which shrinks high-degree paths in O(log²N) rounds; the per-round
-dataflow (join + min-agg) is identical to this one.
+Scale: each round is an edge⋈label join + a groupBy(node) MIN (both keyed
+on node id, map-side combinable) + a label⋈label join (label-table-sized,
+not edge-sized); no corpus-sized state ever reaches the driver (it only
+sees the one-row convergence count).  The symmetrized edge set is built in
+ONE pass over the (expensive) upstream candidate pipeline via explode —
+a union of two selects would execute that pipeline twice.  Labels are
+``localCheckpoint``-ed every round to cut the growing lineage that would
+otherwise re-run all prior rounds.
 """
 
 from __future__ import annotations
@@ -32,37 +35,57 @@ MAX_ROUNDS = 25
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
 ) -> DataFrame:
-    """Min-label propagation.
+    """Min-label propagation with path-halving.
 
     ``nodes``: one column ``node``; ``edges``: columns ``src``/``dst``
     (undirected, any orientation).  Returns (node, label) with label = min
     node id of the component.  Isolated nodes keep their own id.
     """
-    # materialize the (small, pair-graph) edge set once, symmetrized, so each
-    # round's join doesn't recompute the upstream candidate pipeline
+    # Materialize the pair set ONCE before any derivation: the upstream
+    # candidate pipeline is the expensive part (and its plan is costly to
+    # codegen), while the pair set itself is output-sized — every later
+    # derivation (symmetrize, per-round joins) runs against this cache.
+    pairs = edges.select("src", "dst").persist()
     sym = (
-        edges.select("src", "dst")
-        .union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
     sym.count()
+    pairs.unpersist()
 
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(max_rounds):
         msgs = sym.join(
             labels, sym.src == labels.node, "inner"
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        prop = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        # path-halving: label := label(label).  Every label value is itself
+        # a node id, so this lookup is a self-join on the label table —
+        # it squares the propagation reach each round.
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = prop.join(
+            parent, prop.label == parent.p_node, "left"
+        ).select(
+            "node",
+            F.coalesce("p_label", "label").alias("label"),
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -76,23 +76,50 @@ def hourly_rollup(stream: DataFrame) -> DataFrame:
     )
 
 
+STREAM_STATE_PARTITIONS = 4
+
+
+def _run_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, prefix: str
+) -> DataFrame:
+    """Drive a bounded availableNow streaming query to completion into a
+    memory sink and return the emitted rows.
+
+    Stateful operators allocate one state store — plus per-batch checkpoint
+    commit files — PER shuffle partition, and a bounded single-file replay
+    does trivial per-partition work, so state-partition count is pure fixed
+    cost here (measured 22 s → 5 s at sf0.1 going 32 → 4 partitions).  The
+    conf is scoped to the run and restored.  On a real cluster state
+    partitions are sized to executors × cores (state shards are the unit of
+    parallel recovery and scale-out), not to a micro-batch's row count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            streaming_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming rollup to completion synchronously (availableNow +
     memory sink) and return the emitted result as a DataFrame."""
-    name = f"rollup_{uuid.uuid4().hex[:12]}"
-    q = (
-        hourly_rollup(read_event_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(
+        spark, hourly_rollup(read_event_stream(spark, sf_dir)), "rollup"
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,36 +168,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    name = f"dedup_{uuid.uuid4().hex[:12]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory(spark, deduped, "dedup")
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"sessions_{uuid.uuid4().hex[:12]}"
-    q = (
-        session_rollup(read_event_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(
+        spark, session_rollup(read_event_stream(spark, sf_dir)), "sessions"
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 USER_PROFILE_OUT = T.StructType(
@@ -252,19 +256,7 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
-    name = f"profile_{uuid.uuid4().hex[:12]}"
-    q = (
-        profiled.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory(spark, profiled, "profile")
 
 
 # Append-mode emission rule, replayed relationally: only windows whose end is
