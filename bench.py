@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "agg_grouping_sets_sales",
     "ana_user_value_deciles",
     "curate_keep_canonical",
+    "op_bucketed_join",
 ]
 
 

@@ -119,6 +119,54 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables (sources/warehouse.py): orders
+    and customer are both written bucketed on custkey, so the join and the
+    same-key aggregation plan with ZERO shuffle exchanges
+    (test_plans.test_bucketed_join_has_no_shuffle pins this) — the one
+    shuffle is paid at write time and amortized over every later query.
+    (Catalyst still broadcasts the small dim side, which beats even a
+    co-located SMJ; the property bucketing buys is that the FACT side and
+    the aggregation never shuffle.)  The timed run includes both bucketed
+    writes, so the bench number is the whole layout-then-query pipeline,
+    not just the free join."""
+    import uuid as _uuid
+
+    from spark_spotify.sources.warehouse import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sfx = _uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_spotify_warehouse/{sfx}"
+    write_bucketed(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"orders_b_{sfx}",
+        f"{base}/orders",
+        ["o_custkey"],
+        N_BUCKETS,
+    )
+    write_bucketed(
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        f"customer_b_{sfx}",
+        f"{base}/customer",
+        ["c_custkey"],
+        N_BUCKETS,
+    )
+    ob = spark.table(f"orders_b_{sfx}")
+    cb = spark.table(f"customer_b_{sfx}")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs approximate distinct users per event type.  At 100 TB
     COUNT(DISTINCT) is a full shuffle of the distinct keys;
@@ -151,6 +199,13 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """,
+    "op_bucketed_join": f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x='o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+""",
     "agg_grouping_sets_sales": f"""
 SELECT c_mktsegment, o_orderstatus,
        CAST(GROUPING(c_mktsegment, o_orderstatus) AS INT) AS grp_id,
@@ -175,6 +230,7 @@ GROUP BY COALESCE(c_mktsegment, 'UNKNOWN')
 QUERIES = {
     "agg_rollup_revenue": q_rollup_revenue,
     "agg_grouping_sets_sales": q_grouping_sets_sales,
+    "op_bucketed_join": q_bucketed_join,
     "op_salted_segment_value": q_salted_segment_value,
     "ana_segment_split": q_segment_split,
     "agg_approx_distinct": q_approx_distinct,

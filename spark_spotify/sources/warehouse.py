@@ -47,3 +47,30 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Scan a partitioned warehouse table; partition-column predicates on
     the result prune directories (PartitionFilters), not just row groups."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Write ``df`` as a key-bucketed parquet table registered in the
+    session catalog (bucketing metadata lives in the catalog, so this is
+    ``saveAsTable``, not a bare path write).
+
+    Every side bucketed on its join key with the same bucket count joins
+    and aggregates WITHOUT any Exchange: the shuffle is paid once at write
+    time and amortized over every subsequent read — the physical-layout
+    contract a 100 TB star schema is built on.  Data is sorted within
+    buckets on the bucket key so the sort-merge join skips its sort too."""
+    (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )

@@ -93,6 +93,18 @@ def test_rolling_window_preaggregates_by_day(spark, sf_dir):
     assert plan.index("Window") < plan.index("HashAggregate")
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(QUERIES["op_bucketed_join"](spark, sf_dir))
+    # the fact side is bucketed on the join/agg key: no SHUFFLE exchange may
+    # appear anywhere — the aggregation reuses the bucket partitioning paid
+    # at write time.  A BroadcastExchange of the small dim side is fine
+    # (broadcast beats even a co-located SMJ); shuffle nodes print as bare
+    # "(n) Exchange", broadcasts as "(n) BroadcastExchange".
+    assert re.search(r"\(\d+\) Exchange\b", plan) is None
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "events_by_type")
     ev = load_table(spark, sf_dir, "events")
