@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "ana_user_value_deciles",
     "curate_keep_canonical",
     "op_bucketed_join",
+    "stream_merge_sink",
+    "sim_ann_cosine_pandas",
 ]
 
 

@@ -177,6 +177,59 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` + anti-join MERGE as the exactly-once idempotent
+    Parquet sink (the reference's ON CONFLICT DO NOTHING per sync batch,
+    daily_etl_pipeline.py:149-191, made transactional per micro-batch).
+    The source is doubled to simulate at-least-once redelivery; each batch
+    merges via ``insert_if_absent`` keyed on event_id into a VERSIONED
+    snapshot directory — write new version, then swing the pointer —
+    poor-man's snapshot isolation, the same commit shape Delta/Iceberg
+    give you, on plain Parquet.  Output = each event exactly once.
+
+    Scale: each batch's merge cost is delta-sized (broadcast anti-join of
+    batch keys against the pruned existing side); versions are retired by
+    retention, not rewritten."""
+    import uuid as _uuid
+
+    from spark_spotify.operators.merge import insert_if_absent
+
+    src = read_event_stream(spark, sf_dir)
+    doubled = src.unionByName(read_event_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    base = f"/tmp/spark_spotify_stream_merge/{_uuid.uuid4().hex[:12]}"
+    state = {"version": -1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if state["version"] >= 0:
+            existing = ss.read.parquet(f"{base}/v{state['version']}")
+        else:
+            existing = ss.createDataFrame([], batch_df.schema)
+        merged = insert_if_absent(existing, batch_df, ["event_id"])
+        merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+        state["version"] = batch_id
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            doubled.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(f"{base}/v{state['version']}")
+
+
 USER_PROFILE_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -262,6 +315,9 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
+    "stream_merge_sink": """
+SELECT event_id, user_id, event_type FROM events
+""",
     "stream_user_profile": """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -323,4 +379,5 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
     "stream_user_profile": q_stream_user_profile,
+    "stream_merge_sink": q_stream_merge_sink,
 }

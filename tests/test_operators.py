@@ -68,3 +68,18 @@ def test_streaming_rollup_matches_batch_oracle(spark, sf_dir):
     got = run_hourly_rollup(spark, sf_dir)
     report = compare(got, ORACLE["stream_hourly_rollup"], sf_dir)
     assert report["ok"], report["errors"]
+
+
+def test_pandas_ann_matches_exact_path(spark, sf_dir):
+    """The Arrow/numpy scorer has no fold-order oracle (BLAS re-associates
+    float adds); gate it against the oracle-exact JVM path instead: same
+    ranking, cosines within float tolerance."""
+    from spark_spotify.registry import QUERIES
+
+    fast = QUERIES["sim_ann_cosine_pandas"](spark, sf_dir).collect()
+    exact = QUERIES["sim_ann_cosine_topk"](spark, sf_dir).collect()
+    assert [r.vec_id for r in fast] == [r.vec_id for r in exact]
+    assert all(
+        abs(a.cosine_sim - b.cosine_sim) < 1e-6
+        for a, b in zip(fast, exact)
+    )
