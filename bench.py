@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "op_bucketed_join",
     "stream_merge_sink",
     "sim_ann_cosine_pandas",
+    "text_pii_scan",
+    "text_repetition",
 ]
 
 

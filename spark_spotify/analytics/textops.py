@@ -58,6 +58,82 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: same regex dialect subset runs under Java regex (Spark) and
+# RE2 (DuckDB) — character classes and bounded quantifiers only, no
+# backrefs/lookaround (RE2 has neither).
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+RE_URL = "https?://[^ ]+"
+RE_PHONE = "[+]?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / contamination scan — the redaction-or-drop gate every
+    training-data pipeline runs before release: per-doc counts of email,
+    URL, and phone-shaped spans plus an aggregate flag.  Pure scan work
+    (regexp_extract_all, zero shuffles); patterns restricted to the
+    Java-regex ∩ RE2 dialect so the oracle runs them verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    n_email = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(RE_EMAIL), F.lit(0))
+    )
+    n_url = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(RE_URL), F.lit(0))
+    )
+    n_phone = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(RE_PHONE), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n_email.cast("int").alias("n_emails"),
+        n_url.cast("int").alias("n_urls"),
+        n_phone.cast("int").alias("n_phones"),
+        ((n_email + n_url + n_phone) > 0).alias("has_pii"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition profile (the Gopher-rules quality signal): per-doc
+    distinct-token ratio and the most frequent token's share.  The argmax
+    token rides a (doc_id)-partitioned window over the per-(doc, token)
+    counts — explode + two doc-keyed shuffles, both map-side combinable;
+    ``fan_out`` widens the single-row-group input first."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    counts = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max(F.when(F.col("rank") == 1, F.col("tok"))).alias(
+                "top_token"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("n"))).alias(
+                "top_token_n"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 3).alias(
+                "distinct_ratio"
+            ),
+            "top_token",
+            F.round(F.col("top_token_n") / F.col("n_tokens"), 3).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile by language: doc counts, char/token totals, source
     spread (language-ID aggregate surface; the lang column is ground truth,
@@ -170,6 +246,40 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "text_pii_scan": f"""
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]'))
+            AS INT) AS n_phones,
+       (len(regexp_extract_all(text, '{RE_EMAIL}'))
+        + len(regexp_extract_all(text, 'https?://[^ ]+'))
+        + len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]')))
+       > 0 AS has_pii
+FROM documents
+""",
+    "text_repetition": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, tok ASC) AS rank
+  FROM counts
+)
+SELECT doc_id,
+       SUM(n) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       round(COUNT(*) / CAST(SUM(n) AS DOUBLE), 3) AS distinct_ratio,
+       MAX(CASE WHEN rank = 1 THEN tok END) AS top_token,
+       round(MAX(CASE WHEN rank = 1 THEN n END) / CAST(SUM(n) AS DOUBLE), 3)
+           AS top_token_frac
+FROM ranked GROUP BY doc_id
+""",
     "text_stats": """
 WITH t AS (
   SELECT doc_id, lang, source, n_chars,
@@ -274,4 +384,6 @@ QUERIES = {
     "text_dedup_exact": q_dedup_exact,
     "text_fingerprint": q_text_fingerprint,
     "text_token_regex": q_text_token_regex,
+    "text_pii_scan": q_pii_scan,
+    "text_repetition": q_repetition,
 }
