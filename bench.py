@@ -98,7 +98,15 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # isolate queries from each other: unpersist everything, drop the
+        # memory-sink views streaming queries register (they pin their
+        # results in driver memory), and pay GC debt OUTSIDE the timed
+        # region so one query's garbage never bills the next
         spark.catalog.clearCache()
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
