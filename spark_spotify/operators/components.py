@@ -80,12 +80,14 @@ def connected_components(
         parent = prop.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round costs ONE Spark job, not two
         new_labels = prop.join(
             parent, prop.label == parent.p_node, "left"
         ).select(
             "node",
             F.coalesce("p_label", "label").alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -101,8 +103,30 @@ def connected_components(
 
 def cluster_assign(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Dedup cluster assignment: (node, cluster_id, cluster_size, is_keeper)
-    — cluster_id = min node id in the component, keeper = that node."""
-    labels = connected_components(nodes, edges)
+    — cluster_id = min node id in the component, keeper = that node.
+
+    Only edge-touched nodes can end up in a multi-node component, so the
+    iterative propagation runs on the pair-graph's node set (output-sized —
+    near-dup pairs are a vanishing fraction of a 100 TB corpus), and the
+    corpus-sized node table joins in exactly once at the end: untouched
+    nodes are singletons labeled with themselves via coalesce.  This keeps
+    every per-round shuffle proportional to the duplicate graph, not the
+    corpus."""
+    pairs = edges.select("src", "dst").persist()
+    touched = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # by return time every round has executed and the final labels are
+    # checkpointed, so the candidate-pair cache can be dropped
+    edge_labels = connected_components(touched, pairs)
+    pairs.unpersist()
+    labels = nodes.join(
+        edge_labels.withColumnRenamed("label", "e_label"), "node", "left"
+    ).select(
+        "node", F.coalesce("e_label", F.col("node")).alias("label")
+    )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
