@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "sim_ann_cosine_pandas",
     "text_pii_scan",
     "text_repetition",
+    "curate_decontaminate",
+    "sim_quantize_int8",
 ]
 
 

@@ -42,6 +42,15 @@ DEFAULT_HI = "80"
 
 NGRAM_TOP_K = 5
 
+# Decontamination: documents whose doc_id is divisible by EVAL_MOD stand in
+# for the held-out benchmark set; a training document is contaminated if it
+# shares any DECON_N-token shingle with an eval document.
+# 4-token shingles against every-31st doc: widths chosen so the synthetic
+# corpus (tiny vocabulary) yields overlap at every test SF — a real pipeline
+# would run 8-13-gram shingles against the actual benchmark suite.
+EVAL_MOD = 31
+DECON_N = 4
+
 
 def _bucket(seed: str, key: F.Column) -> F.Column:
     """Uniform 256-way bucket id: first 2 hex chars of md5(seed || key)."""
@@ -144,6 +153,38 @@ def q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: flag training documents that share a
+    ``DECON_N``-token shingle with the eval set, with hit counts — the
+    overlap audit every training pipeline runs before a dataset ships.
+
+    Scale: the eval side is benchmark-sized (tiny vs a 100 TB corpus), so
+    its distinct shingle set is broadcast and the corpus side is pure scan +
+    map-side explode — no corpus-sized shuffle; the only shuffle is the
+    groupBy over the (rare) contaminated hits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)),
+    )
+    base = d.filter(F.size(toks) >= DECON_N).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+    ev = base.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = base.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def _strata_case_sql() -> str:
     arms = " ".join(
         f"WHEN lang = '{lang}' THEN '{hi}'"
@@ -204,6 +245,30 @@ FROM (
 )
 WHERE rank <= {NGRAM_TOP_K}
 """,
+    "curate_decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i + {DECON_N - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {DECON_N - 2})) AS i
+    FROM t WHERE len(t) >= {DECON_N}
+  )
+),
+ev AS (
+  SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.shingle) AS n_hit_shingles,
+       COUNT(DISTINCT ev.eval_doc_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+""",
 }
 
 QUERIES = {
@@ -211,4 +276,5 @@ QUERIES = {
     "curate_stratified_sample": q_stratified_sample,
     "curate_ngram_topk": q_ngram_topk,
     "curate_keep_canonical": q_keep_canonical,
+    "curate_decontaminate": q_decontaminate,
 }

@@ -320,6 +320,37 @@ def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 symmetric quantization (embedding compression audit) -------------
+#
+# Per-vector symmetric int8: scale = max|x| / 127, q_i = floor(x_i/scale +
+# 0.5).  Reports the scale and the reconstruction MSE — the compression-loss
+# audit run before shipping quantized embeddings to an ANN index.  Engine
+# determinism: max is order-independent, floor-based half-up rounding and the
+# left-folded error sum are the same IEEE operation sequence in both engines
+# (same trick as ``_dot``).  Pure scan work — zero shuffles at any scale.
+
+Q_LEVELS = 127
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", F.expr(E_SQL).alias("e"))
+    maxabs = F.expr(
+        "greatest(" + ", ".join(f"abs(e[{i}])" for i in range(EMB_DIM)) + ")"
+    )
+    b2 = base.withColumn("s", maxabs / F.lit(float(Q_LEVELS)))
+    err = lambda i: f"(e[{i}] - floor(e[{i}] / s + 0.5D) * s)"  # noqa: E731
+    mse = F.expr(
+        " + ".join(f"({err(i)} * {err(i)})" for i in range(EMB_DIM))
+    ) / F.lit(float(EMB_DIM))
+    return b2.select(
+        "vec_id",
+        "label",
+        F.round(F.col("s"), 6).alias("q_scale"),
+        F.round(mse, 6).alias("recon_mse"),
+    )
+
+
 def _sql_plane(i: int) -> str:
     return (
         f"list_transform(range(64), "
@@ -339,7 +370,25 @@ _SQL_BUCKET = "|| ".join(
     for i in range(N_PLANES)
 )
 
+_SQL_QERR = (
+    "(x - floor(x / s + 0.5) * s) * (x - floor(x / s + 0.5) * s)"
+)
+
 ORACLE = {
+    "sim_quantize_int8": f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           / {float(Q_LEVELS)} AS s
+  FROM embeddings
+)
+SELECT vec_id, label,
+       round(s, 6) AS q_scale,
+       round(list_reduce(list_transform(e, x -> {_SQL_QERR}),
+                         (acc, x) -> acc + x) / {float(EMB_DIM)}, 6)
+         AS recon_mse
+FROM b
+""",
     "sim_label_cohesion": f"""
 WITH base AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -454,4 +503,5 @@ QUERIES = {
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
     "sim_label_cohesion": q_label_cohesion,
+    "sim_quantize_int8": q_quantize_int8,
 }
