@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "curate_decontaminate",
     "sim_quantize_int8",
+    "curate_chunk_windows",
+    "curate_pack_bins",
 ]
 
 

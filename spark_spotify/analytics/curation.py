@@ -51,6 +51,13 @@ NGRAM_TOP_K = 5
 EVAL_MOD = 31
 DECON_N = 4
 
+# Chunking: overlapping CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens
+# (the pre-tokenization slicing step of an LLM training pipeline); packing:
+# greedy sequential fill of PACK_BUDGET-token bins.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+PACK_BUDGET = 256
+
 
 def _bucket(seed: str, key: F.Column) -> F.Column:
     """Uniform 256-way bucket id: first 2 hex chars of md5(seed || key)."""
@@ -185,6 +192,76 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice every document into overlapping fixed-width token windows
+    (CHUNK_TOKENS wide, every CHUNK_STRIDE tokens; the final window may be
+    short) — one output row per chunk with its position and content hash.
+
+    All per-row array expressions (sequence -> explode -> slice): pure
+    scan-side fan-out with zero shuffle, so it parallelizes perfectly at any
+    corpus size; the chunk row count is data-proportional (~n_tokens /
+    stride per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_windows = (
+        F.ceil(
+            F.greatest(F.size(toks) - CHUNK_TOKENS, F.lit(0))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    start = F.col("k") * CHUNK_STRIDE + 1
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("t"),
+            F.size(toks).alias("n"),
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").alias("chunk_idx"),
+            start.alias("start_tok"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start + 1).alias(
+                "n_tok"
+            ),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), start, CHUNK_TOKENS))
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence-packing: walk each language's documents in
+    doc_id order and assign each to the training bin its running token count
+    starts in (bin = floor(tokens_before / PACK_BUDGET)) — deterministic
+    regardless of partitioning, unlike first-fit heuristics that depend on
+    arrival order.
+
+    Scale: one running-sum window per language partition.  A single stratum
+    bigger than one executor's sort budget would need range-partitioned
+    prefix sums (two-pass: per-partition totals, then offset broadcast) —
+    recorded in SCALE.md; per-lang ordering is already far finer than a
+    global ORDER BY."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn(
+            "bin_id",
+            F.floor((cum - F.col("n_tok")) / F.lit(float(PACK_BUDGET))),
+        )
+        .withColumn("cum_tokens", cum)
+    )
+
+
 def _strata_case_sql() -> str:
     arms = " ".join(
         f"WHEN lang = '{lang}' THEN '{hi}'"
@@ -269,6 +346,42 @@ SELECT tr.doc_id,
 FROM tr JOIN ev ON tr.shingle = ev.shingle
 GROUP BY tr.doc_id
 """,
+    "curate_chunk_windows": f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                   / {float(CHUNK_STRIDE)}) AS INT) + 1)) AS k
+  FROM t
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(k * {CHUNK_STRIDE} + 1 AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, n - (k * {CHUNK_STRIDE} + 1) + 1) AS INT)
+         AS n_tok,
+       md5(array_to_string(
+             t[CAST(k * {CHUNK_STRIDE} + 1 AS INT)
+               : CAST(k * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)], ' '))
+         AS chunk_hash
+FROM w
+""",
+    "curate_pack_bins": f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tok,
+       CAST(floor((SUM(len(string_split(trim(text), ' ')))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(string_split(trim(text), ' ')))
+                  / {float(PACK_BUDGET)}) AS BIGINT) AS bin_id,
+       SUM(len(string_split(trim(text), ' ')))
+         OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         AS cum_tokens
+FROM documents
+""",
 }
 
 QUERIES = {
@@ -277,4 +390,6 @@ QUERIES = {
     "curate_ngram_topk": q_ngram_topk,
     "curate_keep_canonical": q_keep_canonical,
     "curate_decontaminate": q_decontaminate,
+    "curate_chunk_windows": q_chunk_windows,
+    "curate_pack_bins": q_pack_bins,
 }
