@@ -65,36 +65,51 @@ def connected_components(
     pairs.unpersist()
 
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         msgs = sym.join(
             labels, sym.src == labels.node, "inner"
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(F.col("dst").alias("node"), "label", F.lit(0).alias("own"))
+        # change detection is fused into the propagation groupBy: the old
+        # label rides along tagged own=1, so min(label) < old-label falls out
+        # of the same shuffle.  A propagation fixpoint (chg=0 everywhere)
+        # means labels are equal across every edge — i.e. constant per
+        # component — so no separate old⋈new comparison join is needed.
         prop = (
-            labels.union(msgs)
+            labels.withColumn("own", F.lit(1))
+            .union(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                (
+                    F.min("label")
+                    < F.min(F.when(F.col("own") == 1, F.col("label")))
+                ).cast("long").alias("chg"),
+            )
         )
-        # path-halving: label := label(label).  Every label value is itself
-        # a node id, so this lookup is a self-join on the label table —
-        # it squares the propagation reach each round.
-        parent = prop.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        # lazy checkpoint: the convergence count below is the action that
-        # materializes it, so each round costs ONE Spark job, not two
-        new_labels = prop.join(
-            parent, prop.label == parent.p_node, "left"
-        ).select(
-            "node",
-            F.coalesce("p_label", "label").alias("label"),
-        ).localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        if rnd == 0:
+            # every label is still its own node id, so label(label) is the
+            # identity — skip the halving join this round
+            new_labels = prop.localCheckpoint(eager=False)
+        else:
+            # path-halving: label := label(label).  Every label value is
+            # itself a node id, so this lookup is a self-join on the label
+            # table — it squares the propagation reach each round.
+            parent = prop.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            new_labels = prop.join(
+                parent, prop.label == parent.p_node, "left"
+            ).select(
+                "node",
+                F.coalesce("p_label", "label").alias("label"),
+                "chg",
+            ).localCheckpoint(eager=False)
+        # the one action per round: materializes the lazy checkpoint and
+        # reads the fused change flags with a scan-only aggregate
+        changed = new_labels.agg(
+            F.coalesce(F.sum("chg"), F.lit(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     sym.unpersist()

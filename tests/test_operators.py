@@ -83,3 +83,43 @@ def test_pandas_ann_matches_exact_path(spark, sf_dir):
         abs(a.cosine_sim - b.cosine_sim) < 1e-6
         for a, b in zip(fast, exact)
     )
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 6-node chain (worst-case diameter for min-label propagation) plus
+    isolated nodes and a 2-clique; labels must be each component's min id."""
+    from spark_spotify.operators.components import (
+        cluster_assign,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(10)], "node string"
+    )
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]  # n0..n5 one component
+    edges = spark.createDataFrame(
+        chain + [("n7", "n6")], "src string, dst string"
+    )  # n6~n7 reversed orientation; n8, n9 isolated
+    got = {r.node: r.label for r in connected_components(nodes, edges).collect()}
+    want = {f"n{i}": "n0" for i in range(6)}
+    want.update({"n6": "n6", "n7": "n6", "n8": "n8", "n9": "n9"})
+    assert got == want
+
+    ca = {
+        r.node: (r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in cluster_assign(nodes, edges).collect()
+    }
+    assert ca["n3"] == ("n0", 6, False)
+    assert ca["n0"] == ("n0", 6, True)
+    assert ca["n9"] == ("n9", 1, True)
+
+
+def test_connected_components_empty_edges(spark):
+    """No duplicate pairs at all: every node is its own singleton and the
+    loop terminates on the first round (empty-agg convergence path)."""
+    from spark_spotify.operators.components import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    got = {r.node: r.label for r in connected_components(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "b"}
