@@ -27,7 +27,7 @@ from spark_spotify.operators.dedup import (
     signatures,
 )
 from spark_spotify.operators.simhash import simhash_near_dups
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import fan_out, load_table
 
 EMB_COSINE_THRESHOLD = 0.35
 
@@ -44,6 +44,27 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_near_dups(load_table(spark, sf_dir, "documents"))
 
 
+def _emb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, emb, nrm, bucket) projection: the hyperplane-sign
+    bucket is ~450 multiply-adds per row, and the pair self-join consumes the
+    projection twice (both aliases) — persisting computes it once, and
+    ``fan_out`` spreads the per-row arithmetic across cores (the embeddings
+    table arrives as one parquet row group locally; at 100 TB it's already
+    thousands of splits and both the fan-out and this cache become a
+    materialized column of the table itself)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        fan_out(emb)
+        .select(
+            "vec_id",
+            F.expr(E_SQL).alias("emb"),
+            _norm(E_SQL).alias("nrm"),
+            bucket_col(E_SQL).alias("bucket"),
+        )
+        .persist()
+    )
+
+
 def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: random-hyperplane LSH bucketing (the
     same deterministic integer hyperplanes as sim_ann_lsh_topk) restricts the
@@ -53,18 +74,12 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket becomes the table's partition key, so candidate generation is a
     co-partitioned join with no corpus-sized shuffle and no O(N²) stage.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     # norms precomputed per row (scan-side), so the per-pair work after the
     # bucket join is a single dot product
-    b = emb.select(
-        "vec_id",
-        F.expr(E_SQL).alias("emb"),
-        _norm(E_SQL).alias("nrm"),
-        bucket_col(E_SQL).alias("bucket"),
-    )
+    b = _emb_bucketed(spark, sf_dir)
     a, c = b.alias("a"), b.alias("b")
     cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    out = (
         a.join(
             c,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -76,7 +91,13 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= EMB_COSINE_THRESHOLD)
+        .localCheckpoint()
     )
+    # the pair set is output-sized; materializing it releases the bucketed
+    # projection cache — left resident, its giant unrolled-dot-product plan
+    # pins generated code for the whole session and drags later queries
+    b.unpersist()
+    return out
 
 
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,16 +108,29 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive CTE computes the same transitive closure."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = q_emb_cosine_dups(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    b = _emb_bucketed(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("b")
+    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+    edges = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= EMB_COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
-    return cluster_assign(nodes, edges).select(
+    out = cluster_assign(nodes, edges).select(
         F.col("node").alias("vec_id"),
         "cluster_id",
         "cluster_size",
         "is_keeper",
     )
+    # cluster_assign checkpoints the labels before returning, so nothing in
+    # ``out`` still references the bucketed projection
+    b.unpersist()
+    return out
 
 
 def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

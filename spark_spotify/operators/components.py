@@ -3,16 +3,20 @@ pipeline.
 
 Near-dup detection (MinHash / SimHash / embedding-cosine) emits *pairs*; to
 actually deduplicate a corpus you need the transitive closure — if A~B and
-B~C, then {A,B,C} is one duplicate cluster with one keeper.  This is
-iterative min-label propagation ("hash-min") with path-halving: every node
-starts labeled with itself; each round every node takes the min label among
-itself and its neighbors, then labels are shortcut one hop (label :=
-label-of-label).  Plain propagation needs O(diameter) rounds — near-dup
-chains (A~B~C~…, each link just over threshold) make diameter linear in
-chain length; the halving step squares the reach per round, so convergence
-is O(log diameter) like the large-star/small-star rule (Kiveris et al.,
-"Connected Components in MapReduce", SoCC'14) but with one extra tiny join
-instead of a reorientation pass.
+B~C, then {A,B,C} is one duplicate cluster with one keeper.  Two phases:
+
+1. **Partition-local union-find contraction** (``_partition_forest``): each
+   partition collapses its slice of the edge list to a spanning forest of
+   depth-1 stars — same components, but every locally-visible chain is gone.
+2. **Min-label propagation ("hash-min") with path-halving**: every node
+   starts labeled with itself; each round every node takes the min label
+   among itself and its neighbors, then labels are shortcut one hop (label
+   := label-of-label).  Plain propagation needs O(diameter) rounds; after
+   contraction the remaining diameter is bounded by the number of
+   cross-partition hops, and the halving step squares the reach per round —
+   convergence like the large-star/small-star rule (Kiveris et al.,
+   "Connected Components in MapReduce", SoCC'14) but with one extra tiny
+   join instead of a reorientation pass.
 
 Scale: each round is an edge⋈label join + a groupBy(node) MIN (both keyed
 on node id, map-side combinable) + a label⋈label join (label-table-sized,
@@ -32,6 +36,61 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 25
 
 
+def _partition_forest(pairs: DataFrame, parts: int) -> DataFrame:
+    """Partition-local union-find contraction: each partition runs a
+    union-find over its slice of the edge list and emits its spanning
+    forest as (node → local root) edges.
+
+    The output graph has exactly the same connected components as the
+    input (a union of per-partition spanning forests preserves every
+    local connection), but each partition's chains collapse to depth-1
+    stars — so the propagation loop that follows converges in O(log
+    #partitions-spanning-hops) rounds instead of O(graph diameter).
+    Near-dup chains (A~B~C~…) are precisely the worst case for label
+    propagation, and precisely what this kills: locally a chain of any
+    length becomes one star.  Arrow-batched ``mapInPandas`` accumulates
+    the whole partition through the batch iterator; per-partition edge
+    counts are bounded by the repartition below, so the Python-side
+    union-find is microseconds-per-edge batch work, not per-row UDF
+    dispatch.  Root choice (min by Python ordering) only shapes the
+    forest — component membership, and therefore the final min-label
+    answer, is ordering-independent."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                rs, rd = find(s), find(d)
+                if rs == rd:
+                    continue
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+                parent.setdefault(rs, rs)
+        out_n = []
+        out_r = []
+        for n in list(parent.keys()):
+            r = find(n)
+            if r != n:
+                out_n.append(n)
+                out_r.append(r)
+        if out_n:
+            yield pd.DataFrame({"src": out_n, "dst": out_r})
+
+    return pairs.repartition(parts).mapInPandas(uf, pairs.schema)
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
 ) -> DataFrame:
@@ -46,24 +105,54 @@ def connected_components(
     # codegen), while the pair set itself is output-sized — every later
     # derivation (symmetrize, per-round joins) runs against this cache.
     pairs = edges.select("src", "dst").persist()
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-        .persist()
-    )
-    sym.count()
-    pairs.unpersist()
+    n_pairs = pairs.count()
 
+    # Size the per-round shuffles AND the cached graph state to the duplicate
+    # graph, not the session default: every round is 2 shuffles + a
+    # checkpoint + an action, and ``localCheckpoint`` pins partitioning (AQE
+    # can't re-coalesce an RDD-backed scan, and its parallelism-first
+    # coalescing won't go below default parallelism anyway), so a 300-edge
+    # graph would otherwise pay full-cluster task-scheduling overhead ×
+    # stages × rounds.  The conf is set *before* ``sym`` is built so the
+    # symmetrized cache itself lands in ``round_parts`` partitions — every
+    # per-round map stage scans it.  ~64k edges per task keeps rounds
+    # single-digit-task locally and wide on a real cluster, where the
+    # session cap below scales with the executor count.
+    spark = nodes.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    round_parts = max(1, min(int(saved), (2 * n_pairs) // 65536 + 1))
+    spark.conf.set(conf_key, str(round_parts))
+    try:
+        forest = _partition_forest(pairs, round_parts)
+        sym = (
+            forest.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+            .persist()
+        )
+        sym.count()
+        pairs.unpersist()
+        labels = _propagate(nodes, sym, max_rounds)
+    finally:
+        spark.conf.set(conf_key, saved)
+    sym.unpersist()
+    return labels
+
+
+def _propagate(
+    nodes: DataFrame, sym: DataFrame, max_rounds: int
+) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("label"))
     for rnd in range(max_rounds):
         msgs = sym.join(
@@ -112,7 +201,6 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 

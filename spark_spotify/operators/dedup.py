@@ -59,6 +59,26 @@ NGRAM_N = 5
 NGRAM_JACCARD_THRESHOLD = 0.4
 
 
+def _char_gram_rows(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, g) rows: rolling character n-grams of the lowercased text,
+    duplicates kept.  Explodes a 1-based start-index sequence and slices with
+    ``substring`` so the whole row stays inside WholeStageCodegen — the
+    array-of-strings route (``char_gram_array`` + explode) allocates every
+    gram twice and runs interpreted (~3× slower at sf0.1)."""
+    return (
+        docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("nt"))
+        .filter(F.length("nt") >= n)
+        .select(
+            "doc_id",
+            "nt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("nt") - (n - 1))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr(f"substring(nt, i, {n})").alias("g"))
+    )
+
+
 def char_gram_array(text: Column, n: int = NGRAM_N) -> Column:
     """Rolling character n-grams of the lowercased document as
     array<string> (empty if the doc is shorter than n chars)."""
@@ -164,7 +184,7 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
         / F.size("sig_a"),
         3,
     )
-    return (
+    out = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -174,7 +194,13 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
             jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .localCheckpoint()
     )
+    # the verified pair set is output-sized; materializing it lets the
+    # signature cache be released NOW — a resident persist pins its plan's
+    # generated code for the session and degrades every later query
+    sigs.unpersist()
+    return out
 
 
 NGRAM_ROWS_PER_BAND = 4  # band match P = j^4: char-gram baselines run high
@@ -194,19 +220,22 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     Gram rows are exploded WITH duplicates — a duplicate gram can't change a
     MIN, and per-row ``array_distinct`` is quadratic in doc length (measured
     3.3 s of a 4.5 s explode at sf0.1).  Dedup to distinct (doc, gram) rows
-    happens only for candidate docs, after a semi-join against the (tiny)
-    candidate-pair set — the full-corpus gram relation is never shuffled.
+    happens only for candidate docs, re-exploded after a semi-join against
+    the (tiny) candidate set — the full-corpus gram relation is never
+    shuffled OR cached: the corpus-wide explode pipelines straight into the
+    partially-aggregated signature groupBy, which is both faster locally
+    than caching ~1.5M gram rows and the only option at 100 TB (the exploded
+    relation is ~300× the corpus).  Grams come from an exploded int sequence
+    + ``substring`` (whole-stage-codegen'd) rather than a higher-order
+    ``transform`` building per-row string arrays (interpreted, ~3× slower —
+    see ``char_gram_array``, kept for array-shaped consumers).
     Signature hashing is ``xxhash64`` (bigint min, codegen'd) rather than
     md5 strings: the signature is internal candidate-generation state, never
     emitted, so the exact-Jaccard verify keeps the output oracle-exact
     regardless of hash choice."""
-    grams = fan_out(docs).select(
-        "doc_id",
-        F.explode(char_gram_array(F.col("text"))).alias("g"),
-    ).persist()
     # sig is persisted because the band self-join consumes it twice (both
     # aliases) — without it the whole gram->min aggregation runs once per side
-    sig = grams.groupBy("doc_id").agg(
+    sig = _char_gram_rows(fan_out(docs)).groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(seed), F.col("g"))).alias(f"mh{seed}")
             for seed in range(N_HASHES)
@@ -243,7 +272,9 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     cgrams = (
-        grams.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        _char_gram_rows(
+            docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        )
         .dropDuplicates(["doc_id", "g"])
         .persist()
     )
@@ -264,7 +295,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         3,
     )
-    return (
+    out = (
         inter.join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_a")
@@ -279,4 +310,10 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b", jaccard.alias("ngram_jaccard"))
         .filter(F.col("ngram_jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .localCheckpoint()
     )
+    # see minhash_near_dups: release both caches the moment the
+    # output-sized verified pairs are materialized
+    sig.unpersist()
+    cgrams.unpersist()
+    return out

@@ -114,6 +114,13 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
     hamming = F.bit_count(
         F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
     ).cast("int")
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= HAMMING_MAX
+    out = (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .localCheckpoint()
     )
+    # the verified pair set is output-sized; materializing it releases the
+    # signature cache immediately — a persist left resident would pin the
+    # stage's generated code and degrade every later query in the session
+    sh.unpersist()
+    return out
