@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "sim_quantize_int8",
     "curate_chunk_windows",
     "curate_pack_bins",
+    "ana_funnel",
+    "text_quality_gate",
+    "curate_domain_mix",
 ]
 
 

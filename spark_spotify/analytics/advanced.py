@@ -219,7 +219,109 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- staged conversion funnel ---------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel with a 24 h conversion window:
+    a user advances a stage only with an event strictly after — and within
+    24 h of — their entry into the previous stage (first view, then first
+    qualifying click, then first qualifying purchase) — the
+    sequence-sensitive semantics a flat ``COUNT(DISTINCT)`` per event type
+    gets wrong.  Emits one row per stage with the user count and the
+    conversion %% from the prior stage (lag window over the 3-row result).
+
+    Scale: three per-user MIN aggregates and two joins, all keyed on
+    user_id — one shuffle partitioning reused across every stage (Exchange
+    reuse), map-side combinable; the window runs on 3 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("view_ts"))
+            & (F.col("ts") <= F.col("view_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage_ord"), F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_ord"),
+                F.lit("click").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_ord"),
+                F.lit("purchase").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("stage_ord")
+    prev = F.lag("n_users").over(w)
+    return stages.select(
+        "stage_ord",
+        "stage",
+        "n_users",
+        F.when(prev.isNull(), F.lit(100.0))
+        .otherwise(F.round(F.col("n_users") * 100.0 / prev, 3))
+        .alias("pct_prev"),
+    )
+
+
 ORACLE = {
+    "ana_funnel": """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+    AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 24 HOURS
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+    AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 24 HOURS
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage_ord, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+)
+SELECT stage_ord, stage, n_users,
+       CASE WHEN lag(n_users) OVER (ORDER BY stage_ord) IS NULL THEN 100.0
+            ELSE round(n_users * 100.0 / lag(n_users) OVER (ORDER BY stage_ord), 3)
+       END AS pct_prev
+FROM stages
+""",
     "ana_user_value_deciles": """
 WITH per_user AS (
   SELECT user_id,
@@ -340,4 +442,5 @@ QUERIES = {
     "ana_props_json": q_props_json,
     "etl_scd2_user_state": q_scd2_user_state,
     "ana_user_value_deciles": q_user_value_deciles,
+    "ana_funnel": q_funnel,
 }

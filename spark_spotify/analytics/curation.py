@@ -64,6 +64,21 @@ def _bucket(seed: str, key: F.Column) -> F.Column:
     return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 2)
 
 
+# Domain-mix rebalancing: target share of the corpus each source may occupy
+# after rebalancing.  With 20 synthetic sources a 4% target trims the
+# over-represented ones and keeps the tail whole.
+MIX_TARGET_SHARE = 0.04
+
+
+def _bucket_int(seed: str, key: F.Column) -> F.Column:
+    """Uniform 0..255 integer bucket from the first 2 md5 hex chars
+    (``conv`` base-16 parse; the DuckDB oracle reproduces the same value
+    with hex-alphabet ``strpos`` arithmetic — same result, per-engine
+    idiom)."""
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hash bucket (80/10/10).
 
@@ -97,6 +112,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", "source", "n_chars", b.alias("bucket"))
         .filter(F.col("bucket") < hi)
+    )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: cap every source at MIX_TARGET_SHARE of the
+    corpus by hash-thresholded downsampling — the "don't let one crawl
+    dominate the training mix" step.  Per-source acceptance rate =
+    min(1, target_docs / source_docs), applied as an integer threshold on a
+    256-way content-independent hash bucket, so the decision is
+    deterministic per document and stable as the corpus grows.
+
+    Scale: the per-source count is a ~#sources-row aggregate broadcast back
+    onto the scan; the keep decision itself is scan-side hash arithmetic —
+    no corpus-sized shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = counts.agg(F.sum("n_src").alias("n_total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_src",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_TARGET_SHARE) * F.col("n_total") / F.col("n_src"),
+        ).alias("acceptance_rate"),
+    )
+    b = _bucket_int("mix:", F.col("doc_id"))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            b.alias("bucket"),
+            F.round("acceptance_rate", 6).alias("acceptance_rate"),
+            (b < F.floor(F.col("acceptance_rate") * 256).cast("int")).alias(
+                "kept"
+            ),
+        )
     )
 
 
@@ -288,6 +340,31 @@ FROM documents
 WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
       < ({_strata_case_sql()})
 """,
+    "curate_domain_mix": f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_src,
+         least(1.0, {MIX_TARGET_SHARE} * (SELECT SUM(n_src) FROM counts)
+                    / n_src) AS acceptance_rate
+  FROM counts
+),
+b AS (
+  SELECT doc_id, source,
+         CAST((strpos('0123456789abcdef',
+                 substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16
+              + strpos('0123456789abcdef',
+                  substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INT) AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source, b.bucket,
+       round(r.acceptance_rate, 6) AS acceptance_rate,
+       b.bucket < CAST(floor(r.acceptance_rate * 256) AS INT) AS kept
+FROM b JOIN rates r ON b.source = r.source
+""",
     "curate_keep_canonical": """
 SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,
@@ -392,4 +469,5 @@ QUERIES = {
     "curate_decontaminate": q_decontaminate,
     "curate_chunk_windows": q_chunk_windows,
     "curate_pack_bins": q_pack_bins,
+    "curate_domain_mix": q_domain_mix,
 }

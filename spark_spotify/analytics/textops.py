@@ -177,6 +177,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FP_K = 8  # char k-gram width
 FP_W = 4  # winnowing window (hashes per window)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate (C4/Gopher-style): length, mean word
+    length, stopword density, and distinct-token ratio each gate
+    independently; a doc is kept only if every rule passes, and the first
+    failing rule is reported as the drop reason — the audit trail a corpus
+    curation run ships alongside the filtered output.
+
+    All signals are per-row column expressions over one tokenization (pure
+    scan work, zero shuffles at any scale); thresholds are the published
+    Gopher-rule shapes adapted to the synthetic corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len / n_tokens
+    stop_ratio = n_stop / n_tokens
+    distinct_ratio = n_distinct / n_tokens
+    reason = (
+        F.when(n_tokens < 8, "too_short")
+        .when(n_tokens > 5000, "too_long")
+        .when((mean_len < 2) | (mean_len > 12), "word_length")
+        .when(stop_ratio > 0.6, "stopword_heavy")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .otherwise("pass")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 3).alias("distinct_ratio"),
+        F.round(mean_len, 3).alias("mean_tok_len"),
+        F.round(stop_ratio, 3).alias("stopword_ratio"),
+        reason.alias("fail_reason"),
+        (reason == "pass").alias("keep"),
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -246,6 +291,43 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "text_quality_gate": """
+WITH t AS (
+  SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, source,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks,
+             x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+         list_sum(list_transform(toks, x -> length(x))) AS total_len
+  FROM t
+), g AS (
+  SELECT *,
+         total_len / n_tokens AS mean_len,
+         n_stop / n_tokens AS stop_ratio,
+         n_distinct / n_tokens AS distinct_ratio
+  FROM s
+), r AS (
+  SELECT *,
+         CASE WHEN n_tokens < 8 THEN 'too_short'
+              WHEN n_tokens > 5000 THEN 'too_long'
+              WHEN mean_len < 2 OR mean_len > 12 THEN 'word_length'
+              WHEN stop_ratio > 0.6 THEN 'stopword_heavy'
+              WHEN distinct_ratio < 0.3 THEN 'repetitive'
+              ELSE 'pass' END AS fail_reason
+  FROM g
+)
+SELECT doc_id, lang, source,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(distinct_ratio, 3) AS distinct_ratio,
+       round(mean_len, 3) AS mean_tok_len,
+       round(stop_ratio, 3) AS stopword_ratio,
+       fail_reason,
+       fail_reason = 'pass' AS keep
+FROM r
+""",
     "text_pii_scan": f"""
 SELECT doc_id, source,
        CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
@@ -386,4 +468,5 @@ QUERIES = {
     "text_token_regex": q_text_token_regex,
     "text_pii_scan": q_pii_scan,
     "text_repetition": q_repetition,
+    "text_quality_gate": q_quality_gate,
 }
