@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "ana_funnel",
     "text_quality_gate",
     "curate_domain_mix",
+    "etl_quality_report",
+    "ana_retention_cohorts",
+    "ana_anomaly_zscore",
 ]
 
 

@@ -219,6 +219,94 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cohort retention matrix ----------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of their
+    first event; each (cohort_week, week_offset) cell counts the distinct
+    users active that many weeks later, plus retention %% against the
+    cohort's size — the standard growth-analytics matrix the reference's
+    first_heard/first_discovered dims (daily_etl_pipeline.py:316,:358) only
+    hint at.  (Week grain because the synthetic corpus spans one month.)
+
+    Scale: first-event week is one per-user MIN; activity cells are a
+    distinct over (user, cohort, offset) — both shuffles keyed on user_id
+    (partitioning reuse), then a cells-sized aggregate.  The offset-0 size
+    joins back on cohort_week (broadcast, #weeks rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.round(F.col("n_users") * 100.0 / F.col("cohort_size"), 3).alias(
+                "retention_pct"
+            ),
+        )
+    )
+
+
+# --- rolling z-score anomaly scan -----------------------------------------
+
+Z_WINDOW = 28
+Z_THRESHOLD = 2.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly scan: each day's event count is z-scored against
+    the mean/stddev of the prior 28 days (ROWS frame over the dense daily
+    series, excluding the current row) and flagged beyond ±2σ — the ops
+    monitor a pipeline runs over its own throughput telemetry.
+
+    Scale: one date-keyed aggregate (map-side combinable) collapses the
+    corpus to ~#days rows; the window runs over that tiny series.  Sample
+    stddev over integer counts is exact enough that the 3dp-rounded z-score
+    is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.orderBy("d").rowsBetween(-Z_WINDOW, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    z = (F.col("n_events") - mu) / sd
+    return daily.select(
+        "d",
+        "n_events",
+        F.round(mu, 3).alias("mean_28d"),
+        F.round(sd, 3).alias("stddev_28d"),
+        F.round(z, 3).alias("zscore"),
+        F.coalesce(F.abs(z) > Z_THRESHOLD, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 # --- staged conversion funnel ---------------------------------------------
 
 
@@ -292,6 +380,46 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "ana_retention_cohorts": """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+           AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_users
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_users, b.cohort_size,
+       round(c.n_users * 100.0 / b.cohort_size, 3) AS retention_pct
+FROM cells c JOIN base b ON c.cohort_week = b.cohort_week
+""",
+    "ana_anomaly_zscore": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+wd AS (
+  SELECT d, n_events,
+         AVG(n_events) OVER w AS mu,
+         STDDEV_SAMP(n_events) OVER w AS sd
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, n_events,
+       round(mu, 3) AS mean_28d,
+       round(sd, 3) AS stddev_28d,
+       round((n_events - mu) / sd, 3) AS zscore,
+       coalesce(abs((n_events - mu) / sd) > 2.0, false) AS is_anomaly
+FROM wd
+""",
     "ana_funnel": """
 WITH v AS (
   SELECT user_id, MIN(ts) AS view_ts
@@ -443,4 +571,6 @@ QUERIES = {
     "etl_scd2_user_state": q_scd2_user_state,
     "ana_user_value_deciles": q_user_value_deciles,
     "ana_funnel": q_funnel,
+    "ana_retention_cohorts": q_retention_cohorts,
+    "ana_anomaly_zscore": q_anomaly_zscore,
 }

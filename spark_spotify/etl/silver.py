@@ -62,6 +62,34 @@ def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_events(load_table(spark, sf_dir, "events"))
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the silver layer: one row per quality flag
+    with its row count and share of the corpus — the reference's batch
+    validation summary (_validate_records, spotify_client.py:621-677)
+    re-expressed set-wise instead of per-record Python.
+
+    The flags column is a comma-joined string; explode(split) unnests it,
+    empty (clean) rows are filtered before the shuffle, and the total row
+    count rides in as a one-row broadcast cross join — so the shuffled
+    relation is flag-occurrence-sized, not corpus-sized."""
+    s = clean_events(load_table(spark, sf_dir, "events"))
+    total = s.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        s.filter(F.col("quality_flags") != "")
+        .select(F.explode(F.split("quality_flags", ",")).alias("flag"))
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "flag",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("n_total"), 3).alias(
+                "pct_rows"
+            ),
+        )
+    )
+
+
 _TP = SQL_TIME_PERIOD.format(h="CAST(EXTRACT(hour FROM ts) AS INT)")
 
 ORACLE = {
@@ -86,6 +114,24 @@ SELECT
     CASE WHEN value < 1.0 THEN 'short_play' END) AS quality_flags
 FROM events
 """,
+    "etl_quality_report": """
+WITH s AS (
+  SELECT concat_ws(',',
+    CASE WHEN value IS NULL THEN 'missing_value' END,
+    CASE WHEN value < 1.0 THEN 'short_play' END) AS quality_flags
+  FROM events
+),
+f AS (
+  SELECT unnest(string_split(quality_flags, ',')) AS flag
+  FROM s WHERE quality_flags <> ''
+)
+SELECT flag, COUNT(*) AS n_rows,
+       round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM s), 3) AS pct_rows
+FROM f GROUP BY flag
+""",
 }
 
-QUERIES = {"etl_silver_clean": q_silver_clean}
+QUERIES = {
+    "etl_silver_clean": q_silver_clean,
+    "etl_quality_report": q_quality_report,
+}

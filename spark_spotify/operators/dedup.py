@@ -234,7 +234,12 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     emitted, so the exact-Jaccard verify keeps the output oracle-exact
     regardless of hash choice."""
     # sig is persisted because the band self-join consumes it twice (both
-    # aliases) — without it the whole gram->min aggregation runs once per side
+    # aliases) — without it the whole gram->min aggregation runs once per
+    # side.  (Measured dead end, kept for the record: deriving the K
+    # components from ONE base hash — seeded long re-hash or multiply-mod
+    # permutations — is slower end-to-end here, because the re-hashed band
+    # values collide differently and inflate the candidate set, and ANSI
+    # mode rejects the deliberate multiply wrap outright.)
     sig = _char_gram_rows(fan_out(docs)).groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(seed), F.col("g"))).alias(f"mh{seed}")
