@@ -23,12 +23,20 @@ from spark_spotify.sources.tables import load_table
 
 
 def build_fact(spark: SparkSession, events: DataFrame) -> DataFrame:
-    silver = clean_events(events)
     dd = date_dim(spark)
     det = event_type_dim(events)
-    du = user_dim(events).select(
-        "user_id", F.col("first_seen").alias("user_first_seen")
-    )
+    du = user_dim(events)
+    return fact_from(clean_events(events), dd, det, du)
+
+
+def fact_from(
+    silver: DataFrame, dd: DataFrame, det: DataFrame, du: DataFrame
+) -> DataFrame:
+    """Star join against prebuilt dims — the incremental path
+    (``etl.pipeline``) passes the MERGED warehouse dims here so a delta's
+    fact rows see globally-correct dim attributes."""
+    du = du.select("user_id", F.col("first_seen").alias("user_first_seen"))
+    det = det.select("event_type", "event_type_key")
     return (
         silver.dropDuplicates(["event_id"])
         .join(F.broadcast(dd), silver.played_date == dd.date_value, "inner")

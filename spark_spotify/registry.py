@@ -24,6 +24,7 @@ from spark_spotify.analytics import (
     textops,
 )
 from spark_spotify.etl import dims, fact, silver, stats
+from spark_spotify.etl import pipeline as etl_pipeline
 from spark_spotify.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
@@ -41,6 +42,7 @@ _MODULES = [
     scaleops,
     multimodal,
     streaming_pipeline,
+    etl_pipeline,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
