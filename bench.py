@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "etl_quality_report",
     "ana_retention_cohorts",
     "ana_anomaly_zscore",
+    "mm_audio_energy",
 ]
 
 

@@ -146,9 +146,68 @@ def sample_frames(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+ENERGY_FRAME = 64
+ENERGY_SCHEMA = "doc_id bigint, frame_no int, energy bigint, peak int"
+
+
+def frame_energy(media: DataFrame) -> DataFrame:
+    """Audio-style windowed feature extraction over the raw binary payload:
+    non-overlapping 64-byte frames, per-frame energy (sum of squared byte
+    values) and peak byte — the RMS/peak pass an audio ingest pipeline runs
+    before segmentation.  Unlike the decode stubs, this computes on the
+    actual bytes: ``np.frombuffer`` -> reshape -> one vectorized
+    matrix reduction per Arrow batch, no per-sample Python.  All-integer
+    math (int64 sums of uint8 squares cannot overflow), so the output is
+    exact and engine-portable — the DuckDB oracle rebuilds it from
+    codepoint arithmetic on the ASCII payload.  Trailing partial frames are
+    dropped (fixed-width frame contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids: list[int] = []
+            fnos: list[int] = []
+            energies: list[int] = []
+            peaks: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = len(arr) // ENERGY_FRAME
+                if n == 0:
+                    continue
+                m = (
+                    arr[: n * ENERGY_FRAME]
+                    .reshape(n, ENERGY_FRAME)
+                    .astype(np.int64)
+                )
+                ids.extend([int(doc_id)] * n)
+                fnos.extend(range(n))
+                energies.extend((m * m).sum(axis=1).tolist())
+                peaks.extend(m.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=ENERGY_SCHEMA
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(decode_media(build_media_table(docs)))
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_spotify.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_energy(build_media_table(fan_out(docs)))
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,6 +216,24 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "mm_audio_energy": """
+WITH f AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 64) AS INT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, CAST(unnest(range(nf)) AS INT) AS frame_no FROM f
+)
+SELECT doc_id, frame_no,
+  CAST(list_sum(list_transform(range(64),
+      j -> ord(substr(text, frame_no * 64 + CAST(j AS INT) + 1, 1))
+           * ord(substr(text, frame_no * 64 + CAST(j AS INT) + 1, 1))))
+    AS BIGINT) AS energy,
+  CAST(list_max(list_transform(range(64),
+      j -> ord(substr(text, frame_no * 64 + CAST(j AS INT) + 1, 1))))
+    AS INT) AS peak
+FROM fr
+""",
     "mm_media_decode": """
 SELECT doc_id,
        CASE WHEN source = 'src0' THEN 'image'
@@ -205,4 +282,5 @@ QUERIES = {
     "mm_media_decode": q_media_decode,
     "mm_media_resize": q_media_resize,
     "mm_frame_sample": q_frame_sample,
+    "mm_audio_energy": q_audio_energy,
 }
