@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "ana_retention_cohorts",
     "ana_anomaly_zscore",
     "mm_audio_energy",
+    "text_vocab_build",
+    "text_unigram_logprob",
 ]
 
 

@@ -222,6 +222,83 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_MIN_COUNT = 5
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build: corpus token counts, rare tokens
+    cut at VOCAB_MIN_COUNT, ids assigned by (count desc, token asc) rank —
+    the tokenizer-vocab construction step of a training pipeline, with a
+    deterministic tie-break so the id assignment is reproducible anywhere.
+
+    Scale: explode + map-side-combined count collapses the token stream to
+    the distinct vocabulary before the shuffle; the ranking window runs
+    over distinct tokens only.  (A global rank is a single-partition window
+    by definition — at 100 TB the vocabulary is still ~millions of rows,
+    i.e. window-sized, not corpus-sized.)"""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        fan_out(d)
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        (F.row_number().over(w) - 1).alias("token_id"),
+        "token",
+        "n_occurrences",
+    )
+
+
+# Unigram log-probability scoring: ln quantized to integer micro-nats so the
+# cross-token sum is exact integer math (associative, partition-independent)
+# — the same trick as sim_label_cohesion's centroids.  Both engines compute
+# ln() identically (IEEE libm double) on identical count ratios.
+LOGP_SCALE = 1_000_000
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram negative log-likelihood (CCNet-style LM quality
+    score): corpus unigram probabilities, then each doc scored by the mean
+    -ln p(token) of its tokens — low = natural text, high = gibberish
+    relative to the corpus.  The two-pass shape (corpus stats broadcast back
+    onto the token stream) is the canonical LM-scoring dataflow.
+
+    Exactness: each token's -ln p is quantized to integer micro-nats
+    BEFORE the per-doc sum, so aggregation order cannot change the result
+    (float sums over a shuffle are not associative; integer sums are)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = counts.agg(F.sum("n_tok").alias("n_total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            -F.log(F.col("n_tok") / F.col("n_total")) * LOGP_SCALE, 0
+        ).cast("bigint").alias("neg_logp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("neg_logp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_micro") / (F.col("n_tokens") * F.lit(float(LOGP_SCALE))),
+                6,
+            ).alias("mean_neg_logp"),
+        )
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -291,6 +368,39 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "text_vocab_build": """
+WITH counts AS (
+  SELECT tok AS token, COUNT(*) AS n_occurrences
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+  GROUP BY tok
+  HAVING COUNT(*) >= 5
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
+            AS INT) AS token_id,
+       token, n_occurrences
+FROM counts
+""",
+    "text_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n_tok FROM toks GROUP BY token
+),
+probs AS (
+  SELECT token,
+         CAST(round(-ln(n_tok / (SELECT SUM(n_tok) FROM counts)) * 1000000,
+                    0) AS BIGINT) AS neg_logp_micro
+  FROM counts
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(SUM(p.neg_logp_micro) / (COUNT(*) * 1000000.0), 6)
+         AS mean_neg_logp
+FROM toks t JOIN probs p ON t.token = p.token
+GROUP BY t.doc_id
+""",
     "text_quality_gate": """
 WITH t AS (
   SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
@@ -469,4 +579,6 @@ QUERIES = {
     "text_pii_scan": q_pii_scan,
     "text_repetition": q_repetition,
     "text_quality_gate": q_quality_gate,
+    "text_vocab_build": q_vocab_build,
+    "text_unigram_logprob": q_unigram_logprob,
 }
