@@ -122,3 +122,51 @@ def test_simhash_banding_is_exhaustive_within_hamming3(spark, docs):
         (r["doc_a"], r["doc_b"]) for r in simhash_near_dups(df).collect()
     }
     assert got == want
+
+
+EDGE_NODES = st.integers(min_value=0, max_value=9)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(EDGE_NODES, EDGE_NODES), max_size=14
+    ),
+    extra_nodes=st.sets(EDGE_NODES, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find_model(
+    spark, edges, extra_nodes
+):
+    """Law: labels equal each node's component minimum under a pure-Python
+    union-find — randomized over self-loops, duplicate/reversed edges, and
+    isolated nodes, which exercise both the partition-local contraction
+    pass and the propagation rounds."""
+    from spark_spotify.operators.components import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | extra_nodes)
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    nodes_df = spark.createDataFrame(
+        [(n,) for n in nodes] or [], schema="node long"
+    )
+    edges_df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]] or [],
+        schema="src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
