@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "mm_audio_energy",
     "text_vocab_build",
     "text_unigram_logprob",
+    "rel_local_supplier_volume",
 ]
 
 

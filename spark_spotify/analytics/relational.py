@@ -99,6 +99,53 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01"
+Q5_END = "1998-01-01"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table snowflake: revenue from lineitems whose
+    supplier sits in the SAME nation as the ordering customer, per nation
+    within one region and a 2-year order-date window.  The only query that
+    exercises the supplier dimension and a join predicate spanning two
+    dims (c_nationkey = s_nationkey).
+
+    Scale: the date filter pushes into the orders scan; supplier/nation/
+    region broadcast; the co-nationality predicate rides the supplier
+    broadcast join, so the fact side shuffles only for the orderkey join.
+    Decimal partial sums keep revenue engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_START) & (F.col("o_orderdate") < Q5_END)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+            "inner",
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .filter(F.col("r_name") == Q5_REGION)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                money_expr(F.col("l_extendedprice"), F.col("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
 URGENT = "1-URGENT"
 
 
@@ -402,6 +449,23 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """,
+    "rel_local_supplier_volume": f"""
+SELECT n.n_name,
+  CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems,
+  COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= DATE '{Q5_START}'
+  AND o.o_orderdate < DATE '{Q5_END}'
+GROUP BY n.n_name
+""",
     "rel_customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer c
@@ -458,6 +522,7 @@ LIMIT 15
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_star_revenue": q_star_revenue,
+    "rel_local_supplier_volume": q_local_supplier_volume,
     "rel_customers_no_urgent": q_customers_no_urgent,
     "rel_customers_big_order": q_customers_big_order,
     "rel_segment_orders": q_segment_orders,
