@@ -130,3 +130,24 @@ def test_partitioned_write_one_file_per_partition(spark, sf_dir, tmp_path):
     for d in glob.glob(f"{path}/event_type=*"):
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, d
+
+
+def test_cluster_assign_restores_shuffle_conf(spark, sf_dir):
+    """connected_components scopes spark.sql.shuffle.partitions to the edge
+    graph for its rounds; the session value must be restored afterwards
+    (and under failure — the restore is in a finally)."""
+    from spark_spotify.registry import QUERIES
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    QUERIES["dedup_cluster_assign"](spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    """The per-source acceptance-rate table must come back onto the scan as
+    a broadcast join — a shuffled join here would shuffle the corpus."""
+    from spark_spotify.registry import QUERIES
+
+    plan = _plan(QUERIES["curate_domain_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
