@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "text_vocab_build",
     "text_unigram_logprob",
     "rel_local_supplier_volume",
+    "ana_day_code_profile",
 ]
 
 

@@ -326,6 +326,40 @@ def q_pivot_day_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MIN = 30
 
 
+# Day-name normalization map (SURVEY.md C3): the reference maps mixed-locale
+# day labels (incl. Chinese 週一..週日, main_page.py:128-137) onto canonical
+# codes with a Python dict; here it is a map LITERAL looked up per row
+# (F.element_at(F.create_map(...)) — stays in codegen, no UDF).
+DAY_CODE = {
+    "Monday": "Mon", "Tuesday": "Tue", "Wednesday": "Wed",
+    "Thursday": "Thu", "Friday": "Fri", "Saturday": "Sat", "Sunday": "Sun",
+    "週一": "Mon", "週二": "Tue", "週三": "Wed", "週四": "Thu",
+    "週五": "Fri", "週六": "Sat", "週日": "Sun",
+}
+
+
+def q_day_code_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-code event profile through the C3 map-literal lookup: the
+    locale-tolerant day normalization applied before aggregation, plus each
+    code's share of the corpus (window over the 7-row aggregate)."""
+    s = _silver(spark, sf_dir)
+    m = F.create_map(*[F.lit(x) for kv in DAY_CODE.items() for x in kv])
+    day = F.date_format("played_date", "EEEE")
+    agg = (
+        s.select(F.element_at(m, day).alias("day_code"))
+        .groupBy("day_code")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return agg.select(
+        "day_code",
+        "n_events",
+        F.round(
+            F.col("n_events") * 100.0 / F.sum("n_events").over(Window.partitionBy()),
+            3,
+        ).alias("pct_events"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _silver(spark, sf_dir).select("user_id", "ts")
     wu = Window.partitionBy("user_id").orderBy("ts")
@@ -638,6 +672,22 @@ SELECT o.* FROM snap_old o
 WHERE NOT EXISTS (SELECT 1 FROM snap_new n
                   WHERE n.user_id = o.user_id AND n.event_type = o.event_type)
 """,
+    "ana_day_code_profile": """
+WITH d AS (
+  SELECT CASE dayname(ts)
+           WHEN 'Monday' THEN 'Mon' WHEN 'Tuesday' THEN 'Tue'
+           WHEN 'Wednesday' THEN 'Wed' WHEN 'Thursday' THEN 'Thu'
+           WHEN 'Friday' THEN 'Fri' WHEN 'Saturday' THEN 'Sat'
+           WHEN 'Sunday' THEN 'Sun' END AS day_code
+  FROM events
+),
+a AS (
+  SELECT day_code, COUNT(*) AS n_events FROM d GROUP BY day_code
+)
+SELECT day_code, n_events,
+       round(n_events * 100.0 / SUM(n_events) OVER (), 3) AS pct_events
+FROM a
+""",
 }
 
 QUERIES = {
@@ -652,5 +702,6 @@ QUERIES = {
     "ana_weekly_delta": q_weekly_delta,
     "ana_pivot_day_period": q_pivot_day_period,
     "ana_sessionize": q_sessionize,
+    "ana_day_code_profile": q_day_code_profile,
     "op_merge_upsert": q_merge_upsert,
 }
