@@ -151,3 +151,38 @@ def test_domain_mix_broadcasts_rates(spark, sf_dir):
     plan = _plan(QUERIES["curate_domain_mix"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_text_interface_matches_dataframe(spark, sf_dir):
+    """The engine's tables register as views and the same query expressed as
+    Spark SQL TEXT returns identical results to the DataFrame formulation —
+    the API-parity contract for SQL-first users of the reference."""
+    from spark_spotify.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    assert sorted(map(tuple, sql.collect())) == sorted(
+        map(tuple, df.collect())
+    )
