@@ -92,13 +92,18 @@ def _partition_forest(pairs: DataFrame, parts: int) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    parts: int | None = None,
 ) -> DataFrame:
-    """Min-label propagation with path-halving.
+    """Contraction + min-label propagation with path-halving.
 
     ``nodes``: one column ``node``; ``edges``: columns ``src``/``dst``
     (undirected, any orientation).  Returns (node, label) with label = min
     node id of the component.  Isolated nodes keep their own id.
+    ``parts`` overrides the edge-count-derived partition sizing (tests use
+    it to force the multi-partition propagation path on tiny graphs).
     """
     # Materialize the pair set ONCE before any derivation: the upstream
     # candidate pipeline is the expensive part (and its plan is costly to
@@ -121,10 +126,32 @@ def connected_components(
     spark = nodes.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key)
-    round_parts = max(1, min(int(saved), (2 * n_pairs) // 65536 + 1))
+    round_parts = parts or max(
+        1, min(int(saved), (2 * n_pairs) // 65536 + 1)
+    )
     spark.conf.set(conf_key, str(round_parts))
+    sym = None
     try:
         forest = _partition_forest(pairs, round_parts)
+        if round_parts == 1:
+            # A single-partition contraction saw EVERY edge, so its forest
+            # is already the transitive closure (each node points straight
+            # at its component's min): propagation would only re-verify a
+            # fixpoint.  Materialize the (output-sized) labels so the pair
+            # cache can drop.
+            f = forest.select(
+                F.col("src").alias("node"), F.col("dst").alias("f_label")
+            )
+            labels = (
+                nodes.join(f, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("f_label", F.col("node")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            pairs.unpersist()
+            return labels
         sym = (
             forest.select(
                 F.explode(

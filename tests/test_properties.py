@@ -170,3 +170,10 @@ def test_connected_components_matches_union_find_model(
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == want
+    # forced multi-partition contraction: exercises the propagation rounds
+    # (auto-sizing picks 1 partition for graphs this small)
+    got3 = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes_df, edges_df, parts=3).collect()
+    }
+    assert got3 == want
