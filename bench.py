@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "rel_local_supplier_volume",
     "ana_day_code_profile",
+    "text_char_entropy",
 ]
 
 

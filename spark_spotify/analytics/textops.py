@@ -299,6 +299,47 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy (bits/char) + distinct-char
+    count — the compression-proxy quality signal that separates natural
+    text from base64 blobs, repeated padding, and binary spill.
+
+    Dataflow: one char explode → (doc, char) counts (map-side combinable)
+    → per-doc sum of -p·log2 p terms.  Each term is quantized to integer
+    micro-bits before the sum (same exactness trick as
+    ``text_unigram_logprob``), so the result is aggregation-order-proof and
+    engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = (
+        fan_out(d)
+        .select("doc_id", F.trim(F.col("text")).alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select(
+            "doc_id",
+            "nt",
+            F.explode(F.sequence(F.lit(1), F.length("nt"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(nt, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.col("n_tot")
+    term = F.round(-p * F.log2(p) * LOGP_SCALE, 0).cast("bigint")
+    return (
+        counts.withColumn("n_tot", F.sum("c").over(w))
+        .select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(F.sum("t") / F.lit(float(LOGP_SCALE)), 6).alias(
+                "char_entropy_bits"
+            ),
+        )
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -400,6 +441,25 @@ SELECT t.doc_id,
          AS mean_neg_logp
 FROM toks t JOIN probs p ON t.token = p.token
 GROUP BY t.doc_id
+""",
+    "text_char_entropy": """
+WITH chars AS (
+  SELECT doc_id, substr(nt, CAST(i AS INT), 1) AS ch
+  FROM (
+    SELECT doc_id, trim(text) AS nt FROM documents WHERE length(trim(text)) > 0
+  ), unnest(range(1, length(nt) + 1)) r(i)
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+wt AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n_tot FROM counts
+)
+SELECT doc_id,
+       COUNT(*) AS n_distinct_chars,
+       round(SUM(CAST(round(-(c / n_tot) * log2(c / n_tot) * 1000000, 0)
+                      AS BIGINT)) / 1000000.0, 6) AS char_entropy_bits
+FROM wt GROUP BY doc_id
 """,
     "text_quality_gate": """
 WITH t AS (
@@ -581,4 +641,5 @@ QUERIES = {
     "text_quality_gate": q_quality_gate,
     "text_vocab_build": q_vocab_build,
     "text_unigram_logprob": q_unigram_logprob,
+    "text_char_entropy": q_char_entropy,
 }
