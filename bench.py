@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "rel_local_supplier_volume",
     "ana_day_code_profile",
     "text_char_entropy",
+    "rel_small_qty_revenue",
 ]
 
 

@@ -146,6 +146,46 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q17_FRACTION = 0.5
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated-AVG decorrelation: revenue from
+    lineitems whose quantity is below half their PART's average quantity.
+    The reference dialect would write a correlated scalar subquery
+    (``WHERE l_quantity < (SELECT 0.5*avg(l_quantity) ... same part)``);
+    Spark executes it as the decorrelated form — one per-part aggregate
+    joined back — which is also the only shape that scales: one pass for
+    the thresholds, one for the probe, no per-row re-aggregation.
+
+    Scale: both sides shuffle on l_partkey once (Exchange reuse makes the
+    threshold join ride the same partitioning); per-part thresholds are
+    part-cardinality-sized.  Exact decimal math throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # threshold as (exact decimal sum -> double) / count * fraction: one
+    # deterministic IEEE op sequence both engines reproduce (a native
+    # decimal AVG would carry engine-specific result scales)
+    thresholds = li.groupBy("l_partkey").agg(
+        (
+            F.lit(Q17_FRACTION)
+            * (
+                F.sum(dec(F.col("l_quantity"))).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cut")
+    )
+    probe = li.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cut")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(dec(F.col("l_extendedprice")))
+        .cast("double")
+        .alias("small_qty_revenue"),
+    )
+
+
 URGENT = "1-URGENT"
 
 
@@ -466,6 +506,20 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate < DATE '{Q5_END}'
 GROUP BY n.n_name
 """,
+    "rel_small_qty_revenue": f"""
+WITH t AS (
+  SELECT l_partkey,
+         {Q17_FRACTION} * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                                AS DOUBLE) / COUNT(*)) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small_lineitems,
+       COUNT(DISTINCT l.l_partkey) AS n_parts,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS small_qty_revenue
+FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.qty_cut
+""",
     "rel_customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer c
@@ -523,6 +577,7 @@ QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_star_revenue": q_star_revenue,
     "rel_local_supplier_volume": q_local_supplier_volume,
+    "rel_small_qty_revenue": q_small_qty_revenue,
     "rel_customers_no_urgent": q_customers_no_urgent,
     "rel_customers_big_order": q_customers_big_order,
     "rel_segment_orders": q_segment_orders,
