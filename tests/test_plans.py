@@ -186,3 +186,14 @@ def test_sql_text_interface_matches_dataframe(spark, sf_dir):
     assert sorted(map(tuple, sql.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_bench_list_resolves_in_registry():
+    import bench
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
+    assert not missing, missing
+    dupes = {
+        q for q in bench.BENCH_QUERIES if bench.BENCH_QUERIES.count(q) > 1
+    }
+    assert not dupes, dupes
