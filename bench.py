@@ -129,6 +129,12 @@ def main() -> None:
             for tbl in spark.catalog.listTables():
                 if tbl.isTemporary:
                     spark.catalog.dropTempView(tbl.name)
+            # Python gc BEFORE JVM gc: py4j handles on dropped DataFrames
+            # pin their JVM plans (and any localCheckpoint blocks) until
+            # the Python side collects, so System.gc alone frees nothing
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
