@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ana_day_code_profile",
     "text_char_entropy",
     "rel_small_qty_revenue",
+    "sim_pq_audit",
 ]
 
 

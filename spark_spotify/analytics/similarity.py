@@ -351,6 +351,86 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization audit (PQ codebook assignment) -------------------
+#
+# The ANN-index compression stage after IVF: split each vector into PQ_SUB
+# subvectors, assign each to its nearest codebook centroid (codebooks =
+# subvectors of the first PQ_CENTS corpus vectors — deterministic, same
+# convention as the IVF coarse quantizer), and report the code string +
+# reconstruction MSE.  At 100 TB the codebooks are a broadcast table and
+# assignment is scan-side; the per-(vector, subspace) argmin is a
+# window-rank over PQ_CENTS broadcast rows.
+
+PQ_SUB = 8
+PQ_DIM = EMB_DIM // PQ_SUB
+PQ_CENTS = 16
+PQ_QSCALE = 1_000_000_000
+
+
+def q_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ code (8 centroid ids) and reconstruction MSE.
+
+    Determinism: subspace L2 distances are fixed-order 8-term folds
+    (engine-identical IEEE sequences); the argmin tie-breaks on centroid
+    id; per-subspace distances are quantized to integer nano-units before
+    the cross-subspace sum so the MSE is aggregation-order-proof."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", F.expr(E_SQL).alias("e"))
+    sub = base.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("e", s * PQ_DIM + 1, PQ_DIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("s", "v"),
+    )
+    cents = sub.filter(F.col("vec_id") < PQ_CENTS).select(
+        F.col("s").alias("cs"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+    )
+    dist = F.expr(
+        " + ".join(
+            f"((v[{i}] - cv[{i}]) * (v[{i}] - cv[{i}]))"
+            for i in range(PQ_DIM)
+        )
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dist"), F.asc("cent_id")
+    )
+    best = (
+        sub.join(F.broadcast(cents), F.col("s") == F.col("cs"))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "qdist",
+            F.round(F.col("dist") * PQ_QSCALE, 0).cast("bigint"),
+        )
+    )
+    return best.groupBy("vec_id", "label").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "cent_id"))),
+                lambda x: x["cent_id"].cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(
+            F.sum("qdist")
+            / F.lit(float(PQ_QSCALE))
+            / F.lit(float(EMB_DIM)),
+            6,
+        ).alias("recon_mse"),
+    )
+
+
 def _sql_plane(i: int) -> str:
     return (
         f"list_transform(range(64), "
@@ -374,7 +454,43 @@ _SQL_QERR = (
     "(x - floor(x / s + 0.5) * s) * (x - floor(x / s + 0.5) * s)"
 )
 
+_SQL_PQ_DIST = " + ".join(
+    f"((v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}]))"
+    for i in range(PQ_DIM)
+)
+
 ORACLE = {
+    "sim_pq_audit": f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+sub AS (
+  SELECT vec_id, label, CAST(g.s AS INT) AS s,
+         list_slice(e, CAST(g.s AS INT) * {PQ_DIM} + 1,
+                    CAST(g.s AS INT) * {PQ_DIM} + {PQ_DIM}) AS v
+  FROM base CROSS JOIN generate_series(0, {PQ_SUB - 1}) g(s)
+),
+cents AS (
+  SELECT s AS cs, vec_id AS cent_id, v AS cv FROM sub
+  WHERE vec_id < {PQ_CENTS}
+),
+scored AS (
+  SELECT sub.vec_id, sub.label, sub.s, cents.cent_id,
+         {_SQL_PQ_DIST} AS dist
+  FROM sub JOIN cents ON sub.s = cents.cs
+),
+best AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY vec_id, s ORDER BY dist ASC, cent_id ASC) AS rn,
+         CAST(round(dist * {PQ_QSCALE}, 0) AS BIGINT) AS qdist
+  FROM scored
+)
+SELECT vec_id, label,
+       string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY s) AS pq_code,
+       round(SUM(qdist) / {PQ_QSCALE}.0 / {EMB_DIM}.0, 6) AS recon_mse
+FROM best WHERE rn = 1
+GROUP BY vec_id, label
+""",
     "sim_quantize_int8": f"""
 WITH b AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -504,4 +620,5 @@ QUERIES = {
     "sim_ann_ivf_topk": q_ann_ivf_topk,
     "sim_label_cohesion": q_label_cohesion,
     "sim_quantize_int8": q_quantize_int8,
+    "sim_pq_audit": q_pq_audit,
 }
