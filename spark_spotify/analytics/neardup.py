@@ -133,6 +133,27 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_doc_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end document dedup: MinHash-LSH near-dup pairs → connected
+    components → per-document verdict (cluster id, cluster size, keeper
+    flag) — the composed "which documents survive" artifact a training
+    pipeline actually consumes, built from the same operators the
+    individual queries gate (operators/dedup + operators/components).
+
+    Oracle: the minhash pair SQL feeding a recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_near_dups(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return cluster_assign(nodes, edges).select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_keeper",
+    )
+
+
 def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature surface check: per-doc first 4 minhash components, one row
     per doc (deterministic regardless of banding)."""
@@ -348,6 +369,26 @@ WHERE round({_sql_dot('a.e', 'c.e')}
 """,
 }
 
+ORACLE["dedup_doc_verdict"] = f"""
+WITH RECURSIVE pairs_v AS (
+{ORACLE["dedup_minhash_near_dups"]}
+),
+e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs_v),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+sz AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+       l.node = l.cluster_id AS is_keeper
+FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+"""
+
 QUERIES = {
     "dedup_minhash_signature": q_minhash_signature_sample,
     "dedup_minhash_near_dups": q_minhash_near_dups,
@@ -355,4 +396,5 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard_dups,
     "dedup_emb_cosine": q_emb_cosine_dups,
     "dedup_cluster_assign": q_cluster_assign,
+    "dedup_doc_verdict": q_doc_dedup_verdict,
 }
