@@ -259,6 +259,11 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         ).alias("band", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # the candidate-pair set is consumed three times downstream (candidate
+    # doc list, intersection join, final assembly); checkpointing the
+    # output-sized result runs the band self-join once AND releases the
+    # signature cache right here — signatures have no further role (the
+    # verify is exact-Jaccard only)
     pairs = (
         a.join(
             b,
@@ -270,7 +275,9 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint()
     )
+    sig.unpersist()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -317,8 +324,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         .filter(F.col("ngram_jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .localCheckpoint()
     )
-    # see minhash_near_dups: release both caches the moment the
+    # see minhash_near_dups: release the gram cache the moment the
     # output-sized verified pairs are materialized
-    sig.unpersist()
     cgrams.unpersist()
     return out
