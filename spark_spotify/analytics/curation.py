@@ -454,9 +454,9 @@ SELECT doc_id, lang,
                            ROWS UNBOUNDED PRECEDING)
                    - len(string_split(trim(text), ' ')))
                   / {float(PACK_BUDGET)}) AS BIGINT) AS bin_id,
-       SUM(len(string_split(trim(text), ' ')))
+       CAST(SUM(len(string_split(trim(text), ' ')))
          OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         AS cum_tokens
+         AS BIGINT) AS cum_tokens
 FROM documents
 """,
 }

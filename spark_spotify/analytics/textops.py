@@ -524,7 +524,7 @@ ranked AS (
   FROM counts
 )
 SELECT doc_id,
-       SUM(n) AS n_tokens,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct_tokens,
        round(COUNT(*) / CAST(SUM(n) AS DOUBLE), 3) AS distinct_ratio,
        MAX(CASE WHEN rank = 1 THEN tok END) AS top_token,
@@ -562,9 +562,9 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        round(SUM(n_chars) / COUNT(*), 2) AS avg_chars,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT source) AS n_sources
 FROM t GROUP BY lang
 """,

@@ -33,20 +33,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. Plain column-pruned, filter-pushdown parquet
     scan — never collect, never infer.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a nanos long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a microsecond
-    timestamp — the same ns->us truncation DuckDB applies, so event-time
-    values are bit-identical across engines.
+    ``events.ts`` has shipped as both parquet TIMESTAMP (current testdata,
+    timestamp[us]) and TIMESTAMP(NANOS) read as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``, older drops).  Branch on the
+    column's actual type: timestamps pass through untouched; a bigint is
+    truncated ns->us — the same truncation DuckDB applies — so event-time
+    values are bit-identical across engines either way.
     """
     pin_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``events.ts`` to session-zone TIMESTAMP whatever the file wrote.
+
+    - timestamp (LTZ): pass through;
+    - timestamp_ntz (current testdata, parquet timestamp[us]
+      isAdjustedToUTC=false): reinterpret in the UTC-pinned session zone —
+      identical wall-clock and epoch micros;
+    - bigint (legacy TIMESTAMP(NANOS) via nanosAsLong): truncate ns->us,
+      matching DuckDB's own ns->us truncation.
+
+    Shared by the batch catalog and the streaming reader so the two paths
+    can never diverge again (round-1 postmortem: they did).
+    """
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "timestamp":
+        return df
+    if ts_type.startswith("timestamp"):
+        return df.withColumn("ts", F.to_timestamp(F.col("ts")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def fan_out(df: DataFrame, min_partitions: int = 32) -> DataFrame:

@@ -30,31 +30,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_spotify.session import pin_session
+from spark_spotify.sources.tables import normalize_event_ts
 
 WATERMARK_DELAY = "10 minutes"
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    A streaming read needs an explicit schema; take it from a batch scan of
+    the same file so the stream always sees the type the file actually wrote
+    (timestamp[us] today, TIMESTAMP(NANOS)-as-long historically), then run
+    the shared ``normalize_event_ts`` — one normalization path for batch and
+    streaming.
+    """
     pin_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streaming sources take a directory; target the single events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_rollup(stream: DataFrame) -> DataFrame:
