@@ -418,6 +418,43 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLL_DAYS = 7
 
 
+def q_nullable_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gender/band-style nullable-dim analytics (J5 end-to-end): fact LEFT
+    JOIN a dimension whose attribute is nullable, filter the unknowns with
+    IS NOT NULL, group by the attribute — the reference's artist-gender
+    dashboard shape (dashboard/sql_query/artist_gender.py:19-28, the bar
+    variant :40-66; artist_band.py:21-27 is the same join with NULLs kept).
+
+    Here events play fact_listening and customer plays dim_artists; the
+    nullable attribute is the market segment with one segment masked to
+    NULL (NULLIF), standing in for dim_artists.gender being unknown for a
+    slice of artists.
+
+    Scale: the dim is customer-sized — broadcast, so the fact side never
+    shuffles for the join; the groupBy is on a low-cardinality attribute
+    and map-side combines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.to_date("ts") >= F.lit(CAL_START)) & (F.to_date("ts") <= F.lit(CAL_END))
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id", "left")
+        .filter(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(
+            F.count("value").alias("n_plays"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day revenue over the daily rollup: RANGE-frame window
     (``rangeBetween`` on a day ordinal, so calendar gaps count as missing
@@ -458,6 +495,18 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "ana_nullable_dim_profile": """
+SELECT
+  NULLIF(c.c_mktsegment, 'MACHINERY') AS segment,
+  COUNT(e.value) AS n_plays,
+  COUNT(DISTINCT e.user_id) AS n_users,
+  round(AVG(e.value), 4) AS avg_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE NULLIF(c.c_mktsegment, 'MACHINERY') IS NOT NULL
+  AND CAST(e.ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+GROUP BY NULLIF(c.c_mktsegment, 'MACHINERY')
+""",
     "ana_rolling_value_7d": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
@@ -691,6 +740,7 @@ FROM a
 }
 
 QUERIES = {
+    "ana_nullable_dim_profile": q_nullable_dim_profile,
     "ana_rolling_value_7d": q_rolling_value_7d,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,

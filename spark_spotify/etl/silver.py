@@ -36,10 +36,14 @@ def clean_events(events: DataFrame) -> DataFrame:
         .otherwise(F.lit(1.0))
         .cast("double")
     )
-    quality_flags = F.concat_ws(
-        ",",
-        F.when(F.col("value").isNull(), F.lit("missing_value")),
-        F.when(F.col("value") < SHORT_VALUE, F.lit("short_play")),
+    # true array<string>, matching the reference's Postgres TEXT[] column
+    # (daily_etl_pipeline.py:264-270) so array predicates like
+    # array_contains(quality_flags, 'x') port directly
+    quality_flags = F.array_compact(
+        F.array(
+            F.when(F.col("value").isNull(), F.lit("missing_value")),
+            F.when(F.col("value") < SHORT_VALUE, F.lit("short_play")),
+        )
     )
     return events.select(
         F.col("event_id"),
@@ -68,15 +72,15 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation summary (_validate_records, spotify_client.py:621-677)
     re-expressed set-wise instead of per-record Python.
 
-    The flags column is a comma-joined string; explode(split) unnests it,
-    empty (clean) rows are filtered before the shuffle, and the total row
-    count rides in as a one-row broadcast cross join — so the shuffled
-    relation is flag-occurrence-sized, not corpus-sized."""
+    The flags column is an array<string>; explode unnests it, empty (clean)
+    rows are filtered before the shuffle, and the total row count rides in
+    as a one-row broadcast cross join — so the shuffled relation is
+    flag-occurrence-sized, not corpus-sized."""
     s = clean_events(load_table(spark, sf_dir, "events"))
     total = s.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        s.filter(F.col("quality_flags") != "")
-        .select(F.explode(F.split("quality_flags", ",")).alias("flag"))
+        s.filter(F.size("quality_flags") > 0)
+        .select(F.explode("quality_flags").alias("flag"))
         .groupBy("flag")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .crossJoin(F.broadcast(total))
@@ -109,21 +113,21 @@ SELECT
   CAST(CASE WHEN value IS NULL THEN 0.5
             WHEN value < 1.0 THEN 0.7
             ELSE 1.0 END AS DOUBLE) AS quality_score,
-  concat_ws(',',
-    CASE WHEN value IS NULL THEN 'missing_value' END,
-    CASE WHEN value < 1.0 THEN 'short_play' END) AS quality_flags
+  list_filter([CASE WHEN value IS NULL THEN 'missing_value' END,
+               CASE WHEN value < 1.0 THEN 'short_play' END],
+              x -> x IS NOT NULL) AS quality_flags
 FROM events
 """,
     "etl_quality_report": """
 WITH s AS (
-  SELECT concat_ws(',',
-    CASE WHEN value IS NULL THEN 'missing_value' END,
-    CASE WHEN value < 1.0 THEN 'short_play' END) AS quality_flags
+  SELECT list_filter([CASE WHEN value IS NULL THEN 'missing_value' END,
+                      CASE WHEN value < 1.0 THEN 'short_play' END],
+                     x -> x IS NOT NULL) AS quality_flags
   FROM events
 ),
 f AS (
-  SELECT unnest(string_split(quality_flags, ',')) AS flag
-  FROM s WHERE quality_flags <> ''
+  SELECT unnest(quality_flags) AS flag
+  FROM s WHERE len(quality_flags) > 0
 )
 SELECT flag, COUNT(*) AS n_rows,
        round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM s), 3) AS pct_rows

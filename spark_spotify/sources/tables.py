@@ -78,9 +78,17 @@ def fan_out(df: DataFrame, min_partitions: int = 32) -> DataFrame:
     runs on one core no matter how wide the cluster is.  The repartition
     shuffles only the *input* rows (cheap), not the exploded output.  At
     100 TB inputs already arrive in thousands of file splits and this becomes
-    a no-op: we only widen, never coalesce."""
-    if df.rdd.getNumPartitions() >= min_partitions:
-        return df
+    a no-op: we only widen, never coalesce.
+
+    Input-file count proxies partition count (callers pass scan-rooted
+    frames): listing files is a driver-side metadata call, whereas
+    ``df.rdd.getNumPartitions()`` would instantiate the Python RDD
+    conversion on every load."""
+    try:
+        if len(df.inputFiles()) >= min_partitions:
+            return df
+    except Exception:
+        pass
     return df.repartition(min_partitions)
 
 
