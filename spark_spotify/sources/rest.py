@@ -59,6 +59,94 @@ def ingest_plays(
     return insert_if_absent(bronze, incoming, ["track_id", "played_at"])
 
 
+AUDIO_FEATURES_BATCH = 100  # Spotify audio-features cap (spotify_client.py:311)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("track_id", T.StringType(), False),
+        T.StructField("danceability", T.DoubleType()),
+        T.StructField("energy", T.DoubleType()),
+        T.StructField("loudness", T.DoubleType()),
+        T.StructField("speechiness", T.DoubleType()),
+        T.StructField("acousticness", T.DoubleType()),
+        T.StructField("instrumentalness", T.DoubleType()),
+        T.StructField("liveness", T.DoubleType()),
+        T.StructField("valence", T.DoubleType()),
+        T.StructField("tempo", T.DoubleType()),
+    ]
+)
+
+
+def ingest_audio_features(
+    spark: SparkSession,
+    fetch_fn: Callable[[list[str]], Iterable[dict]],
+    track_ids: Iterable[str],
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """S3: the dedicated audio-features source (spotify_client.py:300-321).
+
+    Driver-side batched fetch at the API's 100-id cap, then a set-wise
+    idempotent append keyed on track_id.  ``fetch_fn`` takes one id batch
+    and yields feature dicts (the API drops unknown ids; so do we).  The
+    reference enforces the cap by raising on >100 ids — here the batcher
+    makes oversized requests impossible instead."""
+    ids = sorted(set(track_ids))
+    rows: list[dict] = []
+    for i in range(0, len(ids), AUDIO_FEATURES_BATCH):
+        rows.extend(r for r in fetch_fn(ids[i : i + AUDIO_FEATURES_BATCH]) if r)
+    incoming = spark.createDataFrame(rows, AUDIO_FEATURES_SCHEMA)
+    if features is None:
+        return incoming.dropDuplicates(["track_id"])
+    return insert_if_absent(features, incoming, ["track_id"])
+
+
+SEARCH_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType(), False),
+        T.StructField("search_type", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("item_id", T.StringType()),
+        T.StructField("item_name", T.StringType()),
+        T.StructField("popularity", T.IntegerType()),
+    ]
+)
+
+SEARCH_LIMIT = 20  # reference default (spotify_client.py:374)
+
+
+def search_source(
+    spark: SparkSession,
+    fetch_fn: Callable[[str, str, int], Iterable[dict]],
+    queries: Iterable[str],
+    search_type: str = "track",
+    limit: int = SEARCH_LIMIT,
+) -> DataFrame:
+    """S4: the search source (spotify_client.py:374-397) as a DataFrame.
+
+    One driver-side API call per query (``fetch_fn(query, type, limit)``
+    yields result items in API rank order), flattened to one row per
+    (query, rank) with the item's id/name/popularity — the columns the
+    reference's search consumers read.  Rank is the API's result order,
+    preserved explicitly so downstream sorts never depend on ingestion
+    order."""
+    rows = []
+    for q in queries:
+        for rank, item in enumerate(fetch_fn(q, search_type, limit), start=1):
+            if rank > limit:
+                break
+            rows.append(
+                {
+                    "query": q,
+                    "search_type": search_type,
+                    "rank": rank,
+                    "item_id": item.get("id"),
+                    "item_name": item.get("name"),
+                    "popularity": item.get("popularity"),
+                }
+            )
+    return spark.createDataFrame(rows, SEARCH_SCHEMA)
+
+
 def new_ids_for_enrichment(bronze: DataFrame, dim: DataFrame, key: str) -> list[list[str]]:
     """Ids present in bronze but absent from the dim, batched at the API cap —
     the set-wise replacement for the reference's per-row existence probes

@@ -7,7 +7,12 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from spark_spotify.operators.merge import insert_if_absent, merge_upsert
-from spark_spotify.sources.rest import ingest_plays, new_ids_for_enrichment
+from spark_spotify.sources.rest import (
+    ingest_audio_features,
+    ingest_plays,
+    new_ids_for_enrichment,
+    search_source,
+)
 from spark_spotify.streaming.pipeline import run_hourly_rollup
 from tests.oracle import compare
 
@@ -60,6 +65,52 @@ def test_new_ids_batching(spark):
     batches = new_ids_for_enrichment(bronze, dim, "track_id")
     assert [len(b) for b in batches] == [50, 50, 18]
     assert "id000" not in batches[0]
+
+
+def test_audio_features_batched_idempotent(spark):
+    calls = []
+
+    def fake_fetch(ids):
+        calls.append(list(ids))
+        # the API drops unknown ids — emit features for all but one
+        return [
+            {"track_id": t, "danceability": 0.5, "energy": 0.9,
+             "loudness": -5.0, "speechiness": 0.1, "acousticness": 0.2,
+             "instrumentalness": 0.0, "liveness": 0.3, "valence": 0.4,
+             "tempo": 120.0}
+            for t in ids if t != "id000"
+        ]
+
+    ids = [f"id{i:03d}" for i in range(150)] + ["id001"]  # dup collapses
+    feats = ingest_audio_features(spark, fake_fetch, ids, None)
+    assert [len(b) for b in calls] == [100, 50]  # API cap respected
+    assert feats.count() == 149  # 150 unique - 1 unknown
+    # re-ingest with changed values — original rows survive (idempotent)
+    feats2 = ingest_audio_features(
+        spark,
+        lambda b: [{**r.asDict(), "tempo": 999.0} for r in feats.collect()
+                   if r.track_id in b],
+        ["id001", "id555"],
+        feats,
+    )
+    assert feats2.count() == 149
+    assert feats2.filter(F.col("tempo") == 999.0).count() == 0
+
+
+def test_search_source_rank_order(spark):
+    def fake_search(q, stype, limit):
+        assert stype == "track" and limit == 2
+        return [
+            {"id": f"{q}_a", "name": "A", "popularity": 10},
+            {"id": f"{q}_b", "name": "B", "popularity": 7},
+            {"id": f"{q}_c", "name": "C", "popularity": 99},  # beyond limit
+        ]
+
+    out = search_source(spark, fake_search, ["q1", "q2"], "track", limit=2)
+    rows = sorted(tuple(r) for r in out.collect())
+    assert len(rows) == 4  # 2 queries × limit 2, over-limit items dropped
+    assert rows[0] == ("q1", "track", 1, "q1_a", "A", 10)
+    assert rows[1] == ("q1", "track", 2, "q1_b", "B", 7)
 
 
 def test_streaming_rollup_matches_batch_oracle(spark, sf_dir):
