@@ -263,7 +263,10 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     # doc list, intersection join, final assembly); checkpointing the
     # output-sized result runs the band self-join once AND releases the
     # signature cache right here — signatures have no further role (the
-    # verify is exact-Jaccard only)
+    # verify is exact-Jaccard only).  Cluster caveat (SCALE.md "cache
+    # lifecycle"): localCheckpoint blocks are unreplicated and this one
+    # still has pending consumers, so preemptible-executor deployments
+    # should use reliable checkpoint() here or keep `sig` persisted.
     pairs = (
         a.join(
             b,
