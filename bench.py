@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "rel_small_qty_revenue",
     "sim_pq_audit",
+    "ana_nullable_dim_profile",
 ]
 
 
