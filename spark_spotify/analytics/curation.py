@@ -227,7 +227,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)),
     )
-    base = d.filter(F.size(toks) >= DECON_N).select(
+    base = fan_out(d).filter(F.size(toks) >= DECON_N).select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
     ev = base.filter(F.col("doc_id") % EVAL_MOD == 0).select(
