@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "rel_small_qty_revenue",
     "sim_pq_audit",
     "ana_nullable_dim_profile",
+    "sim_kmeans_step",
+    "text_bm25_topk",
 ]
 
 

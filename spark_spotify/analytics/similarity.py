@@ -253,6 +253,77 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means step (spherical Lloyd iteration) ------------------------------
+#
+# One iteration of spherical k-means over the embedding table: assign every
+# vector to its max-cosine centroid (the IVF coarse quantizer's assignment,
+# reused verbatim), then report per-cluster size and CENTROID SHIFT — the
+# L2 distance between the old centroid and the new member mean, i.e. the
+# convergence signal a Lloyd loop monitors.  The driver-side loop that
+# iterates this to convergence is the same pattern as the IVF note above:
+# re-run with centroids swapped; the operator's dataflow never changes.
+#
+# Engine determinism (the same integer-quantization trick as
+# sim_label_cohesion): member coordinates quantize to round(x*1e6) BIGINTs,
+# so per-(cell, dim) sums are exact integer math; the shift is computed in
+# the all-integer form  D_d = sum_q_d − n·q_c_d  (q_c is the centroid's own
+# quantization — exact, centroids are data vectors), then
+# shift = sqrt(Σ D_d²) / (n·1e6) with the square-sum accumulated as exact
+# DECIMAL(38,0) — associative, partitioning-independent; one final
+# cast-to-double + sqrt in both engines.
+#
+# Scale: assignment is a broadcast-K cross join + per-row argmax (pure scan
+# fan-out); the mean is a (cell, dim)-keyed shuffle that map-side combines
+# to K×64 rows; the shift join is K×64 vs K×64.  No stage sees more than
+# corpus-scan work.
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    cells = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    dims = cells.select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    ).withColumn("qx", F.round(F.col("x") * Q_SCALE, 0).cast("bigint"))
+    percell = dims.groupBy("cell", "dim").agg(
+        F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    centq = cents.select(
+        F.col("cent_id").alias("cell"), F.posexplode("cvec").alias("dim", "cx")
+    ).withColumn("qc", F.round(F.col("cx") * Q_SCALE, 0).cast("bigint"))
+    d = (F.col("sq") - F.col("n") * F.col("qc")).cast("decimal(19,0)")
+    return (
+        percell.join(F.broadcast(centq), ["cell", "dim"])
+        .withColumn("d", d)
+        .groupBy("cell")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.round(
+                F.sqrt(F.sum(F.col("d") * F.col("d")).cast("double"))
+                / (F.max("n") * F.lit(float(Q_SCALE))),
+                6,
+            ).alias("centroid_shift"),
+        )
+    )
+
+
 # --- label cohesion (embedding-quality profiling) --------------------------
 #
 # Per-label centroid + cosine-to-centroid cohesion — the "are my clusters
@@ -505,6 +576,52 @@ SELECT vec_id, label,
          AS recon_mse
 FROM b
 """,
+    "sim_kmeans_step": f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cvec, nrm AS cnrm
+  FROM base WHERE vec_id < {N_CELLS}
+),
+scored AS (
+  SELECT b.vec_id, b.v, c.cent_id,
+         {_sql_dot('b.v', 'c.cvec')} / (b.nrm * c.cnrm) AS cos_c
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cent_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+dims AS (
+  SELECT cell, CAST(r.i AS INT) AS dim,
+         CAST(round(v[CAST(r.i AS INT) + 1] * {Q_SCALE}, 0) AS BIGINT) AS qx
+  FROM assign CROSS JOIN range({EMB_DIM}) r(i)
+),
+percell AS (
+  SELECT cell, dim, SUM(qx) AS sq, COUNT(*) AS n
+  FROM dims GROUP BY cell, dim
+),
+centq AS (
+  SELECT cent_id AS cell, CAST(r.i AS INT) AS dim,
+         CAST(round(cvec[CAST(r.i AS INT) + 1] * {Q_SCALE}, 0) AS BIGINT) AS qc
+  FROM cents CROSS JOIN range({EMB_DIM}) r(i)
+),
+j AS (
+  SELECT p.cell, p.n,
+         CAST(p.sq - p.n * c.qc AS DECIMAL(19,0)) AS d
+  FROM percell p JOIN centq c ON p.cell = c.cell AND p.dim = c.dim
+)
+SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members,
+       round(sqrt(CAST(SUM(d * d) AS DOUBLE)) / (MAX(n) * {Q_SCALE}.0), 6)
+         AS centroid_shift
+FROM j GROUP BY cell
+""",
     "sim_label_cohesion": f"""
 WITH base AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -618,6 +735,7 @@ QUERIES = {
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
+    "sim_kmeans_step": q_kmeans_step,
     "sim_label_cohesion": q_label_cohesion,
     "sim_quantize_int8": q_quantize_int8,
     "sim_pq_audit": q_pq_audit,

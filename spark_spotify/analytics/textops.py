@@ -340,6 +340,86 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "merge", "window")
+BM25_TOP_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query (Robertson/Spärck
+    Jones; the retrieval scorer behind quality-filtering-by-query and
+    RAG-corpus triage).  Per-doc term frequencies come from per-row array
+    filters (no corpus explode); the corpus stats the score needs
+    (N, Σdl, per-term document frequencies) collapse to ONE row that rides
+    in as a broadcast cross join — so the whole query is two scans of the
+    corpus and a driver-free single-row join, no corpus-sized shuffle at
+    any scale.
+
+    Engine determinism: tf/df/dl are exact integers; the score is a
+    fixed-shape double expression (explicit parenthesization mirrored in
+    the oracle SQL, ln on identically-constructed doubles), summed over the
+    fixed term list left-to-right, so both engines execute the identical
+    IEEE sequence.  Ties break on doc_id."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    def _matches(term: str):
+        # single-arg lambda: a two-arg lambda would be given (element, index)
+        return lambda x: x == F.lit(term)
+
+    tf = base.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter(F.col("toks"), _matches(t))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    scored = tf.crossJoin(F.broadcast(stats)).withColumn("avgdl", avgdl)
+
+    def term_score(i: int):
+        idf = F.log(
+            (
+                (F.col("n_docs").cast("double") - F.col(f"df{i}").cast("double"))
+                + F.lit(0.5)
+            )
+            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_d = F.col(f"tf{i}").cast("double")
+        denom = tf_d + (
+            F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + ((F.lit(BM25_B) * F.col("dl").cast("double")) / F.col("avgdl"))
+            )
+        )
+        return idf * ((tf_d * F.lit(BM25_K1 + 1.0)) / denom)
+
+    score = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+    n_hits = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    return (
+        scored.withColumn("score", F.round(score, 6))
+        .withColumn("n_hits", n_hits.cast("int"))
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "score", F.col("dl").alias("n_tokens"), "n_hits")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -409,6 +489,62 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "text_bm25_topk": f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS INT) AS dl,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              x -> x = '{BM25_TERMS[0]}')) AS INT) AS tf0,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              x -> x = '{BM25_TERMS[1]}')) AS INT) AS tf1,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              x -> x = '{BM25_TERMS[2]}')) AS INT) AS tf2
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tf
+),
+scored AS (
+  SELECT t.doc_id, t.dl, t.tf0, t.tf1, t.tf2,
+         CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl,
+         s.n_docs, s.df0, s.df1, s.df2
+  FROM tf t CROSS JOIN stats s
+),
+b AS (
+  SELECT doc_id, dl, tf0 + tf1 + tf2 AS n_hits,
+    ((ln((((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE)) + 0.5)
+          / (CAST(df0 AS DOUBLE) + 0.5)) + 1.0)
+      * ((CAST(tf0 AS DOUBLE) * {BM25_K1 + 1.0!r})
+         / (CAST(tf0 AS DOUBLE)
+            + ({BM25_K1!r} * ({1.0 - BM25_B!r}
+               + (({BM25_B!r} * CAST(dl AS DOUBLE)) / avgdl)))))
+     + ln((((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE)) + 0.5)
+          / (CAST(df1 AS DOUBLE) + 0.5)) + 1.0)
+      * ((CAST(tf1 AS DOUBLE) * {BM25_K1 + 1.0!r})
+         / (CAST(tf1 AS DOUBLE)
+            + ({BM25_K1!r} * ({1.0 - BM25_B!r}
+               + (({BM25_B!r} * CAST(dl AS DOUBLE)) / avgdl))))))
+     + ln((((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE)) + 0.5)
+          / (CAST(df2 AS DOUBLE) + 0.5)) + 1.0)
+      * ((CAST(tf2 AS DOUBLE) * {BM25_K1 + 1.0!r})
+         / (CAST(tf2 AS DOUBLE)
+            + ({BM25_K1!r} * ({1.0 - BM25_B!r}
+               + (({BM25_B!r} * CAST(dl AS DOUBLE)) / avgdl))))))
+    AS raw_score
+  FROM scored
+)
+SELECT doc_id, round(raw_score, 6) AS score,
+       dl AS n_tokens, CAST(n_hits AS INT) AS n_hits
+FROM b
+WHERE n_hits > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+""",
     "text_vocab_build": """
 WITH counts AS (
   SELECT tok AS token, COUNT(*) AS n_occurrences
@@ -642,4 +778,5 @@ QUERIES = {
     "text_vocab_build": q_vocab_build,
     "text_unigram_logprob": q_unigram_logprob,
     "text_char_entropy": q_char_entropy,
+    "text_bm25_topk": q_bm25_topk,
 }
