@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "ana_nullable_dim_profile",
     "sim_kmeans_step",
     "text_bm25_topk",
+    "dedup_incremental",
 ]
 
 

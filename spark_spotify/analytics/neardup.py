@@ -22,6 +22,8 @@ from spark_spotify.analytics.similarity import (
 )
 from spark_spotify.operators.components import cluster_assign
 from spark_spotify.operators.dedup import (
+    JACCARD_THRESHOLD,
+    incremental_near_dups,
     minhash_near_dups,
     ngram_jaccard_near_dups,
     signatures,
@@ -42,6 +44,20 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+INCR_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch"; the rest, corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (operators/dedup.py
+    ``incremental_near_dups``): every fifth document plays the incoming
+    batch, the rest the already-ingested corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        d.filter(F.col("doc_id") % INCR_MOD == 0),
+        d.filter(F.col("doc_id") % INCR_MOD != 0),
+    )
 
 
 def _emb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +338,92 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 3) >= 0.4
 """,
+    "dedup_incremental": f"""
+WITH sh_n AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+          FROM documents WHERE doc_id % 5 = 0)
+  )
+),
+sh_o AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+          FROM documents WHERE doc_id % 5 <> 0)
+  )
+),
+exact AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS exact_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 5 = 0) n
+  JOIN (SELECT doc_id, md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 5 <> 0) o ON n.fp = o.fp
+  GROUP BY n.doc_id
+),
+sig_n AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh_n, generate_series(0, 11) g(seed)
+  GROUP BY doc_id, seed
+),
+sig_o AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh_o, generate_series(0, 11) g(seed)
+  GROUP BY doc_id, seed
+),
+bands_n AS (
+  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+         MIN(mh) || '|' || MAX(mh) AS band_val
+  FROM sig_n GROUP BY doc_id, CAST(floor(seed / 2) AS INT)
+),
+bands_o AS (
+  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+         MIN(mh) || '|' || MAX(mh) AS band_val
+  FROM sig_o GROUP BY doc_id, CAST(floor(seed / 2) AS INT)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands_n n
+  JOIN bands_o o ON n.band = o.band AND n.band_val = o.band_val
+),
+sizes_n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_n GROUP BY doc_id),
+sizes_o AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_o GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh_n a ON a.doc_id = c.new_id
+  JOIN sh_o b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY c.new_id, c.old_id
+),
+scored AS (
+  SELECT i.new_id, i.old_id,
+         round(i.n_common / (sn.n_sh + so.n_sh - i.n_common), 3) AS jaccard
+  FROM inter i
+  JOIN sizes_n sn ON sn.doc_id = i.new_id
+  JOIN sizes_o so ON so.doc_id = i.old_id
+),
+best AS (
+  SELECT new_id AS doc_id, old_id AS near_id, jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, old_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'drop_exact'
+            WHEN b.jaccard >= {JACCARD_THRESHOLD} THEN 'drop_near'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+            WHEN b.jaccard >= {JACCARD_THRESHOLD} THEN b.near_id
+            END AS match_id,
+       CASE WHEN e.exact_id IS NULL AND b.jaccard >= {JACCARD_THRESHOLD}
+            THEN b.jaccard END AS match_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN best b ON b.doc_id = n.doc_id
+""",
     "dedup_cluster_assign": f"""
 WITH RECURSIVE b AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_BUCKET} AS bucket
@@ -394,6 +496,7 @@ QUERIES = {
     "dedup_minhash_near_dups": q_minhash_near_dups,
     "dedup_simhash_near_dups": q_simhash_near_dups,
     "dedup_ngram_jaccard": q_ngram_jaccard_dups,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_emb_cosine": q_emb_cosine_dups,
     "dedup_cluster_assign": q_cluster_assign,
     "dedup_doc_verdict": q_doc_dedup_verdict,

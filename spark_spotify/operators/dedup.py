@@ -117,11 +117,12 @@ def signatures(
     )
 
 
-def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH banding with rows-per-band = 2: band value = the (order-
-    insensitive) least||greatest of the two signature components; one
-    self-join on (band, band_val)."""
-    bands = sigs.select(
+def band_rows(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, band_val) LSH band rows, rows-per-band = 2: band value
+    = the (order-insensitive) least||greatest of the two signature
+    components.  The join key of every banded-LSH consumer — self-join for
+    corpus dedup, cross-set join for incremental dedup."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -134,6 +135,11 @@ def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
+
+
+def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding self-join on (band, band_val) — see ``band_rows``."""
+    bands = band_rows(sigs, n_bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -200,6 +206,107 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
     # signature cache be released NOW — a resident persist pins its plan's
     # generated code for the session and degrades every later query
     sigs.unpersist()
+    return out
+
+
+def incremental_near_dups(
+    new_docs: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Per-batch incremental dedup: one verdict row per NEW document
+    against an EXISTING corpus — the shape a production ingestion pipeline
+    actually runs (the full-corpus self-join happens once; every later
+    batch is deduped against the index).
+
+    Verdict precedence: ``drop_exact`` (normalized-text fingerprint already
+    in the corpus, match_id = lowest matching doc), then ``drop_near``
+    (best exact-Jaccard LSH match >= JACCARD_THRESHOLD, match_id/-jaccard
+    = the argmax match, ties to the lowest doc_id), else ``keep``.
+
+    Scale: at 100 TB the corpus fingerprints, signatures, and band rows are
+    MAINTAINED artifacts (bucketed tables keyed by fp / (band, band_val)),
+    not recomputed — this function recomputes them only because the local
+    harness has no warehouse between calls.  Per-batch cost is then
+    batch-sized: the fingerprint join and band join are lookups into
+    bucketed indexes (co-partitioned, no corpus shuffle), candidates are
+    batch-bounded, and the verify touches only candidate shingle sets.
+    Docs too short to shingle simply keep (no basis to near-dup them);
+    the exact check still covers them."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    exact = (
+        new_docs.select("doc_id", fp.alias("fp"))
+        .join(
+            corpus.select(fp.alias("fp"), F.col("doc_id").alias("old_id")),
+            "fp",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_id"))
+    )
+    sig_new = signatures(new_docs).persist()
+    sig_old = signatures(corpus).persist()
+    cand = (
+        band_rows(sig_new)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            band_rows(sig_old).withColumnRenamed("doc_id", "old_id"),
+            ["band", "band_val"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    nc = F.size(F.array_intersect("sh_n", "sh_o"))
+    jac = F.round(nc / (F.size("sh_n") + F.size("sh_o") - nc), 3)
+    scored = (
+        cand.join(
+            sig_new.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("shingles").alias("sh_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            sig_old.select(
+                F.col("doc_id").alias("old_id"),
+                F.col("shingles").alias("sh_o"),
+            ),
+            "old_id",
+        )
+        .withColumn("jaccard", jac)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("old_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("near_id"),
+            "jaccard",
+        )
+    )
+    is_near = F.col("jaccard") >= JACCARD_THRESHOLD
+    out = (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("drop_exact"))
+            .when(is_near, F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.when(F.col("exact_id").isNotNull(), F.col("exact_id"))
+            .when(is_near, F.col("near_id"))
+            .alias("match_id"),
+            F.when(F.col("exact_id").isNull() & is_near, F.col("jaccard"))
+            .alias("match_jaccard"),
+        )
+        .localCheckpoint()
+    )
+    sig_new.unpersist()
+    sig_old.unpersist()
     return out
 
 

@@ -113,6 +113,39 @@ def test_search_source_rank_order(spark):
     assert rows[1] == ("q1", "track", 2, "q1_b", "B", 7)
 
 
+def test_incremental_dedup_verdicts(spark):
+    from spark_spotify.operators.dedup import incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 (modulo case/whitespace)
+            (10, "  Alpha beta gamma delta epsilon zeta eta theta "),
+            # near-dup of corpus doc 2: one token changed at the end
+            (11, "one two three four five six seven eight nine eleven"),
+            # unrelated
+            (12, "completely different words with no overlap at all"),
+            # too short to shingle, no exact match -> keep
+            (13, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in incremental_near_dups(batch, corpus).collect()
+    }
+    assert rows[10].verdict == "drop_exact" and rows[10].match_id == 1
+    assert rows[11].verdict == "drop_near" and rows[11].match_id == 2
+    assert rows[11].match_jaccard is not None
+    assert rows[12].verdict == "keep" and rows[12].match_id is None
+    assert rows[13].verdict == "keep"
+
+
 def test_streaming_rollup_matches_batch_oracle(spark, sf_dir):
     from spark_spotify.streaming.pipeline import ORACLE
 

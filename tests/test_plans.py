@@ -153,6 +153,24 @@ def test_domain_mix_broadcasts_rates(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bm25_stats_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """The one-row corpus-stats relation must broadcast back onto the
+    per-doc tf rows; a shuffled join here would shuffle the corpus for a
+    single-row lookup."""
+    plan = _plan(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """K centroids must broadcast for the assignment cross join — the
+    corpus side stays scan-parallel with no shuffle before the (cell, dim)
+    aggregation."""
+    plan = _plan(QUERIES["sim_kmeans_step"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_sql_text_interface_matches_dataframe(spark, sf_dir):
     """The engine's tables register as views and the same query expressed as
     Spark SQL TEXT returns identical results to the DataFrame formulation —
