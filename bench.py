@@ -103,6 +103,21 @@ BENCH_QUERIES = [
     "sim_kmeans_step",
     "text_bm25_topk",
     "dedup_incremental",
+    "ana_pivot_day_period",
+    "ana_top_users",
+    "ana_weekly_delta",
+    "dedup_doc_verdict",
+    "dedup_minhash_signature",
+    "etl_date_dim",
+    "etl_event_type_dim",
+    "etl_incremental_pipeline",
+    "etl_watermark",
+    "rel_customers_big_order",
+    "rel_customers_no_urgent",
+    "rel_segment_orders",
+    "rel_segment_stats",
+    "text_lang_id",
+    "text_lang_profile",
 ]
 
 
