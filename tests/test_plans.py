@@ -153,6 +153,15 @@ def test_domain_mix_broadcasts_rates(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_nullable_dim_profile_broadcasts_dim(spark, sf_dir):
+    """The customer-derived dim must broadcast onto the events fact — the
+    artist-gender dashboard shape must never shuffle the fact side for a
+    dim-sized join."""
+    plan = _plan(QUERIES["ana_nullable_dim_profile"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bm25_stats_broadcast_no_corpus_shuffle(spark, sf_dir):
     """The one-row corpus-stats relation must broadcast back onto the
     per-doc tf rows; a shuffled join here would shuffle the corpus for a

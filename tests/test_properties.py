@@ -124,6 +124,69 @@ def test_simhash_banding_is_exhaustive_within_hamming3(spark, docs):
     assert got == want
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy ", min_size=0, max_size=30), min_size=1, max_size=10
+    ),
+    n_batch=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_incremental_dedup_laws(spark, texts, n_batch):
+    """Laws that hold regardless of LSH luck: one verdict row per new doc;
+    drop_exact iff the normalized fingerprint exists in the corpus, with
+    match_id = the lowest matching corpus doc; any reported near-dup
+    jaccard equals the true shingle-set Jaccard of the reported pair and
+    clears the threshold.  (Near-dup RECALL is hash-dependent and not a
+    law — missed near-dups legitimately 'keep'.)"""
+    from spark_spotify.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_W,
+        incremental_near_dups,
+    )
+
+    n_batch = min(n_batch, len(texts))
+    batch = [(i, t) for i, t in enumerate(texts[:n_batch])]
+    corpus = [(100 + i, t) for i, t in enumerate(texts[n_batch:])]
+    schema = "doc_id long, text string"
+    out = {
+        r.doc_id: r
+        for r in incremental_near_dups(
+            spark.createDataFrame(batch, schema),
+            spark.createDataFrame(corpus, schema) if corpus
+            else spark.createDataFrame([], schema),
+        ).collect()
+    }
+    assert sorted(out) == [i for i, _ in batch]  # exactly one row per doc
+
+    def norm(t):
+        return t.strip().lower()
+
+    def shingles(t):
+        toks = [x for x in t.strip().split(" ")]
+        return {
+            " ".join(toks[i : i + SHINGLE_W])
+            for i in range(len(toks) - SHINGLE_W + 1)
+        }
+
+    corpus_by_fp = {}
+    for cid, ct in corpus:
+        corpus_by_fp.setdefault(norm(ct), []).append(cid)
+    for bid, bt in batch:
+        r = out[bid]
+        exact_ids = corpus_by_fp.get(norm(bt), [])
+        if exact_ids:
+            assert r.verdict == "drop_exact" and r.match_id == min(exact_ids)
+        else:
+            assert r.verdict in ("drop_near", "keep")
+            if r.verdict == "drop_near":
+                sh_n = shingles(bt)
+                sh_o = shingles(dict(corpus)[r.match_id])
+                true_j = round(
+                    len(sh_n & sh_o) / len(sh_n | sh_o), 3
+                )
+                assert r.match_jaccard == true_j >= JACCARD_THRESHOLD
+
+
 EDGE_NODES = st.integers(min_value=0, max_value=9)
 
 
