@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_spotify.operators.dedup import normalized_fingerprint
 from spark_spotify.sources.tables import fan_out, load_table
 
 # Split fractions are expressed as hex prefixes of md5: the first two hex
@@ -193,7 +194,7 @@ def q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     single hash-shuffle + one sort; at 100 TB the fingerprint is uniform
     (md5) so the shuffle has zero skew."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = normalized_fingerprint(F.col("text"))
     wp = Window.partitionBy("fingerprint")
     wo = wp.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (

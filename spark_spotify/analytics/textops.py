@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_spotify.operators.dedup import normalized_fingerprint
 from spark_spotify.sources.tables import fan_out, load_table
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -158,7 +159,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-groupBy dedup): md5(lower(trim(text))), group size via window,
     keeper = lowest doc_id in group."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = normalized_fingerprint(F.col("text"))
     w = Window.partitionBy("fingerprint")
     wo = w.orderBy("doc_id")
     return (

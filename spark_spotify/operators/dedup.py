@@ -44,6 +44,16 @@ N_BANDS = N_HASHES // 2
 JACCARD_THRESHOLD = 0.5
 
 
+def normalized_fingerprint(text: Column) -> Column:
+    """The engine-wide exact-dedup key: md5 of the lowercased, trimmed
+    text.  One definition shared by corpus exact-dedup
+    (``text_dedup_exact``), canonical-copy election
+    (``curate_keep_canonical``), and the incremental pipeline's
+    ``drop_exact`` verdict — so their notions of "the same document" can
+    never diverge."""
+    return F.md5(F.lower(F.trim(text)))
+
+
 def shingle_array(text: Column, w: int = SHINGLE_W) -> Column:
     """w-token rolling shingles of a document as array<string> (may contain
     duplicates; empty if the doc has fewer than w tokens)."""
@@ -233,7 +243,7 @@ def incremental_near_dups(
     the exact check still covers them."""
     from pyspark.sql import Window
 
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = normalized_fingerprint(F.col("text"))
     exact = (
         new_docs.select("doc_id", fp.alias("fp"))
         .join(

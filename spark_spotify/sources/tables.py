@@ -10,6 +10,9 @@ becomes a pruned partition read).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,16 +83,40 @@ def fan_out(df: DataFrame, min_partitions: int = 32) -> DataFrame:
     100 TB inputs already arrive in thousands of file splits and this becomes
     a no-op: we only widen, never coalesce.
 
-    Input-file count proxies partition count (callers pass scan-rooted
-    frames): listing files is a driver-side metadata call, whereas
-    ``df.rdd.getNumPartitions()`` would instantiate the Python RDD
-    conversion on every load."""
-    try:
-        if len(df.inputFiles()) >= min_partitions:
-            return df
-    except Exception:
-        pass
+    Partition count is ESTIMATED from the scan's input files (a driver-side
+    metadata call; ``df.rdd.getNumPartitions()`` would force the Python RDD
+    conversion on every load).  File count alone is not enough — Spark
+    packs small files together (``spark.sql.files.maxPartitionBytes`` /
+    ``openCostInBytes``), so 40×1 MB files still land in ONE scan
+    partition; when the sizes are locally resolvable we replay the packing
+    formula, and when they are not (object-store paths) many files are
+    taken at face value — the conservative direction, since widening is
+    the cheap side of the trade-off."""
+    files = df.inputFiles()
+    if len(files) < min_partitions:
+        return df.repartition(min_partitions)
+    spark = df.sparkSession
+    max_split = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes")
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes")
+    total = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        if not os.path.isfile(path):
+            return df  # non-local storage: trust the split count
+        total += os.path.getsize(f.removeprefix("file:"))
+    est = math.ceil((total + len(files) * open_cost) / max(max_split, 1))
+    if est >= min_partitions:
+        return df
     return df.repartition(min_partitions)
+
+
+def _bytes_conf(spark: SparkSession, key: str) -> int:
+    """Parse a size conf like '134217728b' / '128m' to bytes."""
+    raw = str(spark.conf.get(key)).strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -224,3 +224,7 @@ def test_bench_list_resolves_in_registry():
         q for q in bench.BENCH_QUERIES if bench.BENCH_QUERIES.count(q) > 1
     }
     assert not dupes, dupes
+    # drift guard: every registered query must be benched — a new registry
+    # entry without a bench row decays per-query perf coverage silently
+    unbenched = sorted(set(QUERIES) - set(bench.BENCH_QUERIES))
+    assert not unbenched, unbenched

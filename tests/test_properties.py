@@ -179,10 +179,18 @@ def test_incremental_dedup_laws(spark, texts, n_batch):
         else:
             assert r.verdict in ("drop_near", "keep")
             if r.verdict == "drop_near":
+                import decimal
+
                 sh_n = shingles(bt)
                 sh_o = shingles(dict(corpus)[r.match_id])
-                true_j = round(
-                    len(sh_n & sh_o) / len(sh_n | sh_o), 3
+                # Spark's round() is HALF_UP; Python's round() is half-even
+                true_j = float(
+                    decimal.Decimal(
+                        len(sh_n & sh_o) / len(sh_n | sh_o)
+                    ).quantize(
+                        decimal.Decimal("0.001"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
                 )
                 assert r.match_jaccard == true_j >= JACCARD_THRESHOLD
 
