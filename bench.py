@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "rel_segment_stats",
     "text_lang_id",
     "text_lang_profile",
+    "curate_release_manifest",
 ]
 
 

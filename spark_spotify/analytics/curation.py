@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_spotify.analytics import textops as _textops
 from spark_spotify.operators.dedup import normalized_fingerprint
 from spark_spotify.sources.tables import fan_out, load_table
 
@@ -149,6 +150,44 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (b < F.floor(F.col("acceptance_rate") * 256).cast("int")).alias(
                 "kept"
             ),
+        )
+    )
+
+
+def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-release decision — what a curation run actually
+    ships: per document, quality gate first (drop reason recorded), then
+    exact-dedup keeper election, else ship with its train/val/test split.
+    Composes ``text_quality_gate``, ``text_dedup_exact``, and
+    ``curate_split_assign`` — the manifest is the artifact downstream
+    training jobs read.
+
+    Scale: three corpus scans joined on doc_id; the quality and split
+    inputs are scan-only, the dedup input shuffles on the (uniform md5)
+    fingerprint, and the doc_id joins co-partition after the first
+    shuffle.  No stage exceeds the dedup query's own cost."""
+    from spark_spotify.analytics import textops
+
+    q = textops.q_quality_gate(spark, sf_dir).select("doc_id", "fail_reason")
+    dup = textops.q_dedup_exact(spark, sf_dir).select("doc_id", "is_keeper")
+    sp = q_split_assign(spark, sf_dir).select("doc_id", "split")
+    reason = (
+        F.when(
+            F.col("fail_reason") != "pass",
+            F.concat(F.lit("quality:"), F.col("fail_reason")),
+        )
+        .when(~F.col("is_keeper"), F.lit("duplicate"))
+        .otherwise(F.lit("ship"))
+    )
+    return (
+        q.join(dup, "doc_id")
+        .join(sp, "doc_id")
+        .withColumn("reason", reason)
+        .select(
+            "doc_id",
+            "reason",
+            (F.col("reason") == "ship").alias("keep"),
+            F.when(F.col("reason") == "ship", F.col("split")).alias("split"),
         )
     )
 
@@ -341,6 +380,32 @@ FROM documents
 WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
       < ({_strata_case_sql()})
 """,
+    "curate_release_manifest": f"""
+WITH q AS ({{QG}}),
+d AS ({{DE}}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{TRAIN_HI}' THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{VAL_HI}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+r AS (
+  SELECT q.doc_id,
+         CASE WHEN q.fail_reason <> 'pass' THEN 'quality:' || q.fail_reason
+              WHEN NOT d.is_keeper THEN 'duplicate'
+              ELSE 'ship' END AS reason,
+         s.split AS split0
+  FROM q
+  JOIN d ON d.doc_id = q.doc_id
+  JOIN s ON s.doc_id = q.doc_id
+)
+SELECT doc_id, reason, reason = 'ship' AS keep,
+       CASE WHEN reason = 'ship' THEN split0 END AS split
+FROM r
+""",
     "curate_domain_mix": f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
@@ -471,4 +536,12 @@ QUERIES = {
     "curate_chunk_windows": q_chunk_windows,
     "curate_pack_bins": q_pack_bins,
     "curate_domain_mix": q_domain_mix,
+    "curate_release_manifest": q_release_manifest,
 }
+
+# the manifest oracle composes the quality-gate and exact-dedup oracles
+# verbatim as CTEs — one source of truth for each stage's SQL
+ORACLE["curate_release_manifest"] = ORACLE["curate_release_manifest"].format(
+    QG=_textops.ORACLE["text_quality_gate"],
+    DE=_textops.ORACLE["text_dedup_exact"],
+)
