@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_lang_profile",
     "curate_release_manifest",
+    "sim_ann_batch_topk",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import fan_out, load_table
 
 ANCHOR_ID = 0
 TOP_K = 10
@@ -250,6 +250,68 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(IVF_TOP_K)
+    )
+
+
+# --- batch ANN (multi-query serving shape) ---------------------------------
+
+BATCH_Q = 4  # anchors: vec_id 0..3
+BATCH_TOP_K = 5
+BATCH_SALT = 16
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact cosine top-k for a SET of query vectors at once —
+    the actual serving pattern (queries arrive in batches, not one anchor
+    at a time).  Queries broadcast; each corpus row scores all Q queries in
+    one scan pass.
+
+    Top-k is TWO-PHASE: a first window over (query_id, vec_id mod SALT)
+    keeps k per salt bucket, then the final window ranks the Q×SALT×k
+    survivors.  Identical output to a single global window (the global
+    top-k is a subset of the per-bucket top-k union), but the full scored
+    relation never shuffles to Q hot partitions — the phase-1 shuffle key
+    has Q×SALT cardinality and phase 2 touches only survivors.  At 100 TB
+    with thousands of queries this is the difference between Q reducers
+    owning corpus-sized partitions and a well-spread shuffle."""
+    from pyspark.sql import Window
+
+    vecs = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
+    )
+    anchors = vecs.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        vecs.filter(F.col("vec_id") >= BATCH_Q)
+        .crossJoin(F.broadcast(anchors))
+        .withColumn(
+            "cosine_sim",
+            F.round(_dot("emb", "q") / (F.col("nrm") * F.col("qn")), 6),
+        )
+    )
+    order = [F.desc("cosine_sim"), F.asc("vec_id")]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(BATCH_SALT))
+    ).orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= BATCH_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            "cosine_sim",
+        )
     )
 
 
@@ -576,6 +638,28 @@ SELECT vec_id, label,
          AS recon_mse
 FROM b
 """,
+    "sim_ann_batch_topk": f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id AS query_id, v AS q, nrm AS qn
+  FROM base WHERE vec_id < {BATCH_Q}
+),
+scored AS (
+  SELECT a.query_id, b.vec_id, b.label,
+         round({_sql_dot('b.v', 'a.q')} / (b.nrm * a.qn), 6) AS cosine_sim
+  FROM base b CROSS JOIN a
+  WHERE b.vec_id >= {BATCH_Q}
+)
+SELECT query_id, CAST(rn AS INT) AS rank, vec_id, label, cosine_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {BATCH_TOP_K}
+""",
     "sim_kmeans_step": f"""
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -735,6 +819,7 @@ QUERIES = {
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
+    "sim_ann_batch_topk": q_ann_batch_topk,
     "sim_kmeans_step": q_kmeans_step,
     "sim_label_cohesion": q_label_cohesion,
     "sim_quantize_int8": q_quantize_int8,
