@@ -113,6 +113,28 @@ def test_search_source_rank_order(spark):
     assert rows[1] == ("q1", "track", 2, "q1_b", "B", 7)
 
 
+def test_events_load_under_ntz_inference(spark, sf_dir):
+    """The driver's session reads parquet timestamp[us] (isAdjustedToUTC
+    false) as TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`);
+    round 1 died on exactly this path.  normalize_event_ts must coerce it
+    to session-zone TIMESTAMP with identical values."""
+    from spark_spotify.sources.tables import load_table
+
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        ntz = load_table(spark, sf_dir, "events")
+        assert dict(ntz.dtypes)["ts"] == "timestamp"
+        got = ntz.orderBy("event_id").limit(3).collect()
+    finally:
+        spark.conf.set(key, old)
+    plain = (
+        load_table(spark, sf_dir, "events").orderBy("event_id").limit(3).collect()
+    )
+    assert [r.ts for r in got] == [r.ts for r in plain]
+
+
 def test_incremental_dedup_verdicts(spark):
     from spark_spotify.operators.dedup import incremental_near_dups
 
