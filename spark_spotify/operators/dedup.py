@@ -147,9 +147,44 @@ def band_rows(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+MAX_BAND_BUCKET = 256
+
+
+def discriminative_bands(
+    bands: DataFrame, cap: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Drop over-full band buckets before pair generation — the bounded-
+    worst-case guard every production LSH dedup ships.
+
+    A band value shared by b documents yields O(b²) candidate pairs; a
+    corpus-universal feature (boilerplate headers, injected suffixes — the
+    scaled-testdata probe measured 2 s → 437 s at 10× from exactly this)
+    can put an entire corpus in ONE bucket and turn candidate generation
+    quadratic.  Such buckets carry no signal: a pair whose only shared
+    bands are shared by thousands of other documents is indistinguishable
+    from the crowd, so dropping the bucket bounds the join at a small,
+    explicit recall cost.
+
+    Shape: over-full buckets are RARE by construction (that's what makes
+    them non-discriminative), so the guard is a map-side-combined bucket
+    count filtered to offenders and broadcast back as an anti-join — the
+    band relation itself is never sort-shuffled.  (A window count over
+    (band, band_val) was measured 2-3× slower at sf0.1: it full-sorts the
+    band rows to count them, and both sides of the downstream self-join
+    re-execute it.)"""
+    over = (
+        bands.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select("band", "band_val")
+    )
+    return bands.join(F.broadcast(over), ["band", "band_val"], "left_anti")
+
+
 def candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH banding self-join on (band, band_val) — see ``band_rows``."""
-    bands = band_rows(sigs, n_bands)
+    """LSH banding self-join on (band, band_val) — see ``band_rows``;
+    over-full buckets dropped first (``discriminative_bands``)."""
+    bands = discriminative_bands(band_rows(sigs, n_bands))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -255,11 +290,28 @@ def incremental_near_dups(
     )
     sig_new = signatures(new_docs).persist()
     sig_old = signatures(corpus).persist()
+    # bucket fullness is judged over BOTH sides together: a band value
+    # saturating the corpus index is just as non-discriminative for an
+    # incoming batch as for a self-join.  The offender set is tiny (usually
+    # empty) — compute it once over the union and anti-join each side
+    # against the same broadcast (the identical broadcast plan is built
+    # once and reused across both sides).
+    bn = band_rows(sig_new)
+    bo = band_rows(sig_old)
+    over = (
+        bn.select("band", "band_val")
+        .unionByName(bo.select("band", "band_val"))
+        .groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > MAX_BAND_BUCKET)
+        .select("band", "band_val")
+    )
     cand = (
-        band_rows(sig_new)
+        bn.join(F.broadcast(over), ["band", "band_val"], "left_anti")
         .withColumnRenamed("doc_id", "new_id")
         .join(
-            band_rows(sig_old).withColumnRenamed("doc_id", "old_id"),
+            bo.join(F.broadcast(over), ["band", "band_val"], "left_anti")
+            .withColumnRenamed("doc_id", "old_id"),
             ["band", "band_val"],
         )
         .select("new_id", "old_id")
@@ -364,16 +416,18 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         ]
     ).persist()
     r = NGRAM_ROWS_PER_BAND
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[f"mh{b * r + i}" for i in range(r)])
-                    for b in range(NGRAM_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
+    bands = discriminative_bands(
+        sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(*[f"mh{b * r + i}" for i in range(r)])
+                        for b in range(NGRAM_BANDS)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     # the candidate-pair set is consumed three times downstream (candidate

@@ -76,23 +76,34 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
     """doc pairs within HAMMING_MAX bits: signature scan -> byte-band
     candidate join -> exact Hamming verify.
 
+    The band pigeonhole (any pair within 3 bits shares a whole band) is
+    exhaustive per bucket; buckets larger than
+    ``dedup.MAX_BAND_BUCKET`` are dropped first (bounded-worst-case LSH —
+    see ``discriminative_bands``), trading recall inside degenerate
+    boilerplate clusters for a candidate join that can never go
+    quadratic.
+
     Signatures are persisted so the scan/agg stage runs once across the two
     sides of the band self-join (at warehouse scale this intermediate is a
     materialized Parquet table maintained incrementally)."""
+    from spark_spotify.operators.dedup import discriminative_bands
+
     sh = simhash_signatures(docs).persist()
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), band * BAND_WIDTH)
-                    .bitwiseAND(F.lit(2**BAND_WIDTH - 1))
-                    .cast("int")
-                    for band in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
+    bands = discriminative_bands(
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), band * BAND_WIDTH)
+                        .bitwiseAND(F.lit(2**BAND_WIDTH - 1))
+                        .cast("int")
+                        for band in range(N_BANDS)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
     )
     a = bands.alias("a")
     b = bands.alias("b")
