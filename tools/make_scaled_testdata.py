@@ -55,17 +55,33 @@ def _shift_ids(tbl: pa.Table, table: str, k: int, sizes: dict) -> pa.Table:
     return tbl
 
 
+PERTURB_MODE = "suffix"  # set to "rotate" for the non-pathological probe
+
+
 def _perturb_documents(tbl: pa.Table, k: int) -> pa.Table:
     if k == 0:
         return tbl
     texts = tbl.column("text").to_pylist()
-    suf = f"__{k}"
-    texts = [
-        " ".join(tok + suf if tok else tok for tok in t.split(" "))
-        if t is not None
-        else None
-        for t in texts
-    ]
+    if PERTURB_MODE == "rotate":
+        # rotate each token's characters by k: cross-replica grams differ
+        # WITHOUT introducing any corpus-universal substring — the honest
+        # 10x corpus for char-gram dedup
+        def mut(t):
+            out = []
+            for tok in t.split(" "):
+                r = k % len(tok) if tok else 0
+                out.append(tok[r:] + tok[:r])
+            return " ".join(out)
+
+    else:
+        # same suffix on every token: plants a corpus-universal gram — the
+        # boilerplate-pathology probe (see SCALE.md bounded-worst-case LSH)
+        suf = f"__{k}"
+
+        def mut(t):
+            return " ".join(tok + suf if tok else tok for tok in t.split(" "))
+
+    texts = [mut(t) if t is not None else None for t in texts]
     idx = tbl.schema.get_field_index("text")
     return tbl.set_column(idx, "text", pa.array(texts, pa.string()))
 
@@ -83,8 +99,11 @@ def _perturb_embeddings(tbl: pa.Table, k: int) -> pa.Table:
 
 
 def main() -> None:
+    global PERTURB_MODE
     k_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_spotify_sf1"
+    if len(sys.argv) > 3:
+        PERTURB_MODE = sys.argv[3]
     import os
 
     os.makedirs(out, exist_ok=True)
