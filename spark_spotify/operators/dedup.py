@@ -177,6 +177,9 @@ def discriminative_bands(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > cap)
         .select("band", "band_val")
+        # tiny/empty; materialize once — consumers alias the result into
+        # self-joins, which would otherwise run the count per side
+        .localCheckpoint()
     )
     return bands.join(F.broadcast(over), ["band", "band_val"], "left_anti")
 
@@ -305,6 +308,9 @@ def incremental_near_dups(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > MAX_BAND_BUCKET)
         .select("band", "band_val")
+        # offender set is tiny (usually empty); materialize once instead of
+        # re-running the union-count under each side's anti-join broadcast
+        .localCheckpoint()
     )
     cand = (
         bn.join(F.broadcast(over), ["band", "band_val"], "left_anti")
