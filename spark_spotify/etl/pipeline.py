@@ -5,19 +5,21 @@ as one Spark job over versioned Parquet snapshots.
 Stage mapping (reference task → here):
 
 | get_sync_watermark (:53-84)            | max watermark from the etl_log table (epoch fallback) |
-| sync_listening_to_raw_staging (:111)   | bronze: ``insert_if_absent`` of post-watermark events on event_id |
+| sync_listening_to_raw_staging (:111)   | bronze: anti-join novel delta, APPEND part (O(delta) write) |
 | process_time_fields (:227-295)         | silver: ``clean_events`` of the DELTA only, merged on event_id |
 | sync_dimensions_group (:301-430)       | user dim: associative MIN/SUM combine of existing+delta (the ON CONFLICT DO UPDATE total_plays upsert, :365-367, done right); event-type dim: recomputed from bronze (5 rows; needs COUNT(DISTINCT user), which is not snapshot-associative — the 100 TB path keeps an HLL sketch per dim row instead) |
-| load_to_warehouse (:436-503)           | fact delta = star join of the silver DELTA against the MERGED dims, ``insert_if_absent`` on event_id |
+| load_to_warehouse (:436-503)           | fact delta = star join of the novel DELTA against the MERGED dims, appended |
 | update_daily_stats (:509-586)          | recompute ONLY the dates the delta touched from merged silver, ``merge_upsert`` on played_date (O(touched partitions), the partition-pruned path at scale) |
 | log_etl_batch (:588-655)               | append one row to etl_log; its MAX(batch_wm) is the next run's watermark |
 
-Storage: each table is a directory of immutable ``v{N}`` parquet snapshots
-plus a ``_latest`` pointer file; commit = write the new snapshot, then swing
-the pointer — the same poor-man's snapshot isolation as the streaming merge
-sink (``streaming/pipeline.q_stream_merge_sink``).  Readers never see a
-partial write.  On a real deployment this commit protocol is what
-Delta/Iceberg provide; everything above the storage layer is unchanged.
+Storage: each table is a directory of immutable parquet parts plus a
+``_latest`` manifest naming the committed part list; commit = write the new
+part (APPEND of the batch delta for the big tables — bronze/silver/fact/log
+— so write I/O is O(delta), never a table rewrite; copy-on-write ``v{N}``
+snapshot for the small keyed-merge tables), then swing the manifest.
+Readers never see a partial write and hold whichever part list they opened
+with — the same snapshot-isolation-by-manifest that Delta/Iceberg provide;
+everything above the storage layer is unchanged.
 
 Incrementality invariant (tested, and exposed to the driver gate as
 ``etl_incremental_pipeline``): running the corpus through ANY split into
@@ -38,7 +40,7 @@ from spark_spotify.etl.dims import date_dim, event_type_dim
 from spark_spotify.etl.fact import fact_from
 from spark_spotify.etl.silver import clean_events
 from spark_spotify.etl.stats import daily_stats
-from spark_spotify.operators.merge import insert_if_absent, merge_upsert
+from spark_spotify.operators.merge import merge_upsert
 from spark_spotify.sources.tables import load_table
 
 TABLES = (
@@ -52,30 +54,63 @@ TABLES = (
 )
 
 
-def _latest_path(warehouse: str, table: str) -> str | None:
+def _manifest(warehouse: str, table: str) -> list[str] | None:
     ptr = os.path.join(warehouse, table, "_latest")
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        v = fh.read().strip()
-    return os.path.join(warehouse, table, f"v{v}")
+        import json
+
+        return json.load(fh)
+
+
+def _swing(warehouse: str, table: str, parts: list[str]) -> None:
+    import json
+
+    ptr = os.path.join(warehouse, table, "_latest")
+    with open(ptr, "w") as fh:
+        json.dump(parts, fh)
 
 
 def read_table(
     spark: SparkSession, warehouse: str, table: str
 ) -> DataFrame | None:
-    path = _latest_path(warehouse, table)
-    return spark.read.parquet(path) if path else None
+    parts = _manifest(warehouse, table)
+    if not parts:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(warehouse, table, p) for p in parts]
+    )
 
 
 def _commit(df: DataFrame, warehouse: str, table: str, version: int) -> None:
-    """Write snapshot ``v{version}``, then swing the pointer (atomic on the
-    reader side: the pointer names only fully-written snapshots)."""
+    """Copy-on-write commit: write snapshot ``v{version}``, then swing the
+    manifest to exactly that snapshot (atomic on the reader side: the
+    manifest names only fully-written directories).  For SMALL relations —
+    dims, merged aggregates, anything a keyed merge rewrites anyway."""
     path = os.path.join(warehouse, table, f"v{version}")
     df.write.mode("overwrite").parquet(path)
-    ptr = os.path.join(warehouse, table, "_latest")
-    with open(ptr, "w") as fh:
-        fh.write(str(version))
+    _swing(warehouse, table, [f"v{version}"])
+
+
+def _commit_append(
+    delta: DataFrame, warehouse: str, table: str, version: int
+) -> None:
+    """Append-only commit: write the DELTA as part ``p{version}``, then
+    swing the manifest to the previous part list plus the new part — the
+    Delta/Iceberg append transaction on plain parquet.
+
+    This is the ONLY viable commit for the big tables at 100 TB: a
+    copy-on-write snapshot rewrites the whole table per batch (O(table)
+    I/O for an O(delta) change); an append writes the delta and one
+    manifest.  Readers still get snapshot isolation — a reader holds
+    whichever part list it opened with."""
+    part = f"p{version}"
+    delta.write.mode("overwrite").parquet(
+        os.path.join(warehouse, table, part)
+    )
+    prev = _manifest(warehouse, table) or []
+    _swing(warehouse, table, prev + [part])
 
 
 def _merge_user_dim(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -112,26 +147,27 @@ def run_incremental_etl(
     if n_new == 0:
         return {"batch_id": batch_id, "n_new": 0, "skipped": True}
 
+    # novel = rows whose event_id is genuinely absent from the warehouse:
+    # the watermark already excludes re-delivered history, the anti-join
+    # covers at-least-once overlap past it.  Every append below writes
+    # exactly this delta — the whole batch is O(delta) write I/O, never a
+    # table rewrite (see _commit_append).
     bronze_prev = read_table(spark, warehouse, "bronze")
-    bronze = (
-        new
-        if bronze_prev is None
-        else insert_if_absent(bronze_prev, new, ["event_id"])
-    )
-    _commit(bronze, warehouse, "bronze", batch_id)
+    novel = new.dropDuplicates(["event_id"])
+    if bronze_prev is not None:
+        novel = novel.join(
+            bronze_prev.select("event_id"), "event_id", "left_anti"
+        )
+    novel = novel.localCheckpoint()
+    _commit_append(novel, warehouse, "bronze", batch_id)
     bronze = read_table(spark, warehouse, "bronze")
 
-    silver_delta = clean_events(new)
-    silver_prev = read_table(spark, warehouse, "silver")
-    silver = (
-        silver_delta
-        if silver_prev is None
-        else insert_if_absent(silver_prev, silver_delta, ["event_id"])
-    )
-    _commit(silver, warehouse, "silver", batch_id)
-    silver = read_table(spark, warehouse, "silver")
+    # silver/fact rows are keyed by event_id and derived row-wise from the
+    # novel bronze delta, so appending the derived delta preserves the
+    # no-duplicate invariant without re-reading either table
+    _commit_append(clean_events(novel), warehouse, "silver", batch_id)
 
-    du_delta = new.groupBy("user_id").agg(
+    du_delta = novel.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_seen"),
         F.count(F.lit(1)).alias("total_plays"),
     )
@@ -143,16 +179,10 @@ def run_incremental_etl(
     _commit(det, warehouse, "dim_event_type", batch_id)
     det = read_table(spark, warehouse, "dim_event_type")
 
-    fact_delta = fact_from(clean_events(new), date_dim(spark), det, du)
-    fact_prev = read_table(spark, warehouse, "fact")
-    fact = (
-        fact_delta
-        if fact_prev is None
-        else insert_if_absent(fact_prev, fact_delta, ["event_id"])
-    )
-    _commit(fact, warehouse, "fact", batch_id)
+    fact_delta = fact_from(clean_events(novel), date_dim(spark), det, du)
+    _commit_append(fact_delta, warehouse, "fact", batch_id)
 
-    touched = new.select(F.to_date("ts").alias("played_date")).distinct()
+    touched = novel.select(F.to_date("ts").alias("played_date")).distinct()
     stats_delta = daily_stats(
         bronze.join(
             F.broadcast(touched),
@@ -171,8 +201,7 @@ def run_incremental_etl(
     wm_row = new.agg(
         F.max("ts").alias("batch_wm"), F.count(F.lit(1)).alias("n_rows")
     ).select(F.lit(batch_id).alias("batch_id"), "batch_wm", "n_rows")
-    log_next = wm_row if log is None else log.unionByName(wm_row)
-    _commit(log_next, warehouse, "etl_log", batch_id)
+    _commit_append(wm_row, warehouse, "etl_log", batch_id)
 
     return {"batch_id": batch_id, "n_new": n_new, "skipped": False}
 
