@@ -181,34 +181,39 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parquet sink (the reference's ON CONFLICT DO NOTHING per sync batch,
     daily_etl_pipeline.py:149-191, made transactional per micro-batch).
     The source is doubled to simulate at-least-once redelivery; each batch
-    merges via ``insert_if_absent`` keyed on event_id into a VERSIONED
-    snapshot directory — write new version, then swing the pointer —
-    poor-man's snapshot isolation, the same commit shape Delta/Iceberg
-    give you, on plain Parquet.  Output = each event exactly once.
+    anti-joins its rows against the committed parts on event_id and
+    APPENDS only the novel delta as a new immutable part — the
+    Delta/Iceberg append transaction on plain Parquet.  Output = each
+    event exactly once.
 
-    Scale: each batch's merge cost is delta-sized (broadcast anti-join of
-    batch keys against the pruned existing side); versions are retired by
-    retention, not rewritten."""
+    Scale: each batch writes O(delta), never a table rewrite; the
+    anti-join's existing side is pruned by partition/bucket on the merge
+    key; parts are retired by retention/compaction."""
     import uuid as _uuid
-
-    from spark_spotify.operators.merge import insert_if_absent
 
     src = read_event_stream(spark, sf_dir)
     doubled = src.unionByName(read_event_stream(spark, sf_dir)).select(
         "event_id", "user_id", "event_type"
     )
     base = f"/tmp/spark_spotify_stream_merge/{_uuid.uuid4().hex[:12]}"
-    state = {"version": -1}
+    # append-only merge: each micro-batch anti-joins its rows against the
+    # committed parts and appends only the novel delta as a new part —
+    # O(delta) write per batch, never a table rewrite (same manifest
+    # commit as etl.pipeline._commit_append; at scale the anti-join
+    # existing side is pruned by partition/bucket on the merge key)
+    state: dict = {"parts": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
-        if state["version"] >= 0:
-            existing = ss.read.parquet(f"{base}/v{state['version']}")
-        else:
-            existing = ss.createDataFrame([], batch_df.schema)
-        merged = insert_if_absent(existing, batch_df, ["event_id"])
-        merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
-        state["version"] = batch_id
+        delta = batch_df.dropDuplicates(["event_id"])
+        if state["parts"]:
+            existing = ss.read.parquet(*state["parts"])
+            delta = delta.join(
+                existing.select("event_id"), "event_id", "left_anti"
+            )
+        part = f"{base}/p{batch_id}"
+        delta.write.mode("overwrite").parquet(part)
+        state["parts"] = state["parts"] + [part]
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -226,7 +231,7 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.read.parquet(f"{base}/v{state['version']}")
+    return spark.read.parquet(*state["parts"])
 
 
 USER_PROFILE_OUT = T.StructType(
