@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "text_lang_profile",
     "curate_release_manifest",
     "sim_ann_batch_topk",
+    "agg_cube_sales",
+    "text_tfidf_topk",
+    "stream_enrich_join",
+    "stream_sliding_rollup",
+    "stream_click_purchase",
 ]
 
 

@@ -167,6 +167,28 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (order priority, order status): all four grouping
+    sets — both keys, each alone, grand total — in one Expand + one
+    shuffle.  Completes the grouping-set family (ROLLUP = hierarchy,
+    GROUPING SETS = hand-picked, CUBE = power set); at 100 TB the Expand
+    multiplies map output 4x, which still beats four separate scans of the
+    fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().cast("int").alias("grp_id"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "grp_id", "n_orders",
+            "revenue",
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs approximate distinct users per event type.  At 100 TB
     COUNT(DISTINCT) is a full shuffle of the distinct keys;
@@ -206,6 +228,14 @@ SELECT c_custkey, c_name, c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
 """,
+    "agg_cube_sales": f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS grp_id,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x='o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
     "agg_grouping_sets_sales": f"""
 SELECT c_mktsegment, o_orderstatus,
        CAST(GROUPING(c_mktsegment, o_orderstatus) AS INT) AS grp_id,
@@ -230,6 +260,7 @@ GROUP BY COALESCE(c_mktsegment, 'UNKNOWN')
 QUERIES = {
     "agg_rollup_revenue": q_rollup_revenue,
     "agg_grouping_sets_sales": q_grouping_sets_sales,
+    "agg_cube_sales": q_cube_sales,
     "op_bucketed_join": q_bucketed_join,
     "op_salted_segment_value": q_salted_segment_value,
     "ana_segment_split": q_segment_split,

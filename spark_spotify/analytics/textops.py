@@ -341,6 +341,74 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword-extraction /
+    doc-representation operator (reference has nothing like it; this is
+    BASELINE.json text-analysis surface).
+
+    Dataflow: one token explode → (doc, token) tf counts (map-side
+    combinable) → per-token document frequencies derived FROM the tf
+    relation (already doc-distinct, so df needs no countDistinct) → idf
+    broadcast back onto tf → per-doc top-k window over the doc's distinct
+    tokens only.  No corpus-sized shuffle beyond the tf groupBy; at 100 TB
+    the idf table is vocabulary-sized and stays broadcastable.
+
+    Exactness: idf is quantized to integer micro-nats and multiplied by the
+    integer tf, so ranking compares exact integers — aggregation order and
+    float summation can never reorder the top-k.  Ties break on token."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        fan_out(d)
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n_tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                )
+                * LOGP_SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        "n_tf",
+        (F.col("n_tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "n_tf",
+            F.round(
+                F.col("score_micro") / F.lit(float(LOGP_SCALE)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TERMS = ("spark", "merge", "window")
@@ -557,6 +625,32 @@ SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
             AS INT) AS token_id,
        token, n_occurrences
 FROM counts
+""",
+    "text_tfidf_topk": """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS n_tf
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token,
+         CAST(round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS idf_micro
+  FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.n_tf,
+         tf.n_tf * idf.idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.n_tf * idf.idf_micro DESC,
+                                     tf.token ASC) AS rank
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, n_tf,
+       round(score_micro / 1000000.0, 6) AS tfidf
+FROM scored WHERE rank <= 5
 """,
     "text_unigram_logprob": """
 WITH toks AS (
@@ -778,6 +872,7 @@ QUERIES = {
     "text_quality_gate": q_quality_gate,
     "text_vocab_build": q_vocab_build,
     "text_unigram_logprob": q_unigram_logprob,
+    "text_tfidf_topk": q_tfidf_topk,
     "text_char_entropy": q_char_entropy,
     "text_bm25_topk": q_bm25_topk,
 }

@@ -316,6 +316,115 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, profiled, "profile")
 
 
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension (broadcast) — the canonical streaming-ETL enrich
+    step (the reference enriches each play with track/artist/album detail
+    fetches, curl_spotify_tracker.py:479-562; set-wise here).  Stateless:
+    no watermark or state store, each micro-batch joins against the dim
+    snapshot and emits immediately.  At 100 TB/day the dim side stays
+    broadcast-sized (or becomes a bucketed static table for a co-located
+    join); the stream side never shuffles."""
+    from spark_spotify.sources.tables import load_table
+
+    src = read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "segment", "event_type", "value")
+    return _run_to_memory(spark, enriched, "enrich")
+
+
+def sliding_rollup(stream: DataFrame) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows advancing every 30 minutes —
+    each event lands in exactly 2 overlapping windows (the Expand doubles
+    map output, still one shuffle on (window, event_type)).  Append-mode
+    emission: a window leaves state once the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        spark, sliding_rollup(read_event_stream(spark, sf_dir)), "sliding"
+    )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase events
+    of the same user landing within the 30-minute attribution window —
+    the real-time conversion-attribution shape.  Both sides carry
+    watermarks; the event-time range condition is what lets Spark bound
+    each side's join state (clicks older than watermark − 30 min are
+    evicted).  Inner-join matches emit as soon as both rows have arrived,
+    so a bounded availableNow run emits exactly the relational join and
+    the oracle can gate it row-for-row.
+
+    Scale: state is watermark-horizon-sized per side, sharded by the join
+    key; no unbounded buffering, no cross product — the range predicate
+    prunes pairs inside the keyed state store."""
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _run_to_memory(spark, joined, "attrib")
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
@@ -376,6 +485,46 @@ FROM s, m WHERE session_end <= wm
     "stream_dedup": """
 SELECT event_id, user_id, event_type FROM events
 """,
+    "stream_enrich_join": """
+SELECT event_id, user_id, c_mktsegment AS segment, event_type, value
+FROM events JOIN customer ON user_id = c_custkey
+""",
+    # each event contributes to the two overlapping 1h/30m windows that
+    # contain it; emitted once the final watermark passes window end
+    "stream_sliding_rollup": """
+WITH m AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+), w AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL 30 MINUTE]) AS win_start,
+         event_type, value
+  FROM events
+), g AS (
+  SELECT win_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM w GROUP BY 1, 2
+)
+SELECT g.win_start, g.event_type, g.n_events, g.total_value
+FROM g, m
+WHERE g.win_start + INTERVAL 1 HOUR <= m.wm
+""",
+    "stream_click_purchase": """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
 }
 
 QUERIES = {
@@ -384,4 +533,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
+    "stream_enrich_join": q_stream_enrich_join,
+    "stream_sliding_rollup": q_stream_sliding_rollup,
+    "stream_click_purchase": q_stream_click_purchase,
 }
