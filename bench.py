@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "stream_enrich_join",
     "stream_sliding_rollup",
     "stream_click_purchase",
+    "op_partitioned_prune",
+    "ana_unpivot_metrics",
 ]
 
 

@@ -167,6 +167,64 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned warehouse write + partition-pruned read-back:
+    events land partitioned by event_type, then the purchase/click slice is
+    read with a partition predicate — the scan's PartitionFilters skip the
+    other partitions' files entirely (zero I/O, not just row-group
+    skipping; test_plans.test_partitioned_write_prunes pins the plan).
+    This is the layout that turns the reference's incremental watermark
+    scan (daily_etl_pipeline.py:132-137) into an O(delta) directory prune
+    at 100 TB — there the partition key is the date, with identical
+    mechanics.  The timed run includes the partitioned write, so the bench
+    number covers the whole layout-then-query pipeline."""
+    import uuid as _uuid
+
+    from spark_spotify.sources.warehouse import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = f"/tmp/spark_spotify_warehouse/part_{_uuid.uuid4().hex[:12]}"
+    write_partitioned(
+        ev.select("event_id", "user_id", "value", "ts", "event_type"),
+        path,
+        ["event_type"],
+    )
+    back = read_partitioned(spark, path).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): the per-event-type metric block computed
+    wide (one shuffle), then unpivoted to (event_type, metric, metric_value)
+    rows — the inverse of the pivot family (SURVEY §2.9 C1/C2) and the
+    shape feature stores and metric warehouses exchange.  Unpivot is a
+    zero-shuffle Expand: each input row fans to 3 output rows map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["n_events", "n_users", "total_value"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (order priority, order status): all four grouping
     sets — both keys, each alone, grand total — in one Expand + one
@@ -228,6 +286,27 @@ SELECT c_custkey, c_name, c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
 """,
+    "op_partitioned_prune": f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {SQL_DSUM.format(x='value')} AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+""",
+    "ana_unpivot_metrics": f"""
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+         {SQL_DSUM.format(x='value')} AS total_value
+  FROM events GROUP BY event_type
+)
+UNPIVOT wide
+ON n_events, n_users, total_value
+INTO NAME metric VALUE metric_value
+""",
     "agg_cube_sales": f"""
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS grp_id,
@@ -261,6 +340,8 @@ QUERIES = {
     "agg_rollup_revenue": q_rollup_revenue,
     "agg_grouping_sets_sales": q_grouping_sets_sales,
     "agg_cube_sales": q_cube_sales,
+    "op_partitioned_prune": q_partitioned_prune,
+    "ana_unpivot_metrics": q_unpivot_metrics,
     "op_bucketed_join": q_bucketed_join,
     "op_salted_segment_value": q_salted_segment_value,
     "ana_segment_split": q_segment_split,
