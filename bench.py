@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "stream_click_purchase",
     "op_partitioned_prune",
     "ana_unpivot_metrics",
+    "ana_value_histogram",
+    "curate_mix_epochs",
+    "text_bigram_logprob",
+    "mm_payload_dedup",
 ]
 
 

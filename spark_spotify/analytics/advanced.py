@@ -379,7 +379,48 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 10
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per event type: global
+    [min, max] from a one-row broadcast aggregate, each row mapped to
+    ``floor((v - lo) / (hi - lo) * bins)`` clamped into the top bin.
+    The distribution-profiling primitive behind data-drift monitors and
+    feature audits; two scans, one (type, bin)-sized shuffle, no sort.
+    Bin edges are derived from the same IEEE double expression in both
+    engines, so assignment is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    v = F.col("value")
+    bin_id = F.least(
+        F.floor(
+            (v - F.col("lo")) / (F.col("hi") - F.col("lo")) * HIST_BINS
+        ).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .select("event_type", bin_id.alias("bin_id"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 ORACLE = {
+    "ana_value_histogram": """
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+)
+SELECT event_type,
+       CAST(LEAST(CAST(floor((value - lo) / (hi - lo) * 10) AS INT), 9)
+            AS INT) AS bin_id,
+       COUNT(*) AS n_events
+FROM events, rng
+GROUP BY 1, 2
+""",
     "ana_retention_cohorts": """
 WITH first AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -573,4 +614,5 @@ QUERIES = {
     "ana_funnel": q_funnel,
     "ana_retention_cohorts": q_retention_cohorts,
     "ana_anomaly_zscore": q_anomaly_zscore,
+    "ana_value_histogram": q_value_histogram,
 }

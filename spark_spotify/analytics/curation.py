@@ -154,6 +154,59 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch mixing: per-source repeat weight targeted at EPOCH_TARGET_SHARE of
+# the final mix — under-represented sources repeat (w > 1), over-represented
+# ones subsample (w < 1), fractional parts resolved per-document by hash.
+EPOCH_TARGET_SHARE = 0.06
+
+
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing with per-source repeat factors (the DoReMi/Pile-style
+    "epochs per domain" step): each source gets weight
+    w = target_share x total / n_src; every document materializes
+    floor(w) copies plus one more iff its 256-way hash bucket clears the
+    fractional remainder — so the realized mix hits the target share in
+    expectation with deterministic, rerun-stable per-document decisions.
+    Output is one row per (doc, copy) — the physical expansion a training
+    shard writer consumes.
+
+    Scale: weights are a #sources-row broadcast; the expansion is a
+    map-side explode of sequence(1, n_epochs) — output scales with the
+    mix factor, never shuffles, and composes with the pack/chunk stages
+    downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = counts.agg(F.sum("n_src").alias("n_total"))
+    w = F.lit(EPOCH_TARGET_SHARE) * F.col("n_total") / F.col("n_src")
+    weights = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(w).cast("int").alias("base_epochs"),
+        F.floor((w - F.floor(w)) * 256).cast("int").alias("frac_thresh"),
+    )
+    b = _bucket_int("epoch:", F.col("doc_id"))
+    n_epochs = (
+        F.col("base_epochs")
+        + (b < F.col("frac_thresh")).cast("int")
+    )
+    return (
+        d.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id", "source", n_epochs.alias("n_epochs")
+        )
+        .filter(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_epochs",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.col("n_epochs").cast("bigint")
+                )
+            ).alias("copy_idx"),
+        )
+    )
+
+
 def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-release decision — what a curation run actually
     ships: per document, quality gate first (drop reason recorded), then
@@ -406,6 +459,41 @@ SELECT doc_id, reason, reason = 'ship' AS keep,
        CASE WHEN reason = 'ship' THEN split0 END AS split
 FROM r
 """,
+    "curate_mix_epochs": f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source,
+         CAST(floor({EPOCH_TARGET_SHARE} * (SELECT SUM(n_src) FROM counts)
+                    / n_src) AS INT) AS base_epochs,
+         CAST(floor(({EPOCH_TARGET_SHARE} * (SELECT SUM(n_src) FROM counts)
+                     / n_src
+                     - floor({EPOCH_TARGET_SHARE}
+                             * (SELECT SUM(n_src) FROM counts) / n_src))
+                    * 256) AS INT) AS frac_thresh
+  FROM counts
+),
+b AS (
+  SELECT doc_id, source,
+         CAST((strpos('0123456789abcdef',
+                 substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16
+              + strpos('0123456789abcdef',
+                  substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INT) AS bucket
+  FROM documents
+),
+e AS (
+  SELECT b.doc_id, b.source,
+         w.base_epochs
+           + CASE WHEN b.bucket < w.frac_thresh THEN 1 ELSE 0 END AS n_epochs
+  FROM b JOIN weights w ON b.source = w.source
+)
+SELECT doc_id, source, n_epochs,
+       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS copy_idx
+FROM e WHERE n_epochs >= 1
+""",
     "curate_domain_mix": f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
@@ -537,6 +625,7 @@ QUERIES = {
     "curate_pack_bins": q_pack_bins,
     "curate_domain_mix": q_domain_mix,
     "curate_release_manifest": q_release_manifest,
+    "curate_mix_epochs": q_mix_epochs,
 }
 
 # the manifest oracle composes the quality-gate and exact-dedup oracles

@@ -300,6 +300,66 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram conditional negative log-likelihood — the
+    order-sensitive LM quality score one notch above
+    ``text_unigram_logprob``: each document is scored by the mean
+    -ln p(w_i | w_{i-1}) of its bigrams under the corpus MLE bigram model
+    (p = c(ab) / c(a·), where c(a·) counts bigram occurrences opening
+    with a).  Catches shuffled/bag-of-words gibberish that a unigram
+    model scores as natural.
+
+    Dataflow: bigrams come from zipping each token array against its own
+    1-shift (slice + arrays_zip — array ops, no positional self-join);
+    pair counts are map-side combinable; context counts derive from the
+    pair relation.  The probability table is bigram-vocabulary-sized —
+    joined, not broadcast, since bigram vocabularies outgrow broadcast at
+    corpus scale.  Exactness: per-bigram -ln p quantized to integer
+    micro-nats before the per-doc sum (order-proof, engine-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col(F.col("text"))
+    base = (
+        fan_out(d)
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    ctx = pc.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    probs = pc.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log(F.col("n_ab") / F.col("n_a")) * LOGP_SCALE, 0)
+        .cast("bigint")
+        .alias("neg_logp_micro"),
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("neg_logp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_micro")
+                / (F.col("n_bigrams") * F.lit(float(LOGP_SCALE))),
+                6,
+            ).alias("mean_neg_logp"),
+        )
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character Shannon entropy (bits/char) + distinct-char
     count — the compression-proxy quality signal that separates natural
@@ -626,6 +686,36 @@ SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
        token, n_occurrences
 FROM counts
 """,
+    "text_bigram_logprob": """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, SUM(n_ab) AS n_a FROM pc GROUP BY w1
+),
+probs AS (
+  SELECT pc.w1, pc.w2,
+         CAST(round(-ln(pc.n_ab / ctx.n_a) * 1000000, 0) AS BIGINT)
+           AS neg_logp_micro
+  FROM pc JOIN ctx ON pc.w1 = ctx.w1
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(SUM(p.neg_logp_micro) / (COUNT(*) * 1000000.0), 6)
+         AS mean_neg_logp
+FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+GROUP BY bg.doc_id
+""",
     "text_tfidf_topk": """
 WITH tf AS (
   SELECT doc_id, token, COUNT(*) AS n_tf
@@ -873,6 +963,7 @@ QUERIES = {
     "text_vocab_build": q_vocab_build,
     "text_unigram_logprob": q_unigram_logprob,
     "text_tfidf_topk": q_tfidf_topk,
+    "text_bigram_logprob": q_bigram_logprob,
     "text_char_entropy": q_char_entropy,
     "text_bm25_topk": q_bm25_topk,
 }

@@ -215,7 +215,52 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(decode_media(build_media_table(docs)))
 
 
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality exact dedup on the raw BINARY payload: md5 over the
+    bytes (not a text normalization — byte-identical images/audio dedupe
+    regardless of metadata), canonical copy elected as the lowest doc_id
+    per fingerprint.  The binary twin of ``text_dedup_exact`` and the
+    first pass every multimodal ingest runs before any decode: one hash
+    per payload computed JVM-side at scan, one shuffle on the uniform
+    128-bit fingerprint, no skew, no Python.
+
+    The oracle hashes the same byte sequence (the payload is the UTF-8
+    encoding of the doc text, so DuckDB's md5(text) sees identical
+    bytes)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_table(docs)
+    fp = F.md5(F.col("payload"))
+    w = Window.partitionBy("payload_fp")
+    return (
+        media.select(
+            "doc_id",
+            "media_type",
+            "payload_bytes",
+            fp.alias("payload_fp"),
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
 ORACLE = {
+    "mm_payload_dedup": """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image'
+              WHEN source = 'src1' THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(strlen(text) AS INT) AS payload_bytes,
+         md5(text) AS payload_fp
+  FROM documents
+)
+SELECT doc_id, media_type, payload_bytes, payload_fp,
+       MIN(doc_id) OVER (PARTITION BY payload_fp) AS canonical_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY payload_fp) AS is_canonical
+FROM m
+""",
     "mm_audio_energy": """
 WITH f AS (
   SELECT doc_id, text, CAST(floor(length(text) / 64) AS INT) AS nf
@@ -283,4 +328,5 @@ QUERIES = {
     "mm_media_resize": q_media_resize,
     "mm_frame_sample": q_frame_sample,
     "mm_audio_energy": q_audio_energy,
+    "mm_payload_dedup": q_payload_dedup,
 }
