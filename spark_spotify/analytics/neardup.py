@@ -20,6 +20,7 @@ from spark_spotify.analytics.similarity import (
     _sql_dot,
     bucket_col,
 )
+from spark_spotify.functions.checkpoint import stable_checkpoint
 from spark_spotify.operators.components import cluster_assign
 from spark_spotify.operators.dedup import (
     JACCARD_THRESHOLD,
@@ -108,7 +109,7 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= EMB_COSINE_THRESHOLD)
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     # the pair set is output-sized; materializing it releases the bucketed
     # projection cache — left resident, its giant unrolled-dot-product plan
@@ -141,7 +142,7 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.round(cos, 6) >= EMB_COSINE_THRESHOLD)
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
     out = cluster_assign(nodes, edges).select(

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_spotify.etl.dims import date_dim, event_type_dim
+from spark_spotify.functions.checkpoint import stable_checkpoint
 from spark_spotify.etl.fact import fact_from
 from spark_spotify.etl.silver import clean_events
 from spark_spotify.etl.stats import daily_stats
@@ -142,7 +143,7 @@ def run_incremental_etl(
 
     new = events.filter(F.col("ts") > F.lit(wm)) if wm is not None else events
     # one pass over the (possibly large) delta feeds every stage below
-    new = new.localCheckpoint()
+    new = new.transform(stable_checkpoint)
     n_new = new.count()
     if n_new == 0:
         return {"batch_id": batch_id, "n_new": 0, "skipped": True}
@@ -158,7 +159,7 @@ def run_incremental_etl(
         novel = novel.join(
             bronze_prev.select("event_id"), "event_id", "left_anti"
         )
-    novel = novel.localCheckpoint()
+    novel = novel.transform(stable_checkpoint)
     _commit_append(novel, warehouse, "bronze", batch_id)
     bronze = read_table(spark, warehouse, "bronze")
 
@@ -237,7 +238,7 @@ def q_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_incremental_etl(spark, events, warehouse, 2)
         run_incremental_etl(spark, events, warehouse, 3)  # pure redelivery
-        return read_table(spark, warehouse, "fact").localCheckpoint()
+        return read_table(spark, warehouse, "fact").transform(stable_checkpoint)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

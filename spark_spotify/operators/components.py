@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_spotify.functions.checkpoint import stable_checkpoint
+
 MAX_ROUNDS = 25
 
 
@@ -148,7 +150,7 @@ def connected_components(
                     "node",
                     F.coalesce("f_label", F.col("node")).alias("label"),
                 )
-                .localCheckpoint()
+                .transform(stable_checkpoint)
             )
             pairs.unpersist()
             return labels

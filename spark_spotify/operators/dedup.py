@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_spotify.sources.tables import fan_out
+from spark_spotify.functions.checkpoint import stable_checkpoint
 
 N_HASHES = 12
 SHINGLE_W = 3
@@ -179,7 +180,7 @@ def discriminative_bands(
         .select("band", "band_val")
         # tiny/empty; materialize once — consumers alias the result into
         # self-joins, which would otherwise run the count per side
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     return bands.join(F.broadcast(over), ["band", "band_val"], "left_anti")
 
@@ -248,7 +249,7 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
             jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     # the verified pair set is output-sized; materializing it lets the
     # signature cache be released NOW — a resident persist pins its plan's
@@ -310,7 +311,7 @@ def incremental_near_dups(
         .select("band", "band_val")
         # offender set is tiny (usually empty); materialize once instead of
         # re-running the union-count under each side's anti-join broadcast
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     cand = (
         bn.join(F.broadcast(over), ["band", "band_val"], "left_anti")
@@ -371,7 +372,7 @@ def incremental_near_dups(
             F.when(F.col("exact_id").isNull() & is_near, F.col("jaccard"))
             .alias("match_jaccard"),
         )
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     sig_new.unpersist()
     sig_old.unpersist()
@@ -455,7 +456,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     sig.unpersist()
     cand_docs = (
@@ -482,7 +483,7 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.array_distinct(char_gram_array(F.col("text"))).alias("grams"),
         )
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     n_common = F.size(F.array_intersect("ga", "gb"))
     jaccard = F.round(

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_spotify.sources.tables import fan_out
+from spark_spotify.functions.checkpoint import stable_checkpoint
 
 N_BITS = 32
 N_BANDS = 4  # 8 bits per band -> catches all pairs with hamming <= 3
@@ -128,7 +129,7 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
     out = (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     # the verified pair set is output-sized; materializing it releases the
     # signature cache immediately — a persist left resident would pin the

@@ -229,3 +229,28 @@ def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     got = {r.node: r.label for r in connected_components(nodes, edges).collect()}
     assert got == {"a": "a", "b": "b"}
+
+
+def test_stable_checkpoint_branches(spark, monkeypatch):
+    """stable_checkpoint falls back to localCheckpoint with no checkpoint
+    dir, and upgrades to reliable checkpoint() when one is configured
+    (cluster mode; blocks must survive executor loss)."""
+    import pyspark
+
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    assert stable_checkpoint(spark.range(10)).count() == 10  # local path
+
+    calls = {}
+    monkeypatch.setattr(
+        type(spark.range(1)),  # the concrete (classic) DataFrame class
+        "checkpoint",
+        lambda self, eager=True: calls.setdefault("reliable", True)
+        and self.localCheckpoint(eager),
+    )
+    monkeypatch.setattr(
+        pyspark.SparkContext, "getCheckpointDir", lambda self: "/tmp/ckpt"
+    )
+    assert stable_checkpoint(spark.range(5)).count() == 5
+    assert calls.get("reliable") is True
