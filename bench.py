@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "curate_mix_epochs",
     "text_bigram_logprob",
     "mm_payload_dedup",
+    "sim_ann_lsh_multiprobe",
+    "etl_snapshot_diff",
 ]
 
 

@@ -192,6 +192,74 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIPROBE_TOP_K = 10
+
+
+def _flip_bit(b: Column, i: int) -> Column:
+    """Bucket code with sign-bit i flipped (Hamming-1 neighbor)."""
+    ch = F.substring(b, i + 1, 1)
+    flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(b, 1, i), flipped, F.substring(b, i + 2, N_PLANES - i - 1)
+    )
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: the query probes its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    recall/cost dial for sign-random-projection LSH.  Near neighbors that
+    land just across one hyperplane (the dominant LSH miss mode) are
+    recovered at (n_planes + 1)/2^n_planes of the corpus instead of a full
+    scan.  The probe set is (n_planes + 1) rows exploded from the one-row
+    broadcast anchor, so the candidate join stays a bucket-key lookup — at
+    100 TB, with bucket as the partition key, a query touches n_planes + 1
+    partitions instead of one, still O(probes x partition), never O(N).
+    ``probe_dist`` records which ring each candidate came from."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_bucket = emb.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        bucket_col(E_SQL).alias("bucket"),
+    )
+    b = F.col("q_bucket0")
+    anchor = (
+        with_bucket.filter(F.col("vec_id") == ANCHOR_ID)
+        .select(F.col("emb").alias("q"), F.col("bucket").alias("q_bucket0"))
+        .select(
+            "q",
+            F.explode(
+                F.array(
+                    F.struct(b.alias("probe"), F.lit(0).alias("probe_dist")),
+                    *[
+                        F.struct(
+                            _flip_bit(b, i).alias("probe"),
+                            F.lit(1).alias("probe_dist"),
+                        )
+                        for i in range(N_PLANES)
+                    ],
+                )
+            ).alias("p"),
+        )
+        .select("q", F.col("p.probe").alias("probe"), F.col("p.probe_dist").alias("probe_dist"))
+    )
+    cand = with_bucket.filter(F.col("vec_id") != ANCHOR_ID).join(
+        F.broadcast(anchor), F.col("bucket") == F.col("probe"), "inner"
+    )
+    cos = _dot("emb", "q") / (_norm("emb") * _norm("q"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "bucket",
+            "probe_dist",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(MULTIPROBE_TOP_K)
+    )
+
+
 # --- IVF-bucketed ANN (coarse-quantizer scale path) ------------------------
 #
 # Inverted-file ANN: a coarse quantizer assigns every vector to its nearest
@@ -773,6 +841,33 @@ WHERE cells.vec_id <> {ANCHOR_ID}
 ORDER BY cosine_sim DESC, cells.vec_id ASC
 LIMIT {IVF_TOP_K}
 """,
+    "sim_ann_lsh_multiprobe": f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         {_SQL_BUCKET} AS bucket
+  FROM embeddings
+), anchor AS (
+  SELECT e AS q, bucket AS qb FROM b WHERE vec_id = {ANCHOR_ID}
+), probes AS (
+  SELECT q, qb AS probe, 0 AS probe_dist FROM anchor
+"""
+    + "".join(
+        "  UNION ALL\n"
+        f"  SELECT q, substr(qb, 1, {i}) || "
+        f"(CASE WHEN substr(qb, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(qb, {i + 2}, {N_PLANES - i - 1}), 1 FROM anchor\n"
+        for i in range(N_PLANES)
+    )
+    + f""")
+SELECT b.vec_id, b.label, b.bucket, p.probe_dist,
+       round({_sql_dot('b.e', 'p.q')}
+             / (sqrt({_sql_dot('b.e', 'b.e')}) * sqrt({_sql_dot('p.q', 'p.q')})),
+             6) AS cosine_sim
+FROM b JOIN probes p ON b.bucket = p.probe
+WHERE b.vec_id <> {ANCHOR_ID}
+ORDER BY cosine_sim DESC, b.vec_id ASC
+LIMIT {MULTIPROBE_TOP_K}
+""",
     "sim_ann_lsh_topk": f"""
 WITH b AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -818,6 +913,7 @@ QUERIES = {
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "sim_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
     "sim_ann_batch_topk": q_ann_batch_topk,
     "sim_kmeans_step": q_kmeans_step,

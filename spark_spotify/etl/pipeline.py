@@ -216,7 +216,11 @@ def split_ts(events: DataFrame):
     ).collect()[0]
     import datetime as dt
 
-    return dt.datetime.utcfromtimestamp(((row.lo + row.hi) // 2) / 1e6)
+    # integer-exact epoch-microsecond arithmetic (a float round-trip could
+    # shift the cut by 1 µs and flip a boundary event between snapshots)
+    return dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=(row.lo + row.hi) // 2
+    )
 
 
 def q_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,9 +247,57 @@ def q_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
-QUERIES = {"etl_incremental_pipeline": q_incremental_pipeline}
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change feed over the manifest-versioned
+    warehouse — the Delta/Iceberg CDC "what did this commit add" read.
+    Two incremental batches run (up to the mid-span cut, then the rest);
+    the diff is the PART-LIST set difference between the fact manifests —
+    an O(changed-parts) metadata operation plus a read of exactly the new
+    parts, never a table scan or row-level diff join.  That manifest
+    arithmetic is the whole point of append-only commits: change capture
+    is free because every commit names its delta.
+
+    Oracle: the single-shot star-join SQL restricted to events past the
+    cut — asserting the batch-2 part holds exactly the rows a ts-filtered
+    batch build would produce."""
+    import shutil
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    median = split_ts(events)
+    warehouse = tempfile.mkdtemp(prefix="spark_spotify_whd_")
+    try:
+        run_incremental_etl(
+            spark, events.filter(F.col("ts") <= F.lit(median)), warehouse, 1
+        )
+        v1 = set(_manifest(warehouse, "fact") or [])
+        run_incremental_etl(spark, events, warehouse, 2)
+        v2 = _manifest(warehouse, "fact") or []
+        added = [p for p in v2 if p not in v1]
+        diff = spark.read.parquet(
+            *[os.path.join(warehouse, "fact", p) for p in added]
+        )
+        return stable_checkpoint(diff)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+QUERIES = {
+    "etl_incremental_pipeline": q_incremental_pipeline,
+    "etl_snapshot_diff": q_snapshot_diff,
+}
 
 # The oracle IS the single-shot star join — that equality is the whole point.
 from spark_spotify.etl import fact as _fact  # noqa: E402
 
-ORACLE = {"etl_incremental_pipeline": _fact.ORACLE["etl_fact_star"]}
+ORACLE = {
+    "etl_incremental_pipeline": _fact.ORACLE["etl_fact_star"],
+    # the star-join SQL restricted to events past the integer-exact
+    # mid-span cut (same arithmetic as split_ts: (lo + hi) // 2 in µs)
+    "etl_snapshot_diff": _fact.ORACLE["etl_fact_star"]
+    + """
+WHERE e.ts > (SELECT make_timestamp(
+                (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)
+              FROM events)
+""",
+}
