@@ -248,3 +248,44 @@ def test_connected_components_matches_union_find_model(
         for r in connected_components(nodes_df, edges_df, parts=3).collect()
     }
     assert got3 == want
+
+
+def test_mix_epochs_laws(spark, sf_dir):
+    """Epoch-mixing invariants: contiguous copy indices 1..n_epochs per
+    doc, per-source epoch counts within {base, base+1} (hash resolves only
+    the fractional part), and determinism across invocations."""
+    from spark_spotify.analytics.curation import q_mix_epochs
+
+    rows = q_mix_epochs(spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.source, r.n_epochs), []).append(
+            r.copy_idx
+        )
+    for (doc_id, _src, n_epochs), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, n_epochs + 1)), doc_id
+    by_source: dict = {}
+    for (doc_id, src, n_epochs), _ in per_doc.items():
+        by_source.setdefault(src, set()).add(n_epochs)
+    for src, counts in by_source.items():
+        assert len(counts) <= 2 and max(counts) - min(counts) <= 1, src
+    again = q_mix_epochs(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multiprobe LSH searches a superset of the single-bucket candidates
+    (probe_dist=0 ring IS the single bucket), so its top-k cosine scores
+    dominate the single-probe top-k rank-for-rank."""
+    from spark_spotify.analytics.similarity import (
+        q_ann_lsh_multiprobe,
+        q_ann_lsh_topk,
+    )
+
+    single = [r.cosine_sim for r in q_ann_lsh_topk(spark, sf_dir).collect()]
+    multi = [
+        r.cosine_sim for r in q_ann_lsh_multiprobe(spark, sf_dir).collect()
+    ]
+    assert len(multi) >= len(single)
+    for rank, s in enumerate(single):
+        assert multi[rank] >= s, (rank, multi[rank], s)
