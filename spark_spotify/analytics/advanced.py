@@ -41,10 +41,15 @@ def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         F.col("asof_ts").alias("last_purchase_ts"),
-        F.round(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
-            / 1_000_000.0,
-            3,
+        # half-up to milliseconds in INTEGER µs arithmetic, then one exact
+        # /1000 — round(double, 3) is not engine-portable at the .0005
+        # boundary (Spark rounds the shortest decimal repr of the double,
+        # DuckDB rounds the binary value; diverged at sf0.1)
+        (
+            F.expr(
+                "(unix_micros(ts) - unix_micros(asof_ts) + 500) div 1000"
+            )
+            / 1000.0
         ).alias("secs_since_purchase"),
     )
 
@@ -541,11 +546,11 @@ SELECT event_id, user_id, ts, event_type,
        MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts,
-       round((epoch_us(ts) - epoch_us(
+       ((epoch_us(ts) - epoch_us(
          MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
-         / 1000000.0, 3) AS secs_since_purchase
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 500)
+         // 1000) / 1000.0 AS secs_since_purchase
 FROM events
 """,
     "ana_behavior_radar": """

@@ -381,15 +381,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
     )
-    return sessions.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("session_events").alias("n_events"),
-        F.round(
-            F.sum("session_events") / F.count(F.lit(1)), 2
-        ).alias("avg_events_per_session"),
-        F.round(
-            F.max((F.col("end_us") - F.col("start_us")) / 60_000_000.0), 2
-        ).alias("max_session_minutes"),
+    # both 2dp roundings in exact integer arithmetic: round(double, 2) is
+    # not engine-portable at the .005 boundary (Spark rounds the shortest
+    # decimal repr, DuckDB the binary value; diverged at sf0.1).
+    # half-up(100x/y) = (200x + y) div 2y; centi-minutes = (µs+3e5) div 6e5.
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("session_events").alias("n_events"),
+            F.max(F.col("end_us") - F.col("start_us")).alias("_max_dur_us"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            (
+                F.expr("(200 * n_events + n_sessions) div (2 * n_sessions)")
+                / 100.0
+            ).alias("avg_events_per_session"),
+            (F.expr("(_max_dur_us + 300000) div 600000") / 100.0).alias(
+                "max_session_minutes"
+            ),
+        )
     )
 
 
@@ -701,8 +715,10 @@ WITH flagged AS (
   FROM numbered GROUP BY user_id, session_no
 )
 SELECT user_id, COUNT(*) AS n_sessions, SUM(session_events) AS n_events,
-       round(SUM(session_events) / COUNT(*), 2) AS avg_events_per_session,
-       round(MAX((end_us - start_us) / 60000000.0), 2) AS max_session_minutes
+       ((200 * SUM(session_events) + COUNT(*)) // (2 * COUNT(*))) / 100.0
+         AS avg_events_per_session,
+       ((MAX(end_us - start_us) + 300000) // 600000) / 100.0
+         AS max_session_minutes
 FROM sessions GROUP BY user_id
 """,
     "op_merge_upsert": """

@@ -133,13 +133,18 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregation never shuffle.)  The timed run includes both bucketed
     writes, so the bench number is the whole layout-then-query pipeline,
     not just the free join."""
-    import uuid as _uuid
+    import os as _os
 
     from spark_spotify.sources.warehouse import write_bucketed
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    sfx = _uuid.uuid4().hex[:12]
+    # per-process deterministic suffix: repeat calls OVERWRITE the same
+    # tables instead of accumulating a new /tmp copy per invocation, while
+    # concurrent processes stay isolated.  (The result can't be
+    # checkpoint-then-cleaned like op_partitioned_prune: the zero-shuffle
+    # plan over the bucketed scans IS the asserted deliverable.)
+    sfx = f"pid{_os.getpid()}"
     base = f"/tmp/spark_spotify_warehouse/{sfx}"
     write_bucketed(
         o.select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -178,31 +183,34 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB — there the partition key is the date, with identical
     mechanics.  The timed run includes the partitioned write, so the bench
     number covers the whole layout-then-query pipeline."""
-    import uuid as _uuid
+    import shutil
+    import tempfile
 
+    from spark_spotify.functions.checkpoint import stable_checkpoint
     from spark_spotify.sources.warehouse import (
         read_partitioned,
         write_partitioned,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    path = f"/tmp/spark_spotify_warehouse/part_{_uuid.uuid4().hex[:12]}"
-    write_partitioned(
-        ev.select("event_id", "user_id", "value", "ts", "event_type"),
-        path,
-        ["event_type"],
-    )
-    back = read_partitioned(spark, path).filter(
-        F.col("event_type").isin("purchase", "click")
-    )
-    return (
-        back.groupBy("event_type")
-        .agg(
+    path = tempfile.mkdtemp(prefix="spark_spotify_part_")
+    try:
+        write_partitioned(
+            ev.select("event_id", "user_id", "value", "ts", "event_type"),
+            path,
+            ["event_type"],
+        )
+        back = read_partitioned(spark, path).filter(
+            F.col("event_type").isin("purchase", "click")
+        )
+        out = back.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             dsum(F.col("value")).alias("total_value"),
         )
-    )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +230,10 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["n_events", "n_users", "total_value"],
         variableColumnName="metric",
         valueColumnName="metric_value",
-    )
+        # DuckDB's UNPIVOT excludes NULL measures by default while Spark
+        # keeps them; pin the exclude-NULLs semantics explicitly so the
+        # parity holds even for a group whose metric aggregates to NULL
+    ).filter(F.col("metric_value").isNotNull())
 
 
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

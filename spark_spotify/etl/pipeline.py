@@ -285,6 +285,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_incremental_etl(spark, events, warehouse, 2)
         v2 = _manifest(warehouse, "fact") or []
         added = [p for p in v2 if p not in v1]
+        full = read_table(spark, warehouse, "fact")
+        if not added:
+            # a commit can legitimately add nothing (all events at or
+            # before the cut) — the change feed is empty, not an error
+            return full.limit(0)
         diff = spark.read.parquet(
             *[os.path.join(warehouse, "fact", p) for p in added]
         )

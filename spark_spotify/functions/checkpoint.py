@@ -14,6 +14,12 @@ cluster deployments, pointing at the shared FS), it uses reliable
 ``checkpoint()`` whose blocks persist to that FS and survive executor
 loss; otherwise it falls back to ``localCheckpoint()``.  Call sites stay
 deployment-agnostic.
+
+Retention: reliable checkpoint files outlive the query unless
+``spark.cleaner.referenceTracking.cleanCheckpoints`` is on — the engine's
+session factory (``session.get_spark``) sets it, so checkpoint data is
+reclaimed when the truncated DataFrame is garbage-collected.  Sessions
+built elsewhere should set it too, or schedule checkpoint-dir retention.
 """
 
 from __future__ import annotations

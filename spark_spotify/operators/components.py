@@ -24,7 +24,8 @@ not edge-sized); no corpus-sized state ever reaches the driver (it only
 sees the one-row convergence count).  The symmetrized edge set is built in
 ONE pass over the (expensive) upstream candidate pipeline via explode —
 a union of two selects would execute that pipeline twice.  Labels are
-``localCheckpoint``-ed every round to cut the growing lineage that would
+checkpointed every round (``stable_checkpoint``: reliable on clusters,
+local on the single-JVM harness) to cut the growing lineage that would
 otherwise re-run all prior rounds.
 """
 
@@ -207,7 +208,7 @@ def _propagate(
         if rnd == 0:
             # every label is still its own node id, so label(label) is the
             # identity — skip the halving join this round
-            new_labels = prop.localCheckpoint(eager=False)
+            new_labels = stable_checkpoint(prop, eager=False)
         else:
             # path-halving: label := label(label).  Every label value is
             # itself a node id, so this lookup is a self-join on the label
@@ -221,7 +222,8 @@ def _propagate(
                 "node",
                 F.coalesce("p_label", "label").alias("label"),
                 "chg",
-            ).localCheckpoint(eager=False)
+            )
+            new_labels = stable_checkpoint(new_labels, eager=False)
         # the one action per round: materializes the lazy checkpoint and
         # reads the fused change flags with a scan-only aggregate
         changed = new_labels.agg(

@@ -405,10 +405,14 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     + ``substring`` (whole-stage-codegen'd) rather than a higher-order
     ``transform`` building per-row string arrays (interpreted, ~3× slower —
     see ``char_gram_array``, kept for array-shaped consumers).
-    Signature hashing is ``xxhash64`` (bigint min, codegen'd) rather than
-    md5 strings: the signature is internal candidate-generation state, never
-    emitted, so the exact-Jaccard verify keeps the output oracle-exact
-    regardless of hash choice."""
+    Signature hashing is the same ``md5(seed || '|' || gram)`` family the
+    DuckDB oracle computes, so candidate GENERATION is bit-identical across
+    engines — LSH recall is probabilistic in the hash family, and a
+    faster-but-different hash (xxhash64 was measured ~15% quicker here)
+    means each engine misses a DIFFERENT ~(1-j^4)^3 tail of true pairs:
+    at sf0.1 that surfaced as a 0.948-Jaccard pair present in one engine's
+    output only.  Exact-verify guards precision, never recall — recall
+    parity has to come from the signatures themselves."""
     # sig is persisted because the band self-join consumes it twice (both
     # aliases) — without it the whole gram->min aggregation runs once per
     # side.  (Measured dead end, kept for the record: deriving the K
@@ -418,7 +422,9 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     # mode rejects the deliberate multiply wrap outright.)
     sig = _char_gram_rows(fan_out(docs)).groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(seed), F.col("g"))).alias(f"mh{seed}")
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))).alias(
+                f"mh{seed}"
+            )
             for seed in range(N_HASHES)
         ]
     ).persist()
@@ -441,10 +447,10 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     # doc list, intersection join, final assembly); checkpointing the
     # output-sized result runs the band self-join once AND releases the
     # signature cache right here — signatures have no further role (the
-    # verify is exact-Jaccard only).  Cluster caveat (SCALE.md "cache
-    # lifecycle"): localCheckpoint blocks are unreplicated and this one
-    # still has pending consumers, so preemptible-executor deployments
-    # should use reliable checkpoint() here or keep `sig` persisted.
+    # verify is exact-Jaccard only).  stable_checkpoint upgrades this to a
+    # reliable checkpoint automatically when the session has a checkpoint
+    # dir (preemptible-executor deployments), since the block still has
+    # pending consumers.
     pairs = (
         a.join(
             b,

@@ -26,6 +26,11 @@ def get_spark(app_name: str = "spark_spotify") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reclaim reliable-checkpoint files once their DataFrames are GC'd
+        # (stable_checkpoint uses checkpoint() when a checkpoint dir is set;
+        # without this a long-lived cluster session's checkpoint dir grows
+        # by one output-sized relation per call, unbounded)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
