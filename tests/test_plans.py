@@ -228,3 +228,48 @@ def test_bench_list_resolves_in_registry():
     # entry without a bench row decays per-query perf coverage silently
     unbenched = sorted(set(QUERIES) - set(bench.BENCH_QUERIES))
     assert not unbenched, unbenched
+
+
+def test_tfidf_broadcasts_idf(spark, sf_dir):
+    """The idf table is vocabulary-sized and must ride in as a broadcast —
+    a shuffle join of tf against idf would re-shuffle the corpus-sized tf
+    relation on token."""
+    plan = _plan(QUERIES["text_tfidf_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cube_is_single_expand_single_shuffle(spark, sf_dir):
+    """CUBE computes all four grouping sets in one Expand + one exchange —
+    the whole point over four separate aggregation scans."""
+    import re
+
+    plan = _plan(QUERIES["agg_cube_sales"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_unpivot_adds_no_exchange(spark, sf_dir):
+    """Unpivot is a map-side Expand: the only exchange in the plan is the
+    upstream groupBy's — melting the wide block must not add one."""
+    import re
+
+    plan = _plan(QUERIES["ana_unpivot_metrics"](spark, sf_dir))
+    # the upstream aggregate pays its shuffles (two: count-distinct is a
+    # two-phase aggregate); the Expand from unpivot sits ABOVE them all in
+    # the tree — no exchange between the aggregate output and the melt
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    expand_line = next(
+        i for i, ln in enumerate(tree.splitlines()) if "Expand" in ln
+    )
+    exchange_lines = [
+        i for i, ln in enumerate(tree.splitlines())
+        if re.search(r"Exchange\b", ln)
+    ]
+    assert exchange_lines and all(expand_line < i for i in exchange_lines)
+
+
+def test_multiprobe_broadcasts_probe_ring(spark, sf_dir):
+    """The (n_planes + 1)-row probe set joins in as a broadcast; the
+    corpus side is looked up by bucket, never shuffled."""
+    plan = _plan(QUERIES["sim_ann_lsh_multiprobe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
