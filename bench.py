@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "mm_payload_dedup",
     "sim_ann_lsh_multiprobe",
     "etl_snapshot_diff",
+    "ana_pivot_first_reindex",
 ]
 
 

@@ -317,6 +317,54 @@ def q_pivot_day_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAYS_ORDER = [
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday", "Sunday",
+]
+
+
+def q_pivot_first_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's C2 pandas recipe (main_page.py:139-152), set-wise:
+    ``pivot_table(aggfunc='first')`` over the per-(day, period) aggregate,
+    then ``reindex(days_order, fill_value=0)`` — a LEFT join from the
+    CANONICAL day axis so absent days surface as zero rows in a fixed
+    order, plus column-completion for periods with no data.  aggfunc
+    ``first`` is well-defined because (day, period) is the grain of its
+    input — one row per cell by construction.
+
+    Scale: the pivot input is a 7x4-cell aggregate; the reindex join is a
+    7-row broadcast.  Everything after the one groupBy shuffle is
+    constant-sized."""
+    from spark_spotify.functions.agg import dsum
+
+    s = _silver(spark, sf_dir)
+    cells = s.groupBy(
+        F.date_format("played_date", "EEEE").alias("day_name"),
+        "time_period",
+    ).agg(dsum(F.col("value")).alias("minutes"))
+    p = (
+        cells.groupBy("day_name")
+        .pivot("time_period", PERIODS)
+        .agg(F.first("minutes"))
+    )
+    axis = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DAYS_ORDER)],
+        "day_ord int, day_name string",
+    )
+    return (
+        axis.join(p, "day_name", "left")
+        .select(
+            "day_ord",
+            "day_name",
+            *[
+                F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+                for c in PERIODS
+            ],
+        )
+        .orderBy("day_ord")
+    )
+
+
 # --- sessionization (gap > 30 min).  Not in the reference (its "sessions" are
 #     AVG minutes, main_ratio.py:105) — standard lag+cumsum sessionize, an op a
 #     listening-history engine needs.  Scale: single shuffle on user_id; both
@@ -696,6 +744,33 @@ SELECT day_name,
        COUNT(CASE WHEN time_period = 'night' THEN 1 END) AS night
 FROM silver GROUP BY day_name
 """,
+    "ana_pivot_first_reindex": f"""
+WITH cells AS (
+  SELECT dayname(ts) AS day_name, {_TP} AS time_period,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS minutes
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT day_name,
+         MIN(CASE WHEN time_period = 'morning' THEN minutes END) AS morning,
+         MIN(CASE WHEN time_period = 'afternoon' THEN minutes END)
+           AS afternoon,
+         MIN(CASE WHEN time_period = 'evening' THEN minutes END) AS evening,
+         MIN(CASE WHEN time_period = 'night' THEN minutes END) AS night
+  FROM cells GROUP BY day_name
+),
+axis(day_ord, day_name) AS (
+  VALUES (0, 'Monday'), (1, 'Tuesday'), (2, 'Wednesday'), (3, 'Thursday'),
+         (4, 'Friday'), (5, 'Saturday'), (6, 'Sunday')
+)
+SELECT CAST(axis.day_ord AS INT) AS day_ord, axis.day_name,
+       COALESCE(p.morning, 0.0) AS morning,
+       COALESCE(p.afternoon, 0.0) AS afternoon,
+       COALESCE(p.evening, 0.0) AS evening,
+       COALESCE(p.night, 0.0) AS night
+FROM axis LEFT JOIN p ON axis.day_name = p.day_name
+ORDER BY axis.day_ord
+""",
     "ana_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -767,6 +842,7 @@ QUERIES = {
     "ana_sankey": q_sankey,
     "ana_weekly_delta": q_weekly_delta,
     "ana_pivot_day_period": q_pivot_day_period,
+    "ana_pivot_first_reindex": q_pivot_first_reindex,
     "ana_sessionize": q_sessionize,
     "ana_day_code_profile": q_day_code_profile,
     "op_merge_upsert": q_merge_upsert,
