@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh_multiprobe",
     "etl_snapshot_diff",
     "ana_pivot_first_reindex",
+    "stream_late_data",
 ]
 
 

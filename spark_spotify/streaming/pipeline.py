@@ -368,6 +368,90 @@ def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_MOD = 97  # event_id % LATE_MOD == 0 rows are withheld into batch 3
+# withheld rows are at least this much older than the split point, so their
+# hourly windows are unambiguously closed when they arrive — the exact
+# watermark value a given Spark version applies to batch-N input lags the
+# commit-log value by up to one batch, and a margin wider than
+# (window + watermark delay) makes the drop decision identical under
+# either reading (observed: the lagged value; a boundary-window row
+# diverged at sf0.1 before this margin existed)
+LATE_MARGIN = "INTERVAL 2 HOURS"
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, end-to-end: the corpus is
+    split at its mid-span timestamp; a deterministic slice of the FIRST
+    half (event_id % 97 == 0) is withheld and delivered as a THIRD file
+    after the whole second half.  ``maxFilesPerTrigger=1`` forces one
+    micro-batch per file, so when the withheld rows finally arrive the
+    watermark already stands at max(second half) − delay, their hourly
+    windows have been emitted and evicted, and the stateful operator
+    DROPS them (observed: ``numRowsDroppedByWatermark`` = the withheld
+    count).  The one watermark behavior the engine's other streaming
+    queries never exercise — their single-batch runs can't have late
+    data by construction.  (A two-file replay does NOT drop: eviction
+    happens at the END of the batch the late rows arrive in, so they are
+    absorbed into still-live state first — the delivery must lag by a
+    full batch, which is exactly how the semantics are specified.)
+
+    Determinism: file order is pinned with explicit mtimes (the file
+    source orders by modification time), the split and the late set are
+    pure functions of the data, and the oracle replays the exact drop
+    rule relationally.
+
+    Scale: this IS the 100 TB late-data story — state is bounded by the
+    watermark horizon regardless of how late the tail is; dropped rows
+    cost nothing downstream."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import split_ts
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = split_ts(ev)
+    is_first = F.col("ts") <= F.lit(cut)
+    is_late = (
+        F.col("ts") <= F.lit(cut) - F.expr(LATE_MARGIN)
+    ) & (F.col("event_id") % LATE_MOD == 0)
+    batch_a = ev.filter(is_first & ~is_late)
+    batch_b = ev.filter(~is_first)
+    batch_c = ev.filter(is_late)
+
+    stage = tempfile.mkdtemp(prefix="spark_spotify_late_")
+    stream_dir = os.path.join(stage, "stream")
+    os.makedirs(stream_dir)
+    try:
+        for name, df, mtime in (
+            ("a", batch_a, 1_000_000_000),
+            ("b", batch_b, 1_000_000_100),
+            ("c", batch_c, 1_000_000_200),
+        ):
+            tmp = os.path.join(stage, f"w_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dest = os.path.join(stream_dir, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            os.utime(dest, (mtime, mtime))  # pin file-source order
+        schema = spark.read.parquet(stream_dir).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        out = _run_to_memory(
+            spark, hourly_rollup(normalize_event_ts(raw)), "late"
+        )
+        # materialize the memory sink's rows before the source files go away
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 ATTRIBUTION_WINDOW = "30 minutes"
 
 
@@ -510,6 +594,30 @@ SELECT g.win_start, g.event_type, g.n_events, g.total_value
 FROM g, m
 WHERE g.win_start + INTERVAL 1 HOUR <= m.wm
 """,
+    # three-batch replay: the withheld slice is >= 2h older than the split
+    # point, so when it finally arrives every one of its hourly windows is
+    # closed under any watermark reading — ALL withheld rows drop;
+    # emission = windows closed by the final watermark
+    "stream_late_data": f"""
+WITH cut AS (
+  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS c
+  FROM events
+),
+accepted AS (
+  SELECT e.ts, e.event_type, e.value FROM events e, cut
+  WHERE NOT (e.ts <= cut.c - INTERVAL 2 HOUR
+             AND e.event_id % {LATE_MOD} = 0)
+),
+fw AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+g AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM accepted GROUP BY 1, 2
+)
+SELECT g.hour_start, g.event_type, g.n_events, g.total_value
+FROM g, fw WHERE g.hour_start + INTERVAL 1 HOUR <= fw.w
+""",
     "stream_click_purchase": """
 SELECT c.event_id AS click_id,
        p.event_id AS purchase_id,
@@ -536,4 +644,5 @@ QUERIES = {
     "stream_enrich_join": q_stream_enrich_join,
     "stream_sliding_rollup": q_stream_sliding_rollup,
     "stream_click_purchase": q_stream_click_purchase,
+    "stream_late_data": q_stream_late_data,
 }

@@ -69,3 +69,23 @@ def test_user_dim_combines_across_batches(spark, sf_dir, warehouse):
         F.count(F.lit(1)).alias("total_plays"),
     )
     assert _rows(du, ["user_id"]) == _rows(want, ["user_id"])
+
+
+def test_late_data_rows_are_dropped(spark, sf_dir):
+    """stream_late_data must differ from the no-late-delivery rollup —
+    proof the watermark actually dropped the withheld rows rather than
+    absorbing them (which a single-batch replay silently would)."""
+    from spark_spotify.streaming.pipeline import (
+        q_stream_hourly_rollup,
+        q_stream_late_data,
+    )
+
+    full = {
+        (r.hour_start, r.event_type): r.n_events
+        for r in q_stream_hourly_rollup(spark, sf_dir).collect()
+    }
+    late = {
+        (r.hour_start, r.event_type): r.n_events
+        for r in q_stream_late_data(spark, sf_dir).collect()
+    }
+    assert sum(full.values()) > sum(late.values())
