@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_spotify.functions.agg import dec, dsum
+from spark_spotify.functions.agg import lscale, lsum, lsum_scaled
 from spark_spotify.operators.asof import asof_last_event
 from spark_spotify.sources.tables import load_table
 
@@ -59,19 +59,19 @@ def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_behavior_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    x = dec(F.col("value"))
+    xi = lscale(F.col("value"), 2)  # exact scaled cents; cents^2 is scale-4
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("total_plays"),
         F.countDistinct("user_id").alias("unique_users"),
-        F.sum(x).alias("_s1"),
-        F.sum((x * x).cast("decimal(28,8)")).alias("_s2"),
+        lsum(F.col("value"), 2).alias("_s1"),
+        lsum_scaled(xi * xi, 4).alias("_s2"),
         F.avg(
             F.when(F.hour("ts").between(6, 17), 1).otherwise(0)
         ).alias("_daytime_frac"),
     )
     n = F.col("total_plays")
-    s1 = F.col("_s1").cast("double")
-    s2 = F.col("_s2").cast("double")
+    s1 = F.col("_s1")
+    s2 = F.col("_s2")
     return g.select(
         "event_type",
         "total_plays",
@@ -180,7 +180,7 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast range join (the rel_value_range_join pattern)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        dsum(F.col("value")).alias("user_value"),
+        lsum(F.col("value")).alias("user_value"),
         F.count(F.lit(1)).alias("user_events"),
     )
     w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))

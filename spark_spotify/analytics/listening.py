@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from spark_spotify.etl.dims import CAL_END, CAL_START
 from spark_spotify.etl.silver import clean_events
-from spark_spotify.functions.agg import dec, dsum
+from spark_spotify.functions.agg import lscale, lsum, unscale
 from spark_spotify.operators.merge import merge_upsert
 from spark_spotify.sources.tables import load_table
 
@@ -48,7 +48,7 @@ def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("played_date", "played_hour")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            dsum(F.col("value")).alias("sv"),
+            lsum(F.col("value")).alias("sv"),
         )
     )
     return grid.join(hourly, ["played_date", "played_hour"], "left").select(
@@ -72,22 +72,24 @@ def q_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("time_period"),
         )
         .agg(
-            F.sum(dec(F.col("value"))).alias("pv_dec"),
+            # scale-4 long partial: exact, re-summable by the day window
+            # (day-level totals are trivially inside the long bound)
+            F.sum(lscale(F.col("value"))).alias("pv_s4"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
     w = Window.partitionBy("day_name")
     return (
-        per.withColumn("dt_dec", F.sum("pv_dec").over(w))
+        per.withColumn("dt_s4", F.sum("pv_s4").over(w))
         .select(
             "day_name",
             "time_period",
-            F.col("pv_dec").cast("double").alias("period_value"),
+            unscale(F.col("pv_s4"), 4).alias("period_value"),
             "n_events",
             F.round(
                 F.lit(100.0)
-                * F.col("pv_dec").cast("double")
-                / F.col("dt_dec").cast("double"),
+                * unscale(F.col("pv_s4"), 4)
+                / unscale(F.col("dt_s4"), 4),
                 1,
             ).alias("pct_of_day"),
         )
@@ -103,7 +105,7 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_plays"),
-            dsum(F.col("value")).alias("total_value"),
+            lsum(F.col("value")).alias("total_value"),
             F.countDistinct("event_type").alias("unique_event_types"),
         )
         .orderBy(F.desc("n_plays"), F.asc("user_id"))
@@ -132,7 +134,7 @@ def q_treemap_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_plays"),
-            dsum(F.col("value")).alias("total_value"),
+            lsum(F.col("value")).alias("total_value"),
         )
         .orderBy(F.desc("n_plays"), F.asc("user_id"))
         .limit(10)
@@ -335,13 +337,11 @@ def q_pivot_first_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pivot input is a 7x4-cell aggregate; the reindex join is a
     7-row broadcast.  Everything after the one groupBy shuffle is
     constant-sized."""
-    from spark_spotify.functions.agg import dsum
-
     s = _silver(spark, sf_dir)
     cells = s.groupBy(
         F.date_format("played_date", "EEEE").alias("day_name"),
         "time_period",
-    ).agg(dsum(F.col("value")).alias("minutes"))
+    ).agg(lsum(F.col("value")).alias("minutes"))
     p = (
         cells.groupBy("day_name")
         .pivot("time_period", PERIODS)
@@ -469,7 +469,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def snap(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("n_plays"),
-            dsum(F.col("value")).alias("total_value"),
+            lsum(F.col("value")).alias("total_value"),
         )
 
     old = snap(ev.filter(F.col("ts") < cutoff_old))
@@ -531,7 +531,7 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     is independent of both partitioning and frame evaluation order."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(dec(F.col("value"))).alias("_dsum"),
+        F.sum(lscale(F.col("value"))).alias("_s4"),
         F.count(F.lit(1)).alias("n_events"),
     )
     day_ord = F.datediff(F.col("day"), F.lit("1970-01-01"))
@@ -540,16 +540,16 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-(ROLL_DAYS - 1), Window.currentRow)
     )
     return (
-        daily.withColumn("rolling_value", F.sum("_dsum").over(w))
+        daily.withColumn("rolling_s4", F.sum("_s4").over(w))
         .withColumn("rolling_days", F.count(F.lit(1)).over(w))
         .select(
             "day",
             "n_events",
-            F.col("_dsum").cast("double").alias("day_value"),
-            F.col("rolling_value").cast("double").alias("rolling_value"),
+            unscale(F.col("_s4"), 4).alias("day_value"),
+            unscale(F.col("rolling_s4"), 4).alias("rolling_value"),
             F.col("rolling_days").cast("int").alias("rolling_days"),
             F.round(
-                F.col("rolling_value").cast("double") / F.col("rolling_days"),
+                unscale(F.col("rolling_s4"), 4) / F.col("rolling_days"),
                 4,
             ).alias("rolling_daily_avg"),
         )

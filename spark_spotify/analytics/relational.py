@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.functions.agg import SQL_DSUM, dec, dsum, money_expr
+from spark_spotify.functions.agg import (
+    SQL_DSUM,
+    lmoney,
+    lscale,
+    lsum,
+    lsum_scaled,
+)
 from spark_spotify.sources.tables import load_table
 
 _SQL_MONEY = (
@@ -34,19 +40,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= Q1_CUTOFF
     )
-    disc_price = money_expr(F.col("l_extendedprice"), F.col("l_discount"))
-    charge = (
-        disc_price
-        * (F.lit(1).cast("decimal(18,4)") + dec(F.col("l_tax")))
-    ).cast("decimal(18,6)")
+    # exact scale-4 (disc_price) / scale-6 (charge) integer money products —
+    # same rationals the DECIMAL formulation produces, all-long per row
+    disc_price = lmoney(F.col("l_extendedprice"), F.col("l_discount"))
+    charge = disc_price * (F.lit(100) + lscale(F.col("l_tax"), 2))
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        F.sum(dec(F.col("l_quantity"))).alias("_sq"),
-        F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
-        F.sum(dec(F.col("l_discount"))).alias("_sd"),
+        lsum(F.col("l_quantity")).alias("sum_qty"),
+        lsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        lsum_scaled(disc_price, 4).alias("sum_disc_price"),
+        lsum_scaled(charge, 6).alias("sum_charge"),
+        lsum(F.col("l_discount")).alias("_sd"),
         F.count(F.lit(1)).alias("count_order"),
     )
     n = F.col("count_order")
@@ -57,9 +60,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        F.round(F.col("_sq").cast("double") / n, 4).alias("avg_qty"),
-        F.round(F.col("_sp").cast("double") / n, 4).alias("avg_price"),
-        F.round(F.col("_sd").cast("double") / n, 4).alias("avg_disc"),
+        F.round(F.col("sum_qty") / n, 4).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / n, 4).alias("avg_price"),
+        F.round(F.col("_sd") / n, 4).alias("avg_disc"),
         "count_order",
     )
 
@@ -80,9 +83,12 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # per-order partial stays a scale-4 long through the join graph (an
+    # order's handful of lineitems can never overflow it); the final
+    # region/nation combine re-splits, so unbounded group volumes stay exact
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(money_expr(F.col("l_extendedprice"), F.col("l_discount"))).alias(
-            "order_rev"
+        F.sum(lmoney(F.col("l_extendedprice"), F.col("l_discount"))).alias(
+            "order_rev_s4"
         )
     )
     return (
@@ -92,7 +98,7 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("order_rev").cast("double").alias("revenue"),
+            lsum_scaled(F.col("order_rev_s4"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -137,9 +143,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == Q5_REGION)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                money_expr(F.col("l_extendedprice"), F.col("l_discount"))
-            ).cast("double").alias("revenue"),
+            lsum_scaled(
+                lmoney(F.col("l_extendedprice"), F.col("l_discount")), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
             F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
@@ -168,10 +174,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = li.groupBy("l_partkey").agg(
         (
             F.lit(Q17_FRACTION)
-            * (
-                F.sum(dec(F.col("l_quantity"))).cast("double")
-                / F.count(F.lit(1))
-            )
+            * (lsum(F.col("l_quantity")) / F.count(F.lit(1)))
         ).alias("qty_cut")
     )
     probe = li.join(thresholds, "l_partkey").filter(
@@ -180,9 +183,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.agg(
         F.count(F.lit(1)).alias("n_small_lineitems"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.sum(dec(F.col("l_extendedprice")))
-        .cast("double")
-        .alias("small_qty_revenue"),
+        lsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
     )
 
 
@@ -230,7 +231,7 @@ def q_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
         ).alias("customers_without_orders"),
-        dsum(F.col("o_totalprice")).alias("total_spend"),
+        lsum(F.col("o_totalprice")).alias("total_spend"),
     )
 
 
@@ -241,17 +242,19 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than the engine's streaming stddev so both engines produce the same
     64-bit double regardless of accumulation order."""
     c = load_table(spark, sf_dir, "customer")
-    x = dec(F.col("c_acctbal"))
+    xi = lscale(F.col("c_acctbal"), 2)  # exact signed cents
     g = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(x).alias("_s1"),
-        F.sum((x * x).cast("decimal(28,8)")).alias("_s2"),
+        lsum(F.col("c_acctbal"), 2).alias("_s1"),
+        # cents^2 is an exact scale-4 integer, so the sum of squares stays
+        # on the primitive-long path too
+        lsum_scaled(xi * xi, 4).alias("_s2"),
         F.min("c_acctbal").alias("min_acctbal"),
         F.max("c_acctbal").alias("max_acctbal"),
     )
     n = F.col("n_customers")
-    s1 = F.col("_s1").cast("double")
-    s2 = F.col("_s2").cast("double")
+    s1 = F.col("_s1")
+    s2 = F.col("_s2")
     return (
         g.filter(n >= 10)
         .select(
@@ -277,10 +280,10 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
-            F.sum(money_expr(F.col("l_extendedprice"), F.col("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            dsum(F.col("l_quantity")).alias("total_qty"),
+            lsum_scaled(
+                lmoney(F.col("l_extendedprice"), F.col("l_discount")), 4
+            ).alias("revenue"),
+            lsum(F.col("l_quantity")).alias("total_qty"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(TOPK_PARTS)
@@ -360,7 +363,7 @@ def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        dsum(F.col("value")).alias("total_value"),
+        lsum(F.col("value")).alias("total_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -386,7 +389,7 @@ def q_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            dsum(F.col("value")).alias("purchase_value"),
+            lsum(F.col("value")).alias("purchase_value"),
         )
     )
     presence = (

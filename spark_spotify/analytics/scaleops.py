@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.functions.agg import SQL_DSUM, dsum
+from spark_spotify.functions.agg import SQL_DSUM, lsum
 from spark_spotify.operators.salted import salted_join
 from spark_spotify.sources.tables import load_table
 
@@ -36,7 +36,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            lsum(F.col("o_totalprice")).alias("revenue"),
             F.grouping_id().cast("int").alias("grp_id"),
         )
         .select("n_name", "c_mktsegment", "grp_id", "n_orders", "revenue")
@@ -58,7 +58,7 @@ def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        dsum(F.col("value")).alias("total_value"),
+        lsum(F.col("value")).alias("total_value"),
     )
 
 
@@ -89,7 +89,7 @@ def q_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 100,
                 2,
             ).alias("purchase_pct"),
-            dsum(F.col("value")).alias("total_value"),
+            lsum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -110,7 +110,7 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            lsum(F.col("o_totalprice")).alias("revenue"),
             F.grouping_id().cast("int").alias("grp_id"),
         )
         .select(
@@ -167,7 +167,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            lsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -206,7 +206,7 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = back.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            dsum(F.col("value")).alias("total_value"),
+            lsum(F.col("value")).alias("total_value"),
         )
         return stable_checkpoint(out)
     finally:
@@ -223,7 +223,7 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n_events"),
         F.countDistinct("user_id").cast("double").alias("n_users"),
-        dsum(F.col("value")).alias("total_value"),
+        lsum(F.col("value")).alias("total_value"),
     )
     return wide.unpivot(
         ids=["event_type"],
@@ -248,7 +248,7 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            lsum(F.col("o_totalprice")).alias("revenue"),
             F.grouping_id().cast("int").alias("grp_id"),
         )
         .select(

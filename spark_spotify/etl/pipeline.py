@@ -178,6 +178,11 @@ def run_incremental_etl(
     # novel bronze delta, so appending the derived delta preserves the
     # no-duplicate invariant without re-reading either table
     _commit_append(clean_events(novel), warehouse, "silver", batch_id)
+    # the just-written silver part IS the cleaned delta — read it back for
+    # the fact build instead of re-deriving clean_events a second time
+    silver_delta = spark.read.parquet(
+        os.path.join(warehouse, "silver", f"p{batch_id}")
+    )
 
     du_delta = novel.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_seen"),
@@ -191,7 +196,7 @@ def run_incremental_etl(
     _commit(det, warehouse, "dim_event_type", batch_id)
     det = read_table(spark, warehouse, "dim_event_type")
 
-    fact_delta = fact_from(clean_events(novel), date_dim(spark), det, du)
+    fact_delta = fact_from(silver_delta, date_dim(spark), det, du)
     _commit_append(fact_delta, warehouse, "fact", batch_id)
 
     touched = novel.select(F.to_date("ts").alias("played_date")).distinct()

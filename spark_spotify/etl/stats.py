@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_spotify.etl.silver import clean_events
-from spark_spotify.functions.agg import dsum
+from spark_spotify.functions.agg import lsum
 from spark_spotify.sources.tables import load_table
 
 
@@ -30,7 +30,7 @@ def daily_stats(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total_events"),
         F.countDistinct("user_id").alias("unique_users"),
         F.countDistinct("event_type").alias("unique_event_types"),
-        dsum(F.col("value")).alias("total_value"),
+        lsum(F.col("value")).alias("total_value"),
         F.count(F.when(F.col("time_period") == "morning", 1)).alias("morning_events"),
         F.count(F.when(F.col("time_period") == "afternoon", 1)).alias("afternoon_events"),
         F.count(F.when(F.col("time_period") == "evening", 1)).alias("evening_events"),
