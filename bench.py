@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "etl_snapshot_diff",
     "ana_pivot_first_reindex",
     "stream_late_data",
+    "dedup_semantic",
+    "text_quality_lr",
+    "curate_global_shuffle",
 ]
 
 

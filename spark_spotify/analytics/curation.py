@@ -415,7 +415,63 @@ def _strata_case_sql() -> str:
     return f"CASE {arms} ELSE '{DEFAULT_HI}' END"
 
 
+# --- deterministic global shuffle ------------------------------------------
+
+SHUFFLE_SEED = "shuffle:42:"
+N_SHARDS = 8  # 256 hash buckets / 32 per shard — exact integer split
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the "shuffle once, write
+    sharded" step every pretraining run needs so examples arrive
+    decorrelated from crawl order.  Each doc gets an md5 shuffle key;
+    shard = top-3 bits of the 256-way hash bucket (exact, engine-portable);
+    position within the shard is the rank of the key.  Content-keyed, so
+    re-running on the same corpus reproduces the identical order — unlike
+    ``orderBy(rand())`` — and adding documents never reorders existing ones
+    within a shard beyond their insertion points.
+
+    Scale: shard assignment is scan-side arithmetic; the per-shard rank is
+    a window partitioned by shard — with shards sized to executor memory
+    (thousands of shards at 100 TB, not 8) each rank sorts one shard
+    locally, which is exactly the distribution the sharded write wants; no
+    global single-reducer sort ever happens."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))
+    )
+    shard = (_bucket_int(SHUFFLE_SEED, F.col("doc_id")) / (256 / N_SHARDS)).cast(
+        "int"
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            key.alias("shuffle_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "source", "shard", "pos", "shuffle_key")
+    )
+
+
 ORACLE = {
+    "curate_global_shuffle": f"""
+WITH k AS (
+  SELECT doc_id, source,
+         md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST((strpos('0123456789abcdef',
+                 substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 1))
+               - 1) // 2 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       shuffle_key
+FROM k
+""",
     "curate_split_assign": f"""
 SELECT doc_id, lang, source,
        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
@@ -626,6 +682,7 @@ QUERIES = {
     "curate_domain_mix": q_domain_mix,
     "curate_release_manifest": q_release_manifest,
     "curate_mix_epochs": q_mix_epochs,
+    "curate_global_shuffle": q_global_shuffle,
 }
 
 # the manifest oracle composes the quality-gate and exact-dedup oracles

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from spark_spotify.analytics.similarity import (
     _SQL_BUCKET,
     E_SQL,
+    N_CELLS,
     _dot,
     _norm,
     _sql_dot,
@@ -176,6 +177,79 @@ def q_doc_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "is_keeper",
     )
+
+
+SEM_THRESH = 0.4  # within-cluster cosine above this => semantic duplicate
+
+
+def q_dedup_semantic(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe: cluster the embedding space,
+    then prune near-identical points *within* each cluster): every vector
+    is assigned to its max-cosine coarse centroid (the same deterministic
+    quantizer as sim_ann_ivf_topk — the first N_CELLS corpus vectors), and
+    a vector is a semantic duplicate iff some LOWER-vec_id cluster-mate
+    sits above the cosine threshold — the keep-lowest-id convention every
+    dedup family here shares.
+
+    Scale: this is the point of clustering first — pairwise cosine runs
+    only inside a cell, so the self-join is keyed by cell (co-partitioned,
+    no corpus-sized shuffle) and the worst stage is O(max_cell²), bounded
+    by balancing the quantizer (more centroids → smaller cells), never
+    O(N²).  At 100 TB the cell id becomes the table's partition key and
+    candidate generation reads one partition per cell."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = fan_out(emb).select(
+        "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    cells = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+        .persist()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos_ab = _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
+    best_prior = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max(F.round(cos_ab, 6)).alias("max_prior_cos"))
+    )
+    verdicts = (
+        cells.select("vec_id", "cell")
+        .join(best_prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("max_prior_cos", F.lit(-1.0)).alias("max_prior_cos"),
+            (
+                F.coalesce("max_prior_cos", F.lit(-1.0)) >= SEM_THRESH
+            ).alias("is_semantic_dup"),
+        )
+    )
+    if not materialize:
+        return verdicts  # un-truncated plan, for the plan-shape gates
+    out = verdicts.transform(stable_checkpoint)
+    cells.unpersist()
+    return out
 
 
 def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +594,43 @@ SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
 FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
 """
 
+ORACLE["dedup_semantic"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+  WHERE vec_id < {N_CELLS}
+),
+asgn AS (
+  SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+         {_sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS cos_c
+  FROM v CROSS JOIN c
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+  FROM asgn
+),
+cells AS (
+  SELECT vec_id, e, nrm, cent_id AS cell FROM r WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id,
+         MAX(round({_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm), 6))
+           AS max_prior_cos
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT cells.vec_id, cells.cell,
+       COALESCE(p.max_prior_cos, -1.0) AS max_prior_cos,
+       COALESCE(p.max_prior_cos, -1.0) >= {SEM_THRESH} AS is_semantic_dup
+FROM cells LEFT JOIN p ON cells.vec_id = p.vec_id
+"""
+
 QUERIES = {
     "dedup_minhash_signature": q_minhash_signature_sample,
     "dedup_minhash_near_dups": q_minhash_near_dups,
@@ -529,4 +640,5 @@ QUERIES = {
     "dedup_emb_cosine": q_emb_cosine_dups,
     "dedup_cluster_assign": q_cluster_assign,
     "dedup_doc_verdict": q_doc_dedup_verdict,
+    "dedup_semantic": q_dedup_semantic,
 }

@@ -628,7 +628,82 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hashing-trick linear quality scorer ----------------------------------
+
+QLR_BUCKETS = 256
+QLR_SEED = "qlr:"
+
+
+def q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring (the fastText / quality-LR
+    shape every pretraining-data pipeline runs): each token hashes to one of
+    ``QLR_BUCKETS`` feature buckets (md5 first byte — engine-portable), each
+    bucket carries a fixed integer milli-weight in [-100, 100] derived from
+    the bucket id ((b * 37) % 201 - 100 — a stand-in for trained weights,
+    which at deploy time arrive as a 256-entry broadcast array), and the doc
+    score is the mean token weight.  The accept verdict thresholds at 0.
+
+    All-integer until one final division, so the score is partitioning- and
+    engine-exact; no model runtime in the hot path — scoring is a scan-side
+    expression, the deploy shape that actually survives 100 TB (per-row
+    Python model calls do not).  Explode → partial-agg keeps the token
+    relation map-side combined; the shuffle carries (doc, partial-sum)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(QLR_SEED), F.col("token"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    w_milli = (bucket * 37) % F.lit(201) - 100
+    scored = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w_milli.cast("long")).alias("score_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        # one exact-int / exact-double division, NO decimal re-round: both
+        # engines produce the identical correctly-rounded quotient (the
+        # portable-rounding policy — a round(x, 6) here can flip at
+        # shortest-repr boundaries)
+        (F.col("score_milli") / (F.col("n_tokens") * 1000.0)).alias(
+            "mean_score"
+        ),
+        (F.col("score_milli") > 0).alias("accept"),
+    )
+
+
+_SQL_QLR_BUCKET = (
+    "CAST((strpos('0123456789abcdef',"
+    " substr(md5('qlr:' || token), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef',"
+    " substr(md5('qlr:' || token), 2, 1)) - 1 AS INT)"
+)
+
 ORACLE = {
+    "text_quality_lr": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, {_SQL_QLR_BUCKET} AS bucket FROM toks
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM((bucket * 37) % 201 - 100) AS BIGINT) AS score_milli
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_milli,
+       score_milli / (n_tokens * 1000.0) AS mean_score,
+       score_milli > 0 AS accept
+FROM s
+""",
     "text_bm25_topk": f"""
 WITH tf AS (
   SELECT doc_id,
@@ -977,4 +1052,5 @@ QUERIES = {
     "text_bigram_logprob": q_bigram_logprob,
     "text_char_entropy": q_char_entropy,
     "text_bm25_topk": q_bm25_topk,
+    "text_quality_lr": q_quality_lr,
 }

@@ -273,3 +273,32 @@ def test_multiprobe_broadcasts_probe_ring(spark, sf_dir):
     corpus side is looked up by bucket, never shuffled."""
     plan = _plan(QUERIES["sim_ann_lsh_multiprobe"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pair_join_is_cell_keyed(spark, sf_dir):
+    """SemDeDup's whole scale story: centroid assignment broadcasts the K
+    centroids (no corpus shuffle), and the within-cluster pair join is an
+    equi-join keyed on the cell id — never a cartesian over the corpus."""
+    plan = _plan(QUERIES["dedup_semantic"](spark, sf_dir, materialize=False))
+    assert "BroadcastNestedLoopJoin" in plan  # K-centroid assignment
+    assert "CartesianProduct" not in plan
+    # the a.cell = b.cell pair join resolves to a hash equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quality_lr_is_scan_side_partial_agg(spark, sf_dir):
+    """Hashing-trick scoring must stay a scan-side expression with map-side
+    combine: one exchange (doc_id), partial HashAggregate below it."""
+    plan = _plan(QUERIES["text_quality_lr"](spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in tree
+
+
+def test_global_shuffle_ranks_within_shard_only(spark, sf_dir):
+    """The shuffle rank must partition by shard — one bounded sort per
+    shard, no global single-partition Window."""
+    plan = _plan(QUERIES["curate_global_shuffle"](spark, sf_dir))
+    # rank exchange is hashpartitioning on shard, never a SinglePartition
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan

@@ -289,3 +289,30 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     assert len(multi) >= len(single)
     for rank, s in enumerate(single):
         assert multi[rank] >= s, (rank, multi[rank], s)
+
+
+MONEY = st.decimals(
+    min_value=-99999, max_value=99999, places=2, allow_nan=False
+)
+
+
+@given(vals=st.lists(MONEY, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_lsum_bitwise_matches_dsum(spark, vals):
+    """The split-accumulator scaled-long sum must be BIT-identical to the
+    exact-decimal sum for any sign mix — the invariant that lets lsum
+    replace dsum without touching a single oracle."""
+    import struct
+
+    from spark_spotify.functions.agg import dsum, lsum
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], schema="x double"
+    )
+    row = df.agg(
+        dsum(F.col("x"), 2).alias("d"), lsum(F.col("x"), 2).alias("l")
+    ).collect()[0]
+    assert struct.pack("d", row.d) == struct.pack("d", row.l), (
+        row.d,
+        row.l,
+    )
