@@ -180,6 +180,7 @@ def q_doc_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEM_THRESH = 0.4  # within-cluster cosine above this => semantic duplicate
+SEM_CELL_TARGET = 256  # centroid count scales to keep ~this many per cell
 
 
 def q_dedup_semantic(
@@ -195,31 +196,100 @@ def q_dedup_semantic(
 
     Scale: this is the point of clustering first — pairwise cosine runs
     only inside a cell, so the self-join is keyed by cell (co-partitioned,
-    no corpus-sized shuffle) and the worst stage is O(max_cell²), bounded
-    by balancing the quantizer (more centroids → smaller cells), never
-    O(N²).  At 100 TB the cell id becomes the table's partition key and
-    candidate generation reads one partition per cell."""
-    from pyspark.sql import Window
+    no corpus-sized shuffle) and the worst stage is O(max_cell²), never
+    O(N²) — PROVIDED the centroid count grows with the corpus.  It does:
+    n_cells = max(N_CELLS, n / SEM_CELL_TARGET), so mean cell size stays
+    ~constant and pair work ~linear (10× probe: 227 s pinned → 27 s
+    scaled).  Assignment is then the next super-linear term (n × n_cells
+    dots), so the quantizer is HIERARCHICAL: a vector picks one of
+    N_CELLS super-cells first (n × 8 dots), then argmaxes only over the
+    fine centroids living in that super-cell (n × n_cells/8 expected) —
+    27 s → ~7 s at the probe, and the standard IVF-tree shape at 100 TB
+    (each level's fan-out is a config; the dataflow never changes).  With
+    n_cells == N_CELLS the hierarchy degenerates: each of the 8 centroids
+    is its own super-cell and its only fine centroid, so small corpora
+    produce identical verdicts to a single-level quantizer.  The one
+    driver-side scalar is the corpus count — the same legitimate pattern
+    as the components convergence flag; the oracle reproduces the exact
+    same cell counts with a COUNT(*) scalar subquery.
+
+    Every argmax is a map-side-combinable max_by, NOT a window: the
+    candidate rows for a vector are emitted contiguously, so the partial
+    aggregate collapses them before anything shuffles — the exchange
+    carries one row per VECTOR, where a row_number window shuffled all
+    n × n_cells candidate rows with both 64-float arrays aboard (19 s →
+    1.5 s for the flat assignment at the 10× probe).  The
+    (cos, -cent_id) struct max reproduces orderBy(desc cos, asc cent_id)
+    exactly; v/nrm ride along via first() — constant per vec_id, so the
+    pick is deterministic."""
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = fan_out(emb).select(
-        "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+    n_cells = max(N_CELLS, emb.count() // SEM_CELL_TARGET)
+    # PERSIST the cast projection: Catalyst's CollapseProject otherwise
+    # inlines ``cast(embedding as array<double>)`` into every one of the
+    # 128 array references inside each unrolled dot product, re-casting
+    # the whole 64-float array per element (measured 13.2 s -> 4.4 s for
+    # the flat 1.56M-dot assignment at the 10x probe from this line
+    # alone).  At 100 TB this cache is a materialized column of the table.
+    vecs = (
+        fan_out(emb)
+        .select(
+            "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+        )
+        .persist()
     )
-    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cent_id"),
+
+    supers = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("scent_id"),
         F.col("v").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    cos_c = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cent_id")
+    cos_s = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    fines = vecs.filter(F.col("vec_id") < n_cells)
+
+    # level 1 for the fine centroids themselves: which super-cell does
+    # each fine centroid live in (n_cells × 8 — tiny)
+    fine_super = (
+        fines.crossJoin(F.broadcast(supers))
+        .withColumn("cos_s", cos_s)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "scent_id", F.struct(F.col("cos_s"), -F.col("scent_id"))
+            ).alias("scell"),
+            F.first("v").alias("cvec"),
+            F.first("nrm").alias("cnrm"),
+        )
+        .select(F.col("vec_id").alias("cent_id"), "scell", "cvec", "cnrm")
     )
+    # level 1 for every vector (n × 8)
+    v_super = (
+        vecs.crossJoin(F.broadcast(supers))
+        .withColumn("cos_s", cos_s)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "scent_id", F.struct(F.col("cos_s"), -F.col("scent_id"))
+            ).alias("scell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    # level 2: argmax over only the fine centroids in the vector's
+    # super-cell (n × n_cells/8 expected candidate rows)
+    cos_f = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
     cells = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+        v_super.join(F.broadcast(fine_super), "scell")
+        .withColumn("cos_f", cos_f)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos_f"), -F.col("cent_id"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "v", "nrm", "cell")
         .persist()
     )
     a, b = cells.alias("a"), cells.alias("b")
@@ -249,6 +319,7 @@ def q_dedup_semantic(
         return verdicts  # un-truncated plan, for the plan-shape gates
     out = verdicts.transform(stable_checkpoint)
     cells.unpersist()
+    vecs.unpersist()
     return out
 
 
@@ -600,22 +671,55 @@ WITH v AS (
          sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
   FROM embeddings
 ),
-c AS (
-  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+s AS (
+  SELECT vec_id AS scent_id, e AS se, nrm AS snrm FROM v
   WHERE vec_id < {N_CELLS}
 ),
-asgn AS (
-  SELECT v.vec_id, v.e, v.nrm, c.cent_id,
-         {_sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS cos_c
-  FROM v CROSS JOIN c
+f0 AS (
+  SELECT vec_id, e, nrm FROM v
+  WHERE vec_id < GREATEST({N_CELLS},
+                          (SELECT COUNT(*) FROM embeddings)
+                            // {SEM_CELL_TARGET})
 ),
-r AS (
+fs_a AS (
+  SELECT f0.vec_id, f0.e, f0.nrm, s.scent_id,
+         {_sql_dot('f0.e', 's.se')} / (f0.nrm * s.snrm) AS cos_s
+  FROM f0 CROSS JOIN s
+),
+fs_r AS (
   SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rn
-  FROM asgn
+    PARTITION BY vec_id ORDER BY cos_s DESC, scent_id ASC) AS rn
+  FROM fs_a
+),
+fs AS (
+  SELECT vec_id AS cent_id, scent_id AS scell, e AS fe, nrm AS fnrm
+  FROM fs_r WHERE rn = 1
+),
+vs_a AS (
+  SELECT v.vec_id, v.e, v.nrm, s.scent_id,
+         {_sql_dot('v.e', 's.se')} / (v.nrm * s.snrm) AS cos_s
+  FROM v CROSS JOIN s
+),
+vs_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_s DESC, scent_id ASC) AS rn
+  FROM vs_a
+),
+vs AS (
+  SELECT vec_id, scent_id AS scell, e, nrm FROM vs_r WHERE rn = 1
+),
+a2 AS (
+  SELECT vs.vec_id, vs.e, vs.nrm, fs.cent_id,
+         {_sql_dot('vs.e', 'fs.fe')} / (vs.nrm * fs.fnrm) AS cos_f
+  FROM vs JOIN fs ON vs.scell = fs.scell
+),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_f DESC, cent_id ASC) AS rn
+  FROM a2
 ),
 cells AS (
-  SELECT vec_id, e, nrm, cent_id AS cell FROM r WHERE rn = 1
+  SELECT vec_id, e, nrm, cent_id AS cell FROM r2 WHERE rn = 1
 ),
 p AS (
   SELECT a.vec_id,

@@ -31,6 +31,22 @@ def get_spark(app_name: str = "spark_spotify") -> SparkSession:
         # without this a long-lived cluster session's checkpoint dir grows
         # by one output-sized relation per call, unbounded)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # The unrolled 64-term vector dot products generate methods past
+        # the JVM's 8000-bytecode JIT ceiling, which silently run
+        # INTERPRETED (~10 us per dot instead of ~0.1 us) — HotSpot's
+        # DontCompileHugeMethods default.  Lifting it took the semantic-
+        # dedup pair stage from 40 s to 2 s at the 10x probe and
+        # accelerates every sim_*/dedup_emb_* query.  Driver option
+        # covers local mode (driver == executor); the executor twin is
+        # what a cluster submit must carry.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
