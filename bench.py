@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "text_quality_lr",
     "curate_global_shuffle",
+    "sim_recall_audit",
 ]
 
 

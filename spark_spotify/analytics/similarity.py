@@ -909,6 +909,72 @@ LIMIT 10
 """,
 }
 
+# --- ANN recall audit -------------------------------------------------------
+
+
+def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of every approximate ANN method against the exact
+    brute-force top-k — the evaluation loop an ANN deployment runs before
+    turning a recall/cost dial (LSH plane count, probe ring width, IVF
+    cell count).  Composes the already-gated queries, so the audit result
+    is consistent with each method's own oracle by construction.
+
+    Scale: each method's candidate generation keeps its own bucketed
+    shape; the audit adds only per-method top-k-sized joins (k rows a
+    side) and one k-row aggregate — free at any corpus size.  Oracle:
+    the same composition of each method's oracle SQL as CTE subqueries."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    parts = []
+    for method, fn in [
+        ("lsh", q_ann_lsh_topk),
+        ("multiprobe", q_ann_lsh_multiprobe),
+        ("ivf", q_ann_ivf_topk),
+    ]:
+        parts.append(
+            fn(spark, sf_dir).select(
+                F.lit(method).alias("method"), "vec_id"
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hit = exact.withColumn("is_hit", F.lit(1))
+    return (
+        u.join(F.broadcast(hit), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "method",
+            "n_returned",
+            "n_hits",
+            # small-int / small-double division: correctly rounded in both
+            # engines, no decimal re-round needed
+            (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE["sim_recall_audit"] = f"""
+WITH exact AS (SELECT vec_id FROM ({ORACLE['sim_ann_cosine_topk']})),
+lsh_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_topk']})),
+mp_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_multiprobe']})),
+ivf_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_ivf_topk']})),
+u AS (
+  SELECT 'lsh' AS method, vec_id FROM lsh_k
+  UNION ALL SELECT 'multiprobe', vec_id FROM mp_k
+  UNION ALL SELECT 'ivf', vec_id FROM ivf_k
+)
+SELECT u.method,
+       COUNT(*) AS n_returned,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) / {float(TOP_K)} AS recall_at_k
+FROM u LEFT JOIN exact e ON u.vec_id = e.vec_id
+GROUP BY u.method
+"""
+
 QUERIES = {
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
@@ -920,4 +986,5 @@ QUERIES = {
     "sim_label_cohesion": q_label_cohesion,
     "sim_quantize_int8": q_quantize_int8,
     "sim_pq_audit": q_pq_audit,
+    "sim_recall_audit": q_recall_audit,
 }
