@@ -262,12 +262,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs approximate distinct users per event type.  At 100 TB
     COUNT(DISTINCT) is a full shuffle of the distinct keys;
     approx_count_distinct (HLL++, rsd 5%) is a constant-size sketch merged
-    map-side.  No oracle — HLL sketches aren't portable across engines —
-    so the exact column rides along as the in-row ground truth."""
+    map-side.
+
+    The raw sketch estimate is NOT oracle-hashable (HLL internals differ
+    per engine), but the sketch's ACCURACY is a deterministic property of
+    the data: the output carries the exact count plus a boolean asserting
+    the estimate lands within 3x the configured rsd, and the oracle
+    declares the exact count and expects the assertion TRUE — converting
+    the rows-only check into a gated sketch-accuracy property test."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    g = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.15).alias("sketch_within_3rsd"),
     )
 
 
@@ -304,6 +318,16 @@ SELECT event_type,
        {SQL_DSUM.format(x='value')} AS total_value
 FROM events
 WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+""",
+    # the oracle states the exact counts and the EXPECTED sketch-accuracy
+    # verdict; Spark computes the real |approx-exact|/exact check, so a
+    # drifting HLL estimate fails the gate
+    "agg_approx_distinct": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS sketch_within_3rsd
+FROM events
 GROUP BY event_type
 """,
     "ana_unpivot_metrics": f"""
