@@ -512,7 +512,7 @@ SELECT CAST(decile AS INT) AS decile,
        round(SUM(user_value), 2) AS decile_value,
        round(MIN(user_value), 2) AS min_user_value,
        round(MAX(user_value), 2) AS max_user_value,
-       SUM(user_events) AS n_events
+       CAST(SUM(user_events) AS BIGINT) AS n_events
 FROM d GROUP BY decile
 """,
     "etl_scd2_user_state": """
@@ -535,7 +535,7 @@ WITH p AS (
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
        COUNT(DISTINCT k) AS n_distinct_k

@@ -72,8 +72,14 @@ def q_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("time_period"),
         )
         .agg(
-            # scale-4 long partial: exact, re-summable by the day window
-            # (day-level totals are trivially inside the long bound)
+            # scale-4 long partial: exact, re-summable by the day window.
+            # Concrete overflow bound for the plain F.sum re-sum (vs the
+            # split-accumulator lsum_scaled used for corpus-wide totals):
+            # values are bounded |value| < 10^6, so one scaled term is
+            # < 10^10 and a signed long holds > 9.2*10^18 — safe up to
+            # ~9*10^8 rows PER DAY-GROUP (~10,000 events/sec sustained
+            # for a day).  Beyond that, switch this window re-sum to the
+            # lsum_scaled split halves (functions/agg.py).
             F.sum(lscale(F.col("value"))).alias("pv_s4"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -528,7 +534,13 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then runs over O(days) rows — thousands, not billions — so the
     single-partition window stage is trivially cheap at any corpus size.
     Rolling sums accumulate exact decimals (functions/agg.py) so the result
-    is independent of both partitioning and frame evaluation order."""
+    is independent of both partitioning and frame evaluation order.
+
+    Overflow bound for the plain F.sum re-sum of scale-4 longs (vs the
+    split-accumulator lsum_scaled used for corpus-wide totals): |value| <
+    10^6 keeps each scaled term under 10^10, so a signed long carries
+    ~9*10^8 rows per day-group — ~10,000 events/sec sustained; past that,
+    move the re-sum to lsum_scaled's split halves."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(lscale(F.col("value"))).alias("_s4"),
@@ -645,8 +657,8 @@ WITH firsts AS (
 )
 SELECT month, new_users,
        new_users - lag(new_users) OVER (ORDER BY month) AS delta_new_users,
-       SUM(new_users) OVER (ORDER BY month
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       CAST(SUM(new_users) OVER (ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM monthly
 """,
     "ana_treemap_norm": """
@@ -717,8 +729,8 @@ WITH per_event AS (
 )
 SELECT conversion_category, lifecycle_stage,
        COUNT(*) AS n_users,
-       SUM(n_plays) AS total_plays,
-       SUM(first_week_plays) AS total_first_week_plays
+       CAST(SUM(n_plays) AS BIGINT) AS total_plays,
+       CAST(SUM(first_week_plays) AS BIGINT) AS total_first_week_plays
 FROM buckets GROUP BY 1, 2
 """,
     "ana_weekly_delta": """
@@ -789,7 +801,7 @@ WITH flagged AS (
          epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
   FROM numbered GROUP BY user_id, session_no
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(session_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(session_events) AS BIGINT) AS n_events,
        ((200 * SUM(session_events) + COUNT(*)) // (2 * COUNT(*))) / 100.0
          AS avg_events_per_session,
        ((MAX(end_us - start_us) + 300000) // 600000) / 100.0

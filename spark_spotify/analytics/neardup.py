@@ -32,9 +32,22 @@ from spark_spotify.operators.dedup import (
     signatures,
 )
 from spark_spotify.operators.simhash import simhash_near_dups
-from spark_spotify.sources.tables import fan_out, load_table
+from spark_spotify.sources.tables import fan_out, load_table, table_rows
 
 EMB_COSINE_THRESHOLD = 0.35
+
+# Broadcast ceiling for the (vec_id, 64×double, nrm) payload projection:
+# ~530 B/row => ~100 MB at 200K rows.  Above it (or when the corpus size
+# is unknowable from the footer) the attach falls back to a plain vec_id
+# equi-join — a co-partitioned shuffle on the table's key layout, which is
+# the shape a 100 TB corpus needs anyway.
+BROADCAST_ATTACH_MAX_ROWS = 200_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    if n_rows is not None and n_rows <= BROADCAST_ATTACH_MAX_ROWS:
+        return F.broadcast(df)
+    return df
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +100,7 @@ def _emb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_BLOCKS = 8  # blocked-self-join fan-out: G² sub-tasks per LSH bucket
 
 
-def _bucket_pairs(bkt: DataFrame) -> DataFrame:
+def _bucket_pairs(bkt: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Within-bucket candidate id pairs (vec_a < vec_b) with the payloads
     (embedding, norm) attached AFTER pair generation — blocked self-join
     plus late materialization.
@@ -105,9 +118,10 @@ def _bucket_pairs(bkt: DataFrame) -> DataFrame:
        64-float arrays made the pair sort/shuffle the dominant stage
        (~700 MB a side at the probe).  Fix: generate pairs on SLIM
        (vec_id, bucket, block) rows only, then attach both payloads by
-       two vec_id equi-joins against the compact projection — locally a
-       10 MB broadcast; at 100 TB the same attach is a co-partitioned
-       join on the table's vec_id layout.  Probe: 22.4 s → 13.0 s
+       two vec_id equi-joins against the compact projection — a broadcast
+       only when the footer row count proves the corpus fits
+       (BROADCAST_ATTACH_MAX_ROWS); otherwise a co-partitioned equi-join
+       on the table's vec_id layout.  Probe: 22.4 s → 13.0 s
        (vs 1.4 s at 1× — linear in corpus size now; the residual is the
        candidate-sized dot-product evaluation itself).
 
@@ -138,8 +152,10 @@ def _bucket_pairs(bkt: DataFrame) -> DataFrame:
         F.col("emb").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    return pairs.join(F.broadcast(ea), "vec_a").join(
-        F.broadcast(eb), "vec_b"
+    # broadcast only when the corpus provably fits (footer row count);
+    # unknown or large corpora take the co-partitioned equi-join path
+    return pairs.join(_maybe_broadcast(ea, n_rows), "vec_a").join(
+        _maybe_broadcast(eb, n_rows), "vec_b"
     )
 
 
@@ -159,7 +175,7 @@ def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _emb_bucketed(spark, sf_dir)
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     out = (
-        _bucket_pairs(b)
+        _bucket_pairs(b, table_rows(sf_dir, "embeddings"))
         .select(
             "vec_a",
             "vec_b",
@@ -191,7 +207,7 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join (measured 261 s → 36 s at a 10× corpus from this line; the
     # in-loop persist alone left rounds re-touching the join plan)
     edges = (
-        _bucket_pairs(b)
+        _bucket_pairs(b, table_rows(sf_dir, "embeddings"))
         .filter(F.round(cos, 6) >= EMB_COSINE_THRESHOLD)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
         .transform(stable_checkpoint)
@@ -275,7 +291,14 @@ def q_dedup_semantic(
     pick is deterministic."""
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = max(N_CELLS, emb.count() // SEM_CELL_TARGET)
+    # corpus size from the parquet footer (cached driver-side metadata
+    # read) — plan construction stays lazy, no Spark job even on the
+    # materialize=False plan-shape-gate path; only an unresolvable
+    # object-store path falls back to a real count
+    n = table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    n_cells = max(N_CELLS, n // SEM_CELL_TARGET)
     # PERSIST the cast projection: Catalyst's CollapseProject otherwise
     # inlines ``cast(embedding as array<double>)`` into every one of the
     # 128 array references inside each unrolled dot product, re-casting
@@ -329,8 +352,10 @@ def q_dedup_semantic(
     # level 2: argmax over only the fine centroids in the vector's
     # super-cell (n × n_cells/8 expected candidate rows)
     cos_f = _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    # fine_super is n_cells rows (corpus/SEM_CELL_TARGET) carrying a
+    # 64-double centroid each — broadcast only while that provably fits
     cells = (
-        v_super.join(F.broadcast(fine_super), "scell")
+        v_super.join(_maybe_broadcast(fine_super, n_cells), "scell")
         .withColumn("cos_f", cos_f)
         .groupBy("vec_id")
         .agg(
@@ -482,8 +507,9 @@ cnt AS (
 ),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN 2 * c >= n THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-                  ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN 2 * c >= n
+                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
   FROM cnt GROUP BY doc_id
 ),
 bands0 AS (

@@ -11,8 +11,40 @@ SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+_HUGE_METHOD_FLAG = "-XX:-DontCompileHugeMethods"
+
+
+def _verify_jit_flag(spark: SparkSession) -> None:
+    """Builder-set ``spark.driver.extraJavaOptions`` only takes effect when
+    THIS process launches the JVM; under spark-submit client mode or a
+    pre-existing gateway it is silently ignored — and with it the 20×
+    dot-product speedup.  Ask the live JVM (HotSpotDiagnosticMXBean) whether
+    the flag actually landed and warn loudly if not, so a cluster deploy
+    learns at startup, not from a 40 s pair stage."""
+    try:
+        jvm = spark.sparkContext._jvm
+        mx = jvm.java.lang.management.ManagementFactory.getPlatformMXBean(
+            jvm.Class.forName(
+                "com.sun.management.HotSpotDiagnosticMXBean"
+            )
+        )
+        val = mx.getVMOption("DontCompileHugeMethods").getValue()
+        if val != "false":
+            warnings.warn(
+                f"JVM was launched without {_HUGE_METHOD_FLAG} (builder "
+                "extraJavaOptions ignored by a pre-existing JVM). Unrolled "
+                "vector dot products will run INTERPRETED (~100x slower). "
+                "Pass it via spark-submit --driver-java-options / "
+                "--conf spark.executor.extraJavaOptions.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    except Exception:
+        pass  # diagnostics bean unavailable (non-HotSpot JVM): best effort
 
 
 def get_spark(app_name: str = "spark_spotify") -> SparkSession:
@@ -52,6 +84,7 @@ def get_spark(app_name: str = "spark_spotify") -> SparkSession:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    _verify_jit_flag(spark)
     return spark
 
 

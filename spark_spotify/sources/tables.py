@@ -10,8 +10,10 @@ becomes a pruned partition read).
 
 from __future__ import annotations
 
+import glob
 import math
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +119,30 @@ def _bytes_conf(spark: SparkSession, key: str) -> int:
     if raw and raw[-1] in units:
         return int(float(raw[:-1]) * units[raw[-1]])
     return int(raw)
+
+
+@lru_cache(maxsize=None)
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet FOOTER — a driver-side metadata
+    read, no Spark job — for plan-time sizing decisions (broadcast
+    gating, quantizer cell counts).  Returns None when the path is not
+    locally resolvable (object store); callers must then take the
+    conservative branch (no broadcast / default sizing).  Cached per
+    (sf_dir, table) so repeated plan construction costs nothing."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{path}/*.parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # unreadable footer => size unknown => no broadcast
+        return None
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

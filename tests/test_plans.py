@@ -295,6 +295,26 @@ def test_quality_lr_is_scan_side_partial_agg(spark, sf_dir):
     assert "HashAggregate" in tree
 
 
+def test_regex_extractions_run_once_per_row(spark, sf_dir):
+    """The one-element-explode barrier in q_text_token_regex / q_pii_scan
+    exists solely so Catalyst's projection collapse cannot inline the
+    regexp_extract_all into every downstream reference (measured 2-4x
+    per-row regex re-execution without it).  That barrier leans on the
+    optimizer's CURRENT inability to collapse through a Generate node — if
+    a future Spark version learns to, correctness holds but the regex
+    silently multiplies.  Pin the invariant: each pattern appears exactly
+    once in the physical plan (token profile: 1 regex; PII scan: 3
+    patterns, each once — not 6)."""
+    plan = _plan(QUERIES["text_token_regex"](spark, sf_dir))
+    assert plan.count("regexp_extract_all") == 1, plan.count(
+        "regexp_extract_all"
+    )
+    plan = _plan(QUERIES["text_pii_scan"](spark, sf_dir))
+    assert plan.count("regexp_extract_all") == 3, plan.count(
+        "regexp_extract_all"
+    )
+
+
 def test_global_shuffle_ranks_within_shard_only(spark, sf_dir):
     """The shuffle rank must partition by shard — one bounded sort per
     shard, no global single-partition Window."""
