@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "dedup_simhash_near_dups",
     "dedup_ngram_jaccard",
     "ana_monthly_discovery",
+    "ana_audio_daily_stats",
+    "ana_genre_explode",
+    "ana_today_listening",
+    "ana_top_artists_month",
     "dedup_emb_cosine",
     "text_fingerprint",
     "text_token_regex",

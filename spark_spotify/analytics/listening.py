@@ -569,6 +569,32 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "ana_today_listening": """
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events)
+SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS played_hour,
+       COUNT(*) AS n_plays,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN mx
+WHERE CAST(ts AS DATE) = today
+GROUP BY 1
+""",
+    "ana_top_artists_month": """
+WITH mx AS (
+  SELECT date_trunc('month', MAX(CAST(ts AS DATE))) AS m0 FROM events
+),
+plays AS (
+  SELECT user_id, COUNT(*) AS total_plays
+  FROM events CROSS JOIN mx
+  WHERE date_trunc('month', CAST(ts AS DATE)) = m0
+  GROUP BY user_id
+)
+SELECT c.c_name AS artist_name, p.total_plays
+FROM plays p JOIN customer c ON p.user_id = c.c_custkey
+ORDER BY p.total_plays DESC, artist_name ASC
+LIMIT 10
+""",
     "ana_nullable_dim_profile": """
 SELECT
   NULLIF(c.c_mktsegment, 'MACHINERY') AS segment,
@@ -842,8 +868,65 @@ FROM a
 """,
 }
 
+def q_today_listening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``dwh.v_today_listening`` daily-summary view
+    (README.md:201 — mentioned, never defined; semantics: today's listening
+    drill-down).  "Today" is the corpus max date (deterministic), computed
+    as a 1-row scalar broadcast cross join, then an hourly rollup of that
+    single day's slice.
+
+    Scale: the date filter lands on the scan (at 100 TB, a partition prune
+    on a date-partitioned layout); the rollup shuffles <= 24 groups."""
+    s = _silver(spark, sf_dir).select(
+        "played_date", "played_hour", "user_id", "event_type", "value"
+    )
+    mx = s.agg(F.max("played_date").alias("today"))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .filter(F.col("played_date") == F.col("today"))
+        .groupBy("played_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_plays"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            lsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def q_top_artists_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's second example query (README.md:203-210): top-10
+    artists of a month via fact ⋈ dim_artists ⋈ dim_dates.  The customer
+    table plays dim_artists (c_name = artist_name, the existing
+    ana_nullable_dim_profile dim mapping); the month is the corpus max
+    month (deterministic stand-in for the README's literal 'October 2025').
+
+    Scale: month filter → partition prune; the name dim rides in as a
+    broadcast hash join (dim-sized); top-10 is TakeOrderedAndProject."""
+    s = _silver(spark, sf_dir).select("user_id", "played_date")
+    mx = s.agg(
+        F.trunc(F.max("played_date"), "month").alias("m0")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("artist_name"),
+    )
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .filter(F.trunc("played_date", "month") == F.col("m0"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("total_plays"))
+        .join(F.broadcast(dim), "user_id")
+        .select("artist_name", "total_plays")
+        .orderBy(F.desc("total_plays"), F.asc("artist_name"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "ana_nullable_dim_profile": q_nullable_dim_profile,
+    "ana_today_listening": q_today_listening,
+    "ana_top_artists_month": q_top_artists_month,
     "ana_rolling_value_7d": q_rolling_value_7d,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_spotify import multimodal
 from spark_spotify.analytics import (
     advanced,
+    audio,
     curation,
     listening,
     neardup,
@@ -29,6 +30,7 @@ from spark_spotify.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     curation,
+    audio,
     silver,
     dims,
     fact,
