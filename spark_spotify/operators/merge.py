@@ -46,6 +46,49 @@ def merge_upsert(
     return incoming.unionByName(survivors)
 
 
+def dynamic_insert(
+    target: DataFrame,
+    records: Sequence[dict],
+) -> DataFrame:
+    """S9 — the reference's generic dynamic INSERT
+    (utils/database.py:195-211: columns taken from the first record's
+    keys, VALUES placeholders, executemany into an existing table) as a
+    schema-aligning Spark append.
+
+    Alignment semantics match what Postgres would do:
+
+    * a record key that is not a target column raises (Postgres: undefined
+      column);
+    * target columns absent from the records are filled with NULL
+      (Postgres: unlisted columns take their default — NULL here);
+    * values are cast to the target column types via the target schema —
+      the insert can never drift the table's schema.
+
+    The records list is an API-page-sized driver payload by contract (the
+    reference's executemany has the same shape); the returned relation is
+    ``target UNION ALL aligned`` — callers commit it via their sink
+    (merge_upsert / insert_if_absent / append part)."""
+    if not records:
+        return target
+    incoming_cols = set()
+    for r in records:
+        incoming_cols.update(r)
+    unknown = incoming_cols - set(target.columns)
+    if unknown:
+        raise ValueError(
+            f"dynamic_insert: columns {sorted(unknown)} do not exist on "
+            f"the target (has {target.columns})"
+        )
+    spark = target.sparkSession
+    # build against the target schema directly: missing keys surface as
+    # None, and createDataFrame validates/casts per-field
+    aligned = spark.createDataFrame(
+        [tuple(r.get(c) for c in target.columns) for r in records],
+        target.schema,
+    )
+    return target.unionByName(aligned)
+
+
 def insert_if_absent(
     existing: DataFrame,
     incoming: DataFrame,

@@ -147,14 +147,27 @@ def search_source(
     return spark.createDataFrame(rows, SEARCH_SCHEMA)
 
 
+# Ceiling on ids collected per enrichment cycle.  The REST APIs are the
+# bottleneck by contract (50-id pages, rate limits), so novel-id sets are
+# small; the guard turns a pathological backlog (e.g. an empty dim against
+# a huge bronze) into bounded cycles instead of a driver-memory collect —
+# leftover ids surface in the next cycle's anti-join.
+MAX_ENRICH_IDS_PER_CYCLE = 100_000
+
+
 def new_ids_for_enrichment(bronze: DataFrame, dim: DataFrame, key: str) -> list[list[str]]:
     """Ids present in bronze but absent from the dim, batched at the API cap —
     the set-wise replacement for the reference's per-row existence probes
-    (left_anti join, then driver-side batching only over the *novel* ids)."""
+    (left_anti join, then driver-side batching only over the *novel* ids).
+
+    Collection is capped at MAX_ENRICH_IDS_PER_CYCLE (deterministic: the
+    ordered head), so the driver payload is bounded no matter how far the
+    dim lags bronze; repeated cycles drain the backlog idempotently."""
     new = (
         bronze.select(F.col(key)).distinct()
         .join(dim.select(F.col(key)), key, "left_anti")
         .orderBy(key)
+        .limit(MAX_ENRICH_IDS_PER_CYCLE)
     )
     ids = [r[0] for r in new.collect()]
     return [ids[i : i + DETAIL_BATCH] for i in range(0, len(ids), DETAIL_BATCH)]

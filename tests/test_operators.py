@@ -6,7 +6,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from spark_spotify.operators.merge import insert_if_absent, merge_upsert
+from spark_spotify.operators.merge import (
+    dynamic_insert,
+    insert_if_absent,
+    merge_upsert,
+)
 from spark_spotify.sources.rest import (
     ingest_audio_features,
     ingest_plays,
@@ -30,6 +34,24 @@ def test_insert_if_absent_keeps_existing(spark):
     got = {r.k: r.v for r in insert_if_absent(old, new, ["k"]).collect()}
     assert got["a"] == 1  # existing wins
     assert got["b"] in (2, 3)  # one of the duplicate incoming rows
+
+
+def test_dynamic_insert_aligns_to_target_schema(spark):
+    """S9 generic dynamic insert (utils/database.py:195-211): record keys
+    pick the columns, missing target columns go NULL, unknown keys raise —
+    the Postgres dynamic-INSERT semantics."""
+    import pytest
+
+    target = spark.createDataFrame(
+        [("a", 1, 0.5)], "k string, v int, w double"
+    )
+    out = dynamic_insert(target, [{"k": "b", "v": 2}, {"w": 9.0}])
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("a", 1, 0.5), ("b", 2, None), (None, None, 9.0)}
+    assert out.schema == target.schema  # insert never drifts the schema
+    with pytest.raises(ValueError, match="nope"):
+        dynamic_insert(target, [{"k": "c", "nope": 1}])
+    assert dynamic_insert(target, []) is target  # empty page: no-op
 
 
 def _play(tid, minute, name="t"):
