@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "text_quality_lr",
     "curate_global_shuffle",
     "sim_recall_audit",
+    "op_bloom_prune_join",
 ]
 
 

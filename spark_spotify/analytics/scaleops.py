@@ -285,7 +285,71 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the large×large join shape where
+    broadcast is impossible at 100 TB: lineitem ⋈ orders with a selective
+    predicate on orders.  Catalyst's InjectRuntimeFilter builds a Bloom
+    filter over the filtered orders keys and pushes
+    ``bloom_filter_might_contain`` onto the LINEITEM SCAN SIDE, so most
+    fact rows die before the shuffle — the runtime equivalent of a
+    semi-join reduction, and the mechanism that makes selective
+    large-table joins viable when neither side broadcasts.
+
+    Locally the filtered orders side would broadcast (defeating the demo),
+    so this query pins a shuffle join and relaxes the size thresholds the
+    injection rule guards on — the conf scope lasts exactly through plan
+    optimization (forced eagerly below) and is restored before return.
+    A plan-shape test asserts the bloom_filter_agg / might_contain pair.
+
+    Result is join-identical with or without the filter (the Bloom pass
+    only false-positives, never false-negatives); the oracle is the plain
+    join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                lsum(F.col("l_extendedprice")).alias("gross_revenue"),
+            )
+        )
+        # force optimization NOW so the runtime-filter rule sees the confs
+        # above; QueryExecution caches the optimized plan, so the restored
+        # session confs cannot re-plan this DataFrame later
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 ORACLE = {
+    "op_bloom_prune_join": f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       {SQL_DSUM.format(x='l_extendedprice')} AS gross_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
     "agg_rollup_revenue": f"""
 SELECT n_name, c_mktsegment,
        CAST(GROUPING(n_name, c_mktsegment) AS INT) AS grp_id,
@@ -381,4 +445,5 @@ QUERIES = {
     "op_salted_segment_value": q_salted_segment_value,
     "ana_segment_split": q_segment_split,
     "agg_approx_distinct": q_approx_distinct,
+    "op_bloom_prune_join": q_bloom_prune_join,
 }

@@ -295,6 +295,20 @@ def test_quality_lr_is_scan_side_partial_agg(spark, sf_dir):
     assert "HashAggregate" in tree
 
 
+def test_bloom_prune_join_injects_runtime_filter(spark, sf_dir):
+    """The large×large selective join must carry Catalyst's runtime Bloom
+    filter: a bloom_filter_agg over the filtered orders keys and a
+    might_contain probe pushed onto the lineitem side — the semi-join
+    reduction that keeps the fact shuffle small when nothing broadcasts."""
+    plan = _plan(QUERIES["op_bloom_prune_join"](spark, sf_dir))
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # and the conf scope must not leak into the session
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    )
+
+
 def test_regex_extractions_run_once_per_row(spark, sf_dir):
     """The one-element-explode barrier in q_text_token_regex / q_pii_scan
     exists solely so Catalyst's projection collapse cannot inline the
