@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "curate_global_shuffle",
     "sim_recall_audit",
     "op_bloom_prune_join",
+    "agg_approx_percentile",
 ]
 
 

@@ -341,7 +341,54 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketch percentiles per event type.  At 100 TB the exact
+    ``percentile`` is a full sort-based aggregation of every value;
+    ``approx_percentile`` (KLL-style quantile sketch, accuracy 10000)
+    merges constant-size summaries map-side — the only viable shape for
+    corpus-wide quantile monitoring.
+
+    Same gating recipe as agg_approx_distinct: the sketch's internals are
+    engine-specific (not oracle-hashable), but its ACCURACY is a
+    deterministic data property — the output asserts the p50/p95 estimates
+    land within 2% relative rank error of the exact values, and the oracle
+    expects TRUE, upgrading a rows-only check to a gated property."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.percentile(F.col("value"), F.lit([0.5, 0.95]))
+    approx = F.percentile_approx(
+        F.col("value"), F.lit([0.5, 0.95]), F.lit(10000)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.round(exact[0], 4).alias("p50_exact"),
+        F.round(exact[1], 4).alias("p95_exact"),
+        approx[0].alias("_a50"),
+        approx[1].alias("_a95"),
+    )
+    tol = 0.02
+
+    def ok(a: F.Column, e: str) -> F.Column:
+        return (
+            F.abs(a - F.col(e)) <= F.abs(F.col(e)) * tol + F.lit(1e-9)
+        )
+
+    return g.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        (ok(F.col("_a50"), "p50_exact") & ok(F.col("_a95"), "p95_exact"))
+        .alias("sketch_within_tol"),
+    )
+
+
 ORACLE = {
+    "agg_approx_percentile": """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 4) AS p50_exact,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS sketch_within_tol
+FROM events
+GROUP BY event_type
+""",
     "op_bloom_prune_join": f"""
 SELECT o_orderstatus,
        COUNT(*) AS n_lines,
@@ -446,4 +493,5 @@ QUERIES = {
     "ana_segment_split": q_segment_split,
     "agg_approx_distinct": q_approx_distinct,
     "op_bloom_prune_join": q_bloom_prune_join,
+    "agg_approx_percentile": q_approx_percentile,
 }
