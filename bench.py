@@ -150,7 +150,10 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-standard dir name (e.g. the 10x scale probe)
     spark = get_spark("spark_spotify_bench")
 
     # JVM/codegen warmup outside the timed region
