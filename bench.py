@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "sim_recall_audit",
     "op_bloom_prune_join",
     "agg_approx_percentile",
+    "etl_time_travel",
 ]
 
 

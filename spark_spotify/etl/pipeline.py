@@ -316,9 +316,29 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel — the Delta/Iceberg ``VERSION AS OF`` read on
+    plain parquet: the fact table exactly as committed by batch 1, read
+    from the RETAINED v1 manifest part list while the live table has
+    moved on to v2.  Zero data copies: a version is just a part list, so
+    any retained manifest replays its snapshot for free (audits,
+    reproducible training runs pinned to a data version).
+
+    Oracle: the single-shot star-join SQL restricted to events at or
+    before the mid-span cut — the batch-1 universe."""
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    full = read_table(spark, warehouse, "fact")
+    if not v1:
+        return full.limit(0)
+    return spark.read.parquet(
+        *[os.path.join(warehouse, "fact", p) for p in v1]
+    )
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
+    "etl_time_travel": q_time_travel,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -333,5 +353,13 @@ ORACLE = {
 WHERE e.ts > (SELECT make_timestamp(
                 (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)
               FROM events)
+""",
+    # the v1 snapshot is exactly the batch-1 universe: events at or
+    # before the same integer-exact mid-span cut
+    "etl_time_travel": _fact.ORACLE["etl_fact_star"]
+    + """
+WHERE e.ts <= (SELECT make_timestamp(
+                 (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)
+               FROM events)
 """,
 }
