@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "op_bloom_prune_join",
     "agg_approx_percentile",
     "etl_time_travel",
+    "text_bpe_merge_step",
 ]
 
 

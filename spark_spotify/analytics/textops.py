@@ -22,6 +22,8 @@ from spark_spotify.sources.tables import fan_out, load_table
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
+BPE_TOP_MERGES = 20  # merges surfaced per BPE induction step
+
 
 def tokens_col(text: F.Column) -> F.Column:
     return F.split(F.trim(text), " ")
@@ -715,6 +717,27 @@ _SQL_QLR_BUCKET = (
 )
 
 ORACLE = {
+    "text_bpe_merge_step": f"""
+WITH tok AS (
+  SELECT t AS token, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+  GROUP BY t
+),
+p AS (
+  SELECT substr(token, CAST(i AS INT), 2) AS pair, freq
+  FROM tok, unnest(range(1, length(token))) AS u(i)
+  WHERE length(token) >= 2
+),
+c AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM p GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+         AS merge_rank,
+       pair, pair_count
+FROM c
+QUALIFY merge_rank <= {BPE_TOP_MERGES}
+""",
     "text_quality_lr": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
@@ -1066,7 +1089,50 @@ FROM c
 """,
 }
 
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step: the corpus-wide adjacent-symbol
+    pair counts over the seed (character) vocabulary, ranked — the argmax
+    the BPE training loop takes at every iteration (Sennrich et al.,
+    subword-nmt; completes the tokenizer story next to text_vocab_build's
+    frequency vocab and text_token_regex's pre-tokenizer).
+
+    The classic efficiency trick is built in: pair counting runs over the
+    DISTINCT token table weighted by token frequency, never over the raw
+    token stream — corpus size only affects the (map-side-combined) token
+    count; the pair explosion is vocabulary-sized.  At 100 TB the loop
+    re-runs this step against the merged vocab table; the dataflow is
+    unchanged.  Deterministic tie-break (count desc, pair asc) makes the
+    induced merge table reproducible anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        fan_out(d)
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = tok.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        counts.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "pair_count")
+    )
+
+
 QUERIES = {
+    "text_bpe_merge_step": q_bpe_merge_step,
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
