@@ -258,8 +258,22 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
     return out
 
 
+def corpus_index(corpus: DataFrame) -> DataFrame:
+    """The maintained corpus-side dedup artifact: one row per document
+    with its exact-dedup fingerprint plus (nullable, for docs too short to
+    shingle) MinHash signature and shingle set.  At 100 TB this is a
+    bucketed warehouse table updated per ingestion batch — build it once,
+    dedup every incoming batch against it (``incremental_near_dups``'s
+    ``index=`` parameter) instead of re-hashing the corpus per batch."""
+    fp = normalized_fingerprint(F.col("text"))
+    base = corpus.select("doc_id", fp.alias("fp"))
+    return base.join(signatures(corpus), "doc_id", "left")
+
+
 def incremental_near_dups(
-    new_docs: DataFrame, corpus: DataFrame
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch incremental dedup: one verdict row per NEW document
     against an EXISTING corpus — the shape a production ingestion pipeline
@@ -271,29 +285,41 @@ def incremental_near_dups(
     (best exact-Jaccard LSH match >= JACCARD_THRESHOLD, match_id/-jaccard
     = the argmax match, ties to the lowest doc_id), else ``keep``.
 
-    Scale: at 100 TB the corpus fingerprints, signatures, and band rows are
-    MAINTAINED artifacts (bucketed tables keyed by fp / (band, band_val)),
-    not recomputed — this function recomputes them only because the local
-    harness has no warehouse between calls.  Per-batch cost is then
+    Scale: at 100 TB the corpus fingerprints, signatures, and band rows
+    are MAINTAINED artifacts (bucketed tables keyed by fp /
+    (band, band_val)), not recomputed — pass that artifact as ``index``
+    (built by ``corpus_index``, stored however the deployment stores
+    tables) and only the batch side is hashed.  Per-batch cost is then
     batch-sized: the fingerprint join and band join are lookups into
     bucketed indexes (co-partitioned, no corpus shuffle), candidates are
     batch-bounded, and the verify touches only candidate shingle sets.
-    Docs too short to shingle simply keep (no basis to near-dup them);
-    the exact check still covers them."""
+    ``corpus`` (raw documents) remains accepted for one-shot use — the
+    index is then derived and dropped in-call.  Docs too short to shingle
+    simply keep (no basis to near-dup them); the exact check still covers
+    them."""
     from pyspark.sql import Window
 
+    if index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or index")
+        index = corpus_index(corpus).persist()
+        own_index = True
+    else:
+        own_index = False
     fp = normalized_fingerprint(F.col("text"))
     exact = (
         new_docs.select("doc_id", fp.alias("fp"))
         .join(
-            corpus.select(fp.alias("fp"), F.col("doc_id").alias("old_id")),
+            index.select("fp", F.col("doc_id").alias("old_id")),
             "fp",
         )
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("exact_id"))
     )
     sig_new = signatures(new_docs).persist()
-    sig_old = signatures(corpus).persist()
+    sig_old = index.filter(F.col("sig").isNotNull()).select(
+        "doc_id", "shingles", "sig"
+    )
     # bucket fullness is judged over BOTH sides together: a band value
     # saturating the corpus index is just as non-discriminative for an
     # incoming batch as for a self-join.  The offender set is tiny (usually
@@ -375,7 +401,8 @@ def incremental_near_dups(
         .transform(stable_checkpoint)
     )
     sig_new.unpersist()
-    sig_old.unpersist()
+    if own_index:
+        index.unpersist()
     return out
 
 
