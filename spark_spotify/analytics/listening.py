@@ -17,7 +17,7 @@ from spark_spotify.etl.dims import CAL_END, CAL_START
 from spark_spotify.etl.silver import clean_events
 from spark_spotify.functions.agg import lscale, lsum, unscale
 from spark_spotify.operators.merge import merge_upsert
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import dim_broadcast, load_table
 
 _H = "CAST(EXTRACT(hour FROM ts) AS INT)"
 _TP = (
@@ -512,7 +512,9 @@ def q_nullable_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ev.join(F.broadcast(dim), "user_id", "left")
+        # customer-derived dim grows with SF — footer-gated hint
+        ev.join(dim_broadcast(dim, sf_dir, "customer", 2_000_000),
+                "user_id", "left")
         .filter(F.col("segment").isNotNull())
         .groupBy("segment")
         .agg(
@@ -916,7 +918,8 @@ def q_top_artists_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.trunc("played_date", "month") == F.col("m0"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("total_plays"))
-        .join(F.broadcast(dim), "user_id")
+        .join(dim_broadcast(dim, sf_dir, "customer", 2_000_000),
+              "user_id")
         .select("artist_name", "total_plays")
         .orderBy(F.desc("total_plays"), F.asc("artist_name"))
         .limit(10)

@@ -24,7 +24,7 @@ from spark_spotify.functions.agg import (
     lsum,
     lsum_scaled,
 )
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import dim_broadcast, load_table
 
 _SQL_MONEY = (
     "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * "
@@ -133,7 +133,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey, "inner")
         .join(c, o.o_custkey == c.c_custkey, "inner")
         .join(
-            F.broadcast(s),
+            # supplier grows with SF (10k rows/SF) — hint only when the
+            # footer count proves it fits; else AQE decides at runtime
+            dim_broadcast(s, sf_dir, "supplier", 2_000_000),
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
             "inner",
@@ -277,7 +279,12 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        # part grows with SF (200k rows/SF, wide strings) — gated hint
+        li.join(
+            dim_broadcast(p, sf_dir, "part", 2_000_000),
+            li.l_partkey == p.p_partkey,
+            "inner",
+        )
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
             lsum_scaled(

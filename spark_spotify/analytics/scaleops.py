@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from spark_spotify.functions.agg import SQL_DSUM, lsum
 from spark_spotify.operators.salted import salted_join
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import dim_broadcast, load_table
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +71,12 @@ def q_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    j = ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"], "left")
+    # customer grows with SF (150k rows/SF) — gated hint
+    j = ev.join(
+        dim_broadcast(c, sf_dir, "customer", 2_000_000),
+        ev["user_id"] == c["c_custkey"],
+        "left",
+    )
     seg = F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
     return (
         j.select(seg.alias("segment"), "user_id", "event_type", "value")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from spark_spotify.analytics import advanced, audio, listening
 from spark_spotify.etl import stats as etl_stats
 from spark_spotify.operators.merge import dynamic_insert, merge_upsert
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import dim_broadcast, load_table
 
 
 def _trailing_days(
@@ -126,7 +126,7 @@ def band_violin_load_data(
         F.col("c_mktsegment").alias("band"),
     )
     return _trailing_days(ev, "played_date", days_to_display).join(
-        F.broadcast(dim), "user_id", "left"
+        dim_broadcast(dim, sf_dir, "customer", 2_000_000), "user_id", "left"
     ).select("value", "band")
 
 

@@ -145,6 +145,22 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def dim_broadcast(
+    df: DataFrame, sf_dir: str, table: str, max_rows: int
+) -> DataFrame:
+    """Broadcast hint gated on ``table``'s parquet-footer row count: the
+    hint is only attached when the dim PROVABLY fits (hints are honored
+    unconditionally, so an unconditional hint on a corpus-scaled dim —
+    customer/supplier/part grow with SF — would collect the whole table
+    to the driver on a real cluster).  Unknown or over-bound sizes leave
+    the join a plain equi-join; AQE still converts it to a broadcast at
+    runtime if the built side turns out small."""
+    n = table_rows(sf_dir, table)
+    if n is not None and n <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so Spark SQL text queries can run
     against the same catalog names the DuckDB oracle uses."""
