@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "agg_approx_percentile",
     "etl_time_travel",
     "text_bpe_merge_step",
+    "ana_json_malformed_audit",
 ]
 
 

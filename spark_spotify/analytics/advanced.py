@@ -224,6 +224,51 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record audit for semi-structured payloads — the PERMISSIVE-parse
+    accounting every production bronze layer needs (the reference
+    json.loads's API payloads inside a try/except and silently drops
+    failures, curl_spotify_tracker.py:200; this makes the drop rate an
+    observable).  A fixed slice of the payloads is corrupted
+    deterministically (event_id mod: truncation, blanking — the two
+    log-shipping failure modes with identical validity semantics in Spark
+    and DuckDB; trailing-garbage intentionally excluded: Spark's Jackson
+    path tolerates it, DuckDB rejects it), then rows are classified with
+    null-safe extraction and profiled per corruption class.
+
+    Scale: pure scan-side expression work + one tiny-keyed aggregation;
+    nothing about the shape changes with corpus size."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    mode = F.pmod(F.col("event_id"), F.lit(7))
+    mangled = (
+        F.when(mode == 0, F.expr("substring(props, 1, length(props) - 1)"))
+        .when(mode == 1, F.lit(""))
+        .otherwise(F.col("props"))
+    )
+    corruption = (
+        F.when(mode == 0, F.lit("truncated"))
+        .when(mode == 1, F.lit("blanked"))
+        .otherwise(F.lit("intact"))
+    )
+    is_valid = F.get_json_object(mangled, "$").isNotNull()
+    k = F.get_json_object(mangled, "$.k").cast("int")
+    return (
+        ev.select(
+            corruption.alias("corruption"),
+            is_valid.cast("int").alias("v"),
+            k.alias("k"),
+        )
+        .groupBy("corruption")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("n_valid"),
+            (F.count(F.lit(1)) - F.sum("v")).alias("n_invalid"),
+            F.count("k").alias("n_k_extracted"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 # --- cohort retention matrix ----------------------------------------------
 
 
@@ -526,6 +571,29 @@ SELECT user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
+    "ana_json_malformed_audit": """
+WITH m AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'truncated'
+              WHEN event_id % 7 = 1 THEN 'blanked'
+              ELSE 'intact' END AS corruption,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+              WHEN event_id % 7 = 1 THEN ''
+              ELSE props END AS p
+  FROM events
+)
+SELECT corruption,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(COUNT(*) - SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_invalid,
+       COUNT(CASE WHEN json_valid(p)
+                  THEN json_extract_string(p, '$.k') END) AS n_k_extracted,
+       CAST(SUM(CASE WHEN json_valid(p)
+                     THEN CAST(json_extract_string(p, '$.k') AS INT) END)
+            AS BIGINT) AS sum_k
+FROM m GROUP BY corruption
+""",
     "ana_props_json": """
 WITH p AS (
   SELECT event_type,
@@ -614,6 +682,7 @@ QUERIES = {
     "ana_value_percentiles": q_value_percentiles,
     "text_lang_id": q_lang_id,
     "ana_props_json": q_props_json,
+    "ana_json_malformed_audit": q_json_malformed_audit,
     "etl_scd2_user_state": q_scd2_user_state,
     "ana_user_value_deciles": q_user_value_deciles,
     "ana_funnel": q_funnel,
