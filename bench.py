@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "etl_time_travel",
     "text_bpe_merge_step",
     "ana_json_malformed_audit",
+    "sim_ann_ivfpq_topk",
 ]
 
 

@@ -632,6 +632,138 @@ def q_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_CAND = 20  # ADC shortlist size fed to the exact re-rank
+IVFPQ_TOP_K = 5
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production read path at billion-vector scale
+    (FAISS IVFADC; Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): the coarse quantizer restricts candidates to the
+    anchor's cell (IVF, same 8 centroids as sim_ann_ivf_topk), candidates
+    are scored by ASYMMETRIC DISTANCE — the query's per-subspace squared
+    distances to the 16 PQ centroids form a 128-entry lookup table
+    (broadcast), and a candidate's approximate distance is just 8 table
+    lookups summed from its stored PQ code (sim_pq_audit's codebook) —
+    and only the top-{IVFPQ_CAND} shortlist touches full vectors for the
+    exact cosine re-rank.
+
+    Scale: the corpus side carries codes (8 small ints), never vectors,
+    through candidate scoring — the memory-bandwidth win that makes PQ
+    the standard at 10^9 vectors; the ADC table is O(subspaces ×
+    centroids) regardless of corpus size; full vectors are read only for
+    the shortlist join (late materialization, same pattern as
+    _bucket_pairs).  Determinism: per-subspace distances are fixed-order
+    folds quantized to integer nano-units, so ADC sums and the shortlist
+    cut are exact integer comparisons; ties break on vec_id; the re-rank
+    rounds at 6 dp like every cosine here."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("e"),
+        _norm(E_SQL).alias("nrm"),
+    )
+    # --- IVF: coarse cells (identical to sim_ann_ivf_topk) ---
+    coarse = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    cells = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "e", "nrm", F.col("cent_id").alias("cell"))
+    )
+    # --- PQ codes for every corpus vector (sim_pq_audit's codebook) ---
+    sub = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("e", s * PQ_DIM + 1, PQ_DIM) for s in range(PQ_SUB)]
+            )
+        ).alias("s", "v"),
+    )
+    pq_cents = sub.filter(F.col("vec_id") < PQ_CENTS).select(
+        F.col("s").alias("cs"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+    )
+    l2 = F.expr(
+        " + ".join(
+            f"((v[{i}] - cv[{i}]) * (v[{i}] - cv[{i}]))" for i in range(PQ_DIM)
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dist"), F.asc("cent_id")
+    )
+    codes = (
+        sub.join(F.broadcast(pq_cents), F.col("s") == F.col("cs"))
+        .withColumn("dist", l2)
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cent_id").alias("code"))
+    )
+    # --- anchor: cell + the 128-entry ADC lookup table ---
+    anchor = cells.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("e").alias("q"), F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    q_sub = sub.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("s").alias("qs"), F.col("v").alias("qv")
+    )
+    adc_l2 = F.expr(
+        " + ".join(
+            f"((qv[{i}] - cv[{i}]) * (qv[{i}] - cv[{i}]))"
+            for i in range(PQ_DIM)
+        )
+    )
+    adc = (
+        q_sub.join(F.broadcast(pq_cents), F.col("qs") == F.col("cs"))
+        .select(
+            F.col("qs").alias("s"),
+            F.col("cent_id").alias("code"),
+            F.round(adc_l2 * PQ_QSCALE, 0).cast("bigint").alias("q_ad"),
+        )
+    )
+    # --- candidate scoring: cell-mates' codes × ADC table, integer sum ---
+    cand_codes = (
+        cells.filter(F.col("vec_id") != ANCHOR_ID)
+        .join(F.broadcast(anchor), F.col("cell") == F.col("qcell"))
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("q_ad").alias("adc_dist"))
+    )
+    shortlist = cand_codes.orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    ).limit(IVFPQ_CAND)
+    # --- exact re-rank of the shortlist only ---
+    cos = _dot("e", "q") / (F.col("nrm") * F.col("qn"))
+    return (
+        shortlist.join(cells, "vec_id")
+        .crossJoin(F.broadcast(anchor.select("q", "qn")))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "adc_dist",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVFPQ_TOP_K)
+    )
+
+
 def _sql_plane(i: int) -> str:
     return (
         f"list_transform(range(64), "
@@ -657,6 +789,11 @@ _SQL_QERR = (
 
 _SQL_PQ_DIST = " + ".join(
     f"((v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}]))"
+    for i in range(PQ_DIM)
+)
+
+_SQL_ADC_DIST = " + ".join(
+    f"((qv[{i + 1}] - cv[{i + 1}]) * (qv[{i + 1}] - cv[{i + 1}]))"
     for i in range(PQ_DIM)
 )
 
@@ -841,6 +978,78 @@ WHERE cells.vec_id <> {ANCHOR_ID}
 ORDER BY cosine_sim DESC, cells.vec_id ASC
 LIMIT {IVF_TOP_K}
 """,
+    "sim_ann_ivfpq_topk": f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+  WHERE vec_id < {N_CELLS}
+),
+cellr AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           {_sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) DESC,
+           c.cent_id ASC) AS rn
+  FROM v CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, label, e, nrm, cent_id AS cell FROM cellr WHERE rn = 1
+),
+sub AS (
+  SELECT vec_id, CAST(g.s AS INT) AS s,
+         list_slice(e, CAST(g.s AS INT) * {PQ_DIM} + 1,
+                    CAST(g.s AS INT) * {PQ_DIM} + {PQ_DIM}) AS v
+  FROM v CROSS JOIN generate_series(0, {PQ_SUB - 1}) g(s)
+),
+pqc AS (
+  SELECT s AS cs, vec_id AS cent_id, v AS cv FROM sub
+  WHERE vec_id < {PQ_CENTS}
+),
+codes AS (
+  SELECT vec_id, s, cent_id AS code
+  FROM (SELECT sub.vec_id, sub.s, pqc.cent_id,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {_SQL_PQ_DIST} ASC, pqc.cent_id ASC) AS rn
+        FROM sub JOIN pqc ON sub.s = pqc.cs)
+  WHERE rn = 1
+),
+anchor AS (
+  SELECT e AS q, nrm AS qn, cell AS qcell FROM cells
+  WHERE vec_id = {ANCHOR_ID}
+),
+qsub AS (
+  SELECT s AS qs, v AS qv FROM sub WHERE vec_id = {ANCHOR_ID}
+),
+adc AS (
+  SELECT qs AS s, cent_id AS code,
+         CAST(round(({_SQL_ADC_DIST}) * {PQ_QSCALE}, 0) AS BIGINT) AS q_ad
+  FROM qsub JOIN pqc ON qs = pqc.cs
+),
+scored AS (
+  SELECT cl.vec_id, CAST(SUM(adc.q_ad) AS BIGINT) AS adc_dist
+  FROM cells cl
+  JOIN anchor ON cl.cell = anchor.qcell
+  JOIN codes ON codes.vec_id = cl.vec_id
+  JOIN adc ON adc.s = codes.s AND adc.code = codes.code
+  WHERE cl.vec_id <> {ANCHOR_ID}
+  GROUP BY cl.vec_id
+),
+short AS (
+  SELECT vec_id, adc_dist FROM (
+    SELECT *, row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {IVFPQ_CAND}
+)
+SELECT s.vec_id, cl.label, cl.cell, s.adc_dist,
+       round({_sql_dot('cl.e', 'anchor.q')} / (cl.nrm * anchor.qn), 6)
+         AS cosine_sim
+FROM short s JOIN cells cl ON cl.vec_id = s.vec_id CROSS JOIN anchor
+ORDER BY cosine_sim DESC, s.vec_id ASC
+LIMIT {IVFPQ_TOP_K}
+""",
     "sim_ann_lsh_multiprobe": f"""
 WITH b AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -981,6 +1190,7 @@ QUERIES = {
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
+    "sim_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "sim_ann_batch_topk": q_ann_batch_topk,
     "sim_kmeans_step": q_kmeans_step,
     "sim_label_cohesion": q_label_cohesion,
