@@ -1138,13 +1138,16 @@ def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", q_ann_lsh_topk),
         ("multiprobe", q_ann_lsh_multiprobe),
         ("ivf", q_ann_ivf_topk),
+        ("ivfpq", q_ann_ivfpq_topk),
     ]:
         parts.append(
             fn(spark, sf_dir).select(
                 F.lit(method).alias("method"), "vec_id"
             )
         )
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
     hit = exact.withColumn("is_hit", F.lit(1))
     return (
         u.join(F.broadcast(hit), "vec_id", "left")
@@ -1169,10 +1172,12 @@ WITH exact AS (SELECT vec_id FROM ({ORACLE['sim_ann_cosine_topk']})),
 lsh_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_topk']})),
 mp_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_multiprobe']})),
 ivf_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_ivf_topk']})),
+ivfpq_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_ivfpq_topk']})),
 u AS (
   SELECT 'lsh' AS method, vec_id FROM lsh_k
   UNION ALL SELECT 'multiprobe', vec_id FROM mp_k
   UNION ALL SELECT 'ivf', vec_id FROM ivf_k
+  UNION ALL SELECT 'ivfpq', vec_id FROM ivfpq_k
 )
 SELECT u.method,
        COUNT(*) AS n_returned,
