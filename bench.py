@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "text_bpe_merge_step",
     "ana_json_malformed_audit",
     "sim_ann_ivfpq_topk",
+    "etl_compact",
 ]
 
 

@@ -335,10 +335,62 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_table(
+    spark: SparkSession, warehouse: str, table: str, tag: str
+) -> None:
+    """Small-file compaction — Delta OPTIMIZE / Iceberg rewrite_data_files
+    on the manifest-versioned warehouse: read the current part list,
+    rewrite it as ONE part, swing the manifest to exactly that part.  A
+    metadata-atomic REWRITE commit: no logical rows change, readers
+    holding the old part list are untouched, and the append-era small
+    files become garbage collectable once unreferenced.  At 100 TB the
+    rewrite targets ~128 MB files per partition instead of 1 global file;
+    the manifest mechanics are identical."""
+    parts = _manifest(warehouse, table) or []
+    df = spark.read.parquet(
+        *[os.path.join(warehouse, table, p) for p in parts]
+    )
+    new_part = f"c{tag}"
+    df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(
+        os.path.join(warehouse, table, new_part)
+    )
+    _swing(warehouse, table, [new_part])
+
+
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction gate: hard-link the shared warehouse's fact parts into
+    an isolated table dir (zero data copy — the shared warehouse's own
+    manifests stay untouched for the CDC/time-travel gates), run the
+    rewrite commit, and return the compacted table — which must be
+    row-identical to the pre-compaction table, so the oracle is the same
+    single-shot star join."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_compact_")
+    try:
+        for p in parts:
+            src = os.path.join(warehouse, "fact", p)
+            dst = os.path.join(cw, "fact", p)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _swing(cw, "fact", parts)
+        compact_table(spark, cw, "fact", "1")
+        after = _manifest(cw, "fact")
+        assert after == ["c1"], after
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
     "etl_time_travel": q_time_travel,
+    "etl_compact": q_compact,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -354,6 +406,9 @@ WHERE e.ts > (SELECT make_timestamp(
                 (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)
               FROM events)
 """,
+    # compaction changes the physical layout only — the oracle is the
+    # unmodified single-shot star join
+    "etl_compact": _fact.ORACLE["etl_fact_star"],
     # the v1 snapshot is exactly the batch-1 universe: events at or
     # before the same integer-exact mid-span cut
     "etl_time_travel": _fact.ORACLE["etl_fact_star"]
