@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "ana_json_malformed_audit",
     "sim_ann_ivfpq_topk",
     "etl_compact",
+    "mm_phash_neardup",
 ]
 
 

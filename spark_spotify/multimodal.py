@@ -245,7 +245,197 @@ def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 bands × 16 bits
+PHASH_BAND_W = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 16
+PHASH_MAX_BUCKET = 256  # same banding worst-case guard as the LSH families
+PHASH_SCHEMA = "doc_id bigint, media_type string, phash string"
+
+
+def payload_phash(media: DataFrame) -> DataFrame:
+    """64-bit aHash over the raw binary payload: the payload is split into
+    64 equal-share byte blocks and each bit records whether the block's
+    mean exceeds the global mean — the classic average-hash recipe, on
+    bytes instead of pixels (with real codecs the same function runs on
+    the decoded 8×8 grayscale; the block arithmetic is identical).
+
+    All-integer comparisons (block_sum·L > total·block_len avoids any
+    division), numpy-vectorized per Arrow batch via one cumsum per
+    payload; the hash ships as a 64-char bit STRING — the same
+    engine-portable representation the LSH bucket ids use, no sign-bit
+    or shift-semantics hazards.  Payloads under 64 bytes are skipped
+    (no meaningful blocks)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = np.arange(PHASH_BITS + 1, dtype=np.int64)
+        for pdf in it:
+            ids: list[int] = []
+            mts: list[str] = []
+            hashes: list[str] = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                ln = len(arr)
+                if ln < PHASH_BITS:
+                    continue
+                cs = np.concatenate(
+                    ([0], np.cumsum(arr, dtype=np.int64))
+                )
+                bounds = idx * ln // PHASH_BITS
+                bsum = cs[bounds[1:]] - cs[bounds[:-1]]
+                blen = bounds[1:] - bounds[:-1]
+                bits = bsum * ln > int(cs[-1]) * blen
+                ids.append(int(doc_id))
+                mts.append(mt)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "phash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the binary payloads: aHash →
+    16-bit Hamming bands (a pair within Hamming ≤ {PHASH_MAX_HAMMING} of
+    a 64-bit hash must agree exactly on ≥1 of 4 bands — pigeonhole, the
+    SimHash banding argument) → candidate equi-join → exact Hamming
+    verify.  The multimodal twin of dedup_simhash_near_dups: catches
+    re-encoded / lightly-corrupted media that byte-exact md5 dedup
+    (mm_payload_dedup) misses.
+
+    Scale: hashing is one Arrow pass over the payload scan; candidates
+    come from a band-keyed equi-join with the same over-full-bucket guard
+    as every LSH family here; the 64-term character Hamming runs on
+    candidate pairs only."""
+    from pyspark.sql import Window
+
+    from spark_spotify.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = payload_phash(build_media_table(fan_out(docs)))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "phash", b * PHASH_BAND_W + 1, PHASH_BAND_W
+                        ).alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_val")
+    w = Window.partitionBy("band", "band_val")
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bn") <= PHASH_MAX_BUCKET
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")
+    )
+    pb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")
+    )
+    hamming = F.expr(
+        " + ".join(
+            f"IF(substring(ph_a, {i + 1}, 1) = substring(ph_b, {i + 1}, 1),"
+            " 0, 1)"
+            for i in range(PHASH_BITS)
+        )
+    )
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "ph_a",
+            "ph_b",
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
 ORACLE = {
+    "mm_phash_neardup": f"""
+WITH m AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+  FROM documents WHERE length(text) >= {PHASH_BITS}
+),
+tot AS (
+  SELECT doc_id, text, L,
+         list_sum(list_transform(range(L),
+             j -> ord(substr(text, CAST(j AS INT) + 1, 1)))) AS total
+  FROM m
+),
+ph AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range({PHASH_BITS}), i ->
+           CASE WHEN
+             list_sum(COALESCE(list_transform(
+                 range(CAST(i * L // {PHASH_BITS} AS INT),
+                       CAST((i + 1) * L // {PHASH_BITS} AS INT)),
+                 j -> ord(substr(text, CAST(j AS INT) + 1, 1))), [0])) * L
+             > total * ((i + 1) * L // {PHASH_BITS} - i * L // {PHASH_BITS})
+           THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+  FROM tot
+),
+bands AS (
+  SELECT doc_id, g.b AS band,
+         substr(phash, CAST(g.b * {PHASH_BAND_W} + 1 AS INT),
+                {PHASH_BAND_W}) AS band_val
+  FROM ph CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) g(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_val)
+            <= {PHASH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, x.phash AS ph_a, y.phash AS ph_b,
+       CAST(list_sum(list_transform(range({PHASH_BITS}), i ->
+           CASE WHEN substr(x.phash, CAST(i AS INT) + 1, 1)
+                     = substr(y.phash, CAST(i AS INT) + 1, 1)
+                THEN 0 ELSE 1 END)) AS INT) AS hamming
+FROM pairs p
+JOIN ph x ON x.doc_id = p.doc_a
+JOIN ph y ON y.doc_id = p.doc_b
+WHERE list_sum(list_transform(range({PHASH_BITS}), i ->
+        CASE WHEN substr(x.phash, CAST(i AS INT) + 1, 1)
+                  = substr(y.phash, CAST(i AS INT) + 1, 1)
+             THEN 0 ELSE 1 END)) <= {PHASH_MAX_HAMMING}
+""",
     "mm_payload_dedup": """
 WITH m AS (
   SELECT doc_id,
@@ -329,4 +519,5 @@ QUERIES = {
     "mm_frame_sample": q_frame_sample,
     "mm_audio_energy": q_audio_energy,
     "mm_payload_dedup": q_payload_dedup,
+    "mm_phash_neardup": q_phash_neardup,
 }
