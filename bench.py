@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "sim_ann_ivfpq_topk",
     "etl_compact",
     "mm_phash_neardup",
+    "etl_schema_evolution",
 ]
 
 

@@ -386,11 +386,64 @@ def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution — Delta/Iceberg ADD COLUMN semantics on
+    the manifest-versioned warehouse: a later commit's part carries a new
+    column (``ingest_source``), earlier parts are untouched on disk, and
+    the unified read (parquet ``mergeSchema``) surfaces NULL for
+    pre-evolution rows.  No rewrite of history, no migration job — the
+    new column costs exactly one part's worth of bytes.
+
+    Mechanics: the shared warehouse's batch-1 parts are hard-linked into
+    an isolated table dir (zero copy); the batch-2 delta is rewritten
+    once WITH the new column as the evolution commit; the manifest then
+    names a mixed-schema part list, which is the steady state a 100 TB
+    table lives in forever (rewriting history per column add is a
+    non-starter).  Oracle: the star join plus a CASE on the batch cut."""
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    new_parts = [p for p in parts if p not in set(v1)]
+    cw = tempfile.mkdtemp(prefix="spark_spotify_evo_")
+    try:
+        os.makedirs(os.path.join(cw, "fact"))
+        for p in v1:
+            src = os.path.join(warehouse, "fact", p)
+            dst = os.path.join(cw, "fact", p)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        manifest = list(v1)
+        if new_parts:
+            delta = spark.read.parquet(
+                *[os.path.join(warehouse, "fact", p) for p in new_parts]
+            ).withColumn("ingest_source", F.lit("batch2"))
+            delta.coalesce(APPEND_WRITE_FILES).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(cw, "fact", "evo1"))
+            manifest.append("evo1")
+        _swing(cw, "fact", manifest)
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(cw, "fact", p) for p in manifest])
+        )
+        if not new_parts:
+            out = out.withColumn(
+                "ingest_source", F.lit(None).cast("string")
+            )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
     "etl_time_travel": q_time_travel,
     "etl_compact": q_compact,
+    "etl_schema_evolution": q_schema_evolution,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -409,6 +462,14 @@ WHERE e.ts > (SELECT make_timestamp(
     # compaction changes the physical layout only — the oracle is the
     # unmodified single-shot star join
     "etl_compact": _fact.ORACLE["etl_fact_star"],
+    # evolved read = star join + the new column, NULL before the cut
+    "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(
+        "FROM events e",
+        """  , CASE WHEN e.ts > (SELECT make_timestamp(
+                  (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) FROM events)
+         THEN 'batch2' END AS ingest_source
+FROM events e""",
+    ),
     # the v1 snapshot is exactly the batch-1 universe: events at or
     # before the same integer-exact mid-span cut
     "etl_time_travel": _fact.ORACLE["etl_fact_star"]
