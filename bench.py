@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "etl_compact",
     "mm_phash_neardup",
     "etl_schema_evolution",
+    "sim_pandas_exact_agreement",
 ]
 
 

@@ -1167,6 +1167,49 @@ def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PANDAS_AGREE_TOL = 1.5e-6  # covers 6dp rounding-mode skew + fp re-association
+
+
+def q_pandas_exact_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement gate for the Arrow/numpy scorer: for every member of the
+    EXACT top-k, the pandas path's cosine must sit within
+    {PANDAS_AGREE_TOL} of the exact value.  sim_ann_cosine_pandas itself
+    is rows-only (BLAS re-associates float adds, so its 64-bit hash can
+    never match a fold-order oracle); this companion converts that
+    untestable hash into a testable property — the oracle states the
+    exact top-k and expects agreement TRUE.  Tolerance, not equality:
+    numpy rounds half-even where the JVM rounds half-up, and pairwise
+    summation drifts ~1e-12 — both live inside the band, a real
+    divergence (wrong vector, transposed matmul, float32 truncation)
+    does not."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select(
+        "vec_id", "label", "cosine_sim"
+    )
+    pand = q_ann_cosine_pandas(spark, sf_dir).select(
+        "vec_id", F.col("cosine_sim").alias("_pcos")
+    )
+    return (
+        exact.join(pand, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cosine_sim",
+            (
+                F.col("_pcos").isNotNull()
+                & (
+                    F.abs(F.col("_pcos") - F.col("cosine_sim"))
+                    <= PANDAS_AGREE_TOL
+                )
+            ).alias("pandas_agrees"),
+        )
+    )
+
+
+ORACLE["sim_pandas_exact_agreement"] = f"""
+SELECT vec_id, label, cosine_sim, TRUE AS pandas_agrees
+FROM ({ORACLE['sim_ann_cosine_topk']})
+"""
+
 ORACLE["sim_recall_audit"] = f"""
 WITH exact AS (SELECT vec_id FROM ({ORACLE['sim_ann_cosine_topk']})),
 lsh_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_topk']})),
@@ -1202,4 +1245,5 @@ QUERIES = {
     "sim_quantize_int8": q_quantize_int8,
     "sim_pq_audit": q_pq_audit,
     "sim_recall_audit": q_recall_audit,
+    "sim_pandas_exact_agreement": q_pandas_exact_agreement,
 }
