@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "mm_phash_neardup",
     "etl_schema_evolution",
     "sim_pandas_exact_agreement",
+    "stream_dlq",
 ]
 
 

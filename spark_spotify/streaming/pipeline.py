@@ -509,9 +509,127 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, joined, "attrib")
 
 
+def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter-queue routing — the quarantine pattern every
+    production ingest stream needs: malformed payloads must neither kill
+    the query nor vanish silently (the reference's bare try/except drops
+    them, curl_spotify_tracker.py:200); they are SPLIT out per micro-batch
+    with provenance and land in their own table for replay after a fix.
+
+    One ``foreachBatch`` pass evaluates payload validity once per row and
+    writes two O(delta) appends: valid rows to the main table, invalid
+    rows (with their corruption class and batch id) to the DLQ.  The
+    corruption injection is the same deterministic event_id-mod rule as
+    ana_json_malformed_audit (truncation / blanking — the cross-engine-
+    agreed validity modes), so the routing outcome is oracle-checkable.
+    Gate output: per (route, corruption) row counts and the extracted-key
+    sum on the main route.
+
+    Scale: validity is scan-side expression work; each batch appends its
+    two deltas (no table rewrite); the DLQ stays tiny by construction —
+    its size is the pipeline's data-quality alarm."""
+    import uuid as _uuid
+
+    src = read_event_stream(spark, sf_dir).select("event_id", "props")
+    mode = F.pmod(F.col("event_id"), F.lit(7))
+    mangled = (
+        F.when(mode == 0, F.expr("substring(props, 1, length(props) - 1)"))
+        .when(mode == 1, F.lit(""))
+        .otherwise(F.col("props"))
+    )
+    corruption = (
+        F.when(mode == 0, F.lit("truncated"))
+        .when(mode == 1, F.lit("blanked"))
+        .otherwise(F.lit("intact"))
+    )
+    enriched = src.select(
+        "event_id",
+        corruption.alias("corruption"),
+        F.get_json_object(mangled, "$").isNotNull().alias("ok"),
+        F.get_json_object(mangled, "$.k").cast("int").alias("k"),
+    )
+    base = f"/tmp/spark_spotify_stream_dlq/{_uuid.uuid4().hex[:12]}"
+    state: dict = {"main": [], "dlq": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        main = batch_df.filter(F.col("ok")).select(
+            "event_id", "corruption", "k"
+        )
+        dlq = batch_df.filter(~F.col("ok")).select(
+            "event_id",
+            "corruption",
+            F.lit(batch_id).alias("quarantine_batch"),
+        )
+        mp = f"{base}/main/p{batch_id}"
+        dp = f"{base}/dlq/p{batch_id}"
+        main.write.mode("overwrite").parquet(mp)
+        dlq.write.mode("overwrite").parquet(dp)
+        state["main"] = state["main"] + [mp]
+        state["dlq"] = state["dlq"] + [dp]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            enriched.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    main = (
+        spark.read.parquet(*state["main"])
+        .groupBy("corruption")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(F.lit("main").alias("route"), "corruption", "n_rows", "sum_k")
+    )
+    dlq = (
+        spark.read.parquet(*state["dlq"])
+        .groupBy("corruption")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("dlq").alias("route"),
+            "corruption",
+            "n_rows",
+            F.lit(None).cast("bigint").alias("sum_k"),
+        )
+    )
+    return main.unionByName(dlq)
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
+    "stream_dlq": """
+WITH m AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'truncated'
+              WHEN event_id % 7 = 1 THEN 'blanked'
+              ELSE 'intact' END AS corruption,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+              WHEN event_id % 7 = 1 THEN ''
+              ELSE props END AS p
+  FROM events
+),
+r AS (
+  SELECT CASE WHEN json_valid(p) THEN 'main' ELSE 'dlq' END AS route,
+         corruption,
+         CASE WHEN json_valid(p)
+              THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
+  FROM m
+)
+SELECT route, corruption, COUNT(*) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM r GROUP BY route, corruption
+""",
     "stream_merge_sink": """
 SELECT event_id, user_id, event_type FROM events
 """,
@@ -641,6 +759,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
+    "stream_dlq": q_stream_dlq,
     "stream_enrich_join": q_stream_enrich_join,
     "stream_sliding_rollup": q_stream_sliding_rollup,
     "stream_click_purchase": q_stream_click_purchase,
