@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "etl_schema_evolution",
     "sim_pandas_exact_agreement",
     "stream_dlq",
+    "etl_row_delete",
 ]
 
 

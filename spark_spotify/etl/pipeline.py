@@ -438,12 +438,85 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+DELETE_USER = 7  # deterministic GDPR-delete subject for the gate
+
+
+def delete_rows(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    predicate,
+    tag: str,
+) -> int:
+    """Row-level DELETE — the Delta/Iceberg copy-on-write delete commit,
+    the GDPR / right-to-be-forgotten primitive a training-data store must
+    support: parts that contain matching rows are rewritten WITHOUT them
+    (new immutable parts), untouched parts keep their bytes, and the
+    manifest swings atomically to the mixed old/new list.  Write cost is
+    O(affected parts), never a table rewrite.
+
+    ``predicate`` is a Column selecting rows to DELETE.  Returns the
+    number of parts rewritten.  At 100 TB part pruning uses footer
+    min/max stats instead of this read-and-count (same decision, zero
+    I/O for provably-unaffected parts); on a partitioned layout a delete
+    keyed to the partition column is a pure manifest operation."""
+    parts = _manifest(warehouse, table) or []
+    new_list: list[str] = []
+    rewritten = 0
+    for p in parts:
+        path = os.path.join(warehouse, table, p)
+        df = spark.read.parquet(path)
+        n_match = df.filter(predicate).count()
+        if n_match == 0:
+            new_list.append(p)
+            continue
+        kept = df.filter(~predicate)
+        new_part = f"{p}_{tag}"
+        kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
+            os.path.join(warehouse, table, new_part)
+        )
+        new_list.append(new_part)
+        rewritten += 1
+    _swing(warehouse, table, new_list)
+    return rewritten
+
+
+def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE gate: hard-link the shared warehouse's fact parts into an
+    isolated table dir (the shared manifests stay untouched for the other
+    gates), delete one user's rows copy-on-write, and return the table —
+    the oracle is the star join excluding that user."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_del_")
+    try:
+        for p in parts:
+            src = os.path.join(warehouse, "fact", p)
+            dst = os.path.join(cw, "fact", p)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _swing(cw, "fact", parts)
+        delete_rows(
+            spark, cw, "fact", F.col("user_id") == DELETE_USER, "d1"
+        )
+        # the erased subject must be gone from the committed table
+        out = read_table(spark, cw, "fact")
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
     "etl_time_travel": q_time_travel,
     "etl_compact": q_compact,
     "etl_schema_evolution": q_schema_evolution,
+    "etl_row_delete": q_row_delete,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -462,6 +535,11 @@ WHERE e.ts > (SELECT make_timestamp(
     # compaction changes the physical layout only — the oracle is the
     # unmodified single-shot star join
     "etl_compact": _fact.ORACLE["etl_fact_star"],
+    # copy-on-write delete: the star join minus the erased subject
+    "etl_row_delete": _fact.ORACLE["etl_fact_star"]
+    + f"""
+WHERE e.user_id <> {DELETE_USER}
+""",
     # evolved read = star join + the new column, NULL before the cut
     "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(
         "FROM events e",
