@@ -55,33 +55,130 @@ TABLES = (
 )
 
 
-def _manifest(warehouse: str, table: str) -> list[str] | None:
-    ptr = os.path.join(warehouse, table, "_latest")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as fh:
-        import json
-
-        return json.load(fh)
+class CommitConflictError(RuntimeError):
+    """An optimistic-concurrency commit lost the race: another writer
+    committed the manifest version this writer was about to claim."""
 
 
-def _swing(warehouse: str, table: str, parts: list[str]) -> None:
+def _require(cond: bool, msg: object) -> None:
+    """Gate invariant (survives ``python -O``, unlike ``assert``)."""
+    if not cond:
+        raise RuntimeError(f"warehouse invariant violated: {msg}")
+
+
+_MANIFEST_PREFIX = "_latest.v"
+
+
+def _versions(warehouse: str, table: str) -> list[int]:
+    """All committed manifest versions for ``table``, ascending."""
+    tdir = os.path.join(warehouse, table)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        int(f[len(_MANIFEST_PREFIX):])
+        for f in os.listdir(tdir)
+        if f.startswith(_MANIFEST_PREFIX)
+    )
+
+
+def _current_version(warehouse: str, table: str) -> int:
+    vs = _versions(warehouse, table)
+    return vs[-1] if vs else 0
+
+
+def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     import json
 
-    ptr = os.path.join(warehouse, table, "_latest")
-    with open(ptr, "w") as fh:
-        json.dump(parts, fh)
+    path = os.path.join(warehouse, table, f"{_MANIFEST_PREFIX}{version}")
+    with open(path) as fh:
+        m = json.load(fh)
+    if isinstance(m, list):  # tolerate bare part lists
+        m = {"parts": m}
+    m.setdefault("renames", {})
+    return m
+
+
+def _manifest(
+    warehouse: str, table: str, version: int | None = None
+) -> list[str] | None:
+    """Committed part list at ``version`` (default: latest), or None if
+    the table has no commits."""
+    vs = _versions(warehouse, table)
+    if not vs:
+        return None
+    v = vs[-1] if version is None else version
+    return _read_manifest_file(warehouse, table, v)["parts"]
+
+
+def _renames(
+    warehouse: str, table: str, version: int | None = None
+) -> dict[str, str]:
+    """Column mapping ``{physical_name: logical_name}`` at ``version``."""
+    vs = _versions(warehouse, table)
+    if not vs:
+        return {}
+    v = vs[-1] if version is None else version
+    return _read_manifest_file(warehouse, table, v)["renames"]
+
+
+def _swing(
+    warehouse: str,
+    table: str,
+    parts: list[str],
+    renames: dict[str, str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Commit a new manifest version via compare-and-swap.
+
+    The next version file ``_latest.v{N+1}`` is created with
+    ``O_CREAT|O_EXCL`` — the put-if-absent that Delta's log protocol uses:
+    if two committers race, exactly one creates the file and wins; the
+    loser raises :class:`CommitConflictError` (retry = re-read the table
+    state and re-derive the commit).  ``expected_version`` additionally
+    rejects the commit if the table moved since the caller read it.
+    Returns the committed version number."""
+    import json
+
+    tdir = os.path.join(warehouse, table)
+    os.makedirs(tdir, exist_ok=True)
+    cur = _current_version(warehouse, table)
+    if expected_version is not None and cur != expected_version:
+        raise CommitConflictError(
+            f"{table}: expected version {expected_version}, found {cur}"
+        )
+    if renames is None:
+        renames = _renames(warehouse, table) if cur else {}
+    nxt = cur + 1
+    path = os.path.join(tdir, f"{_MANIFEST_PREFIX}{nxt}")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"{table}: version {nxt} was committed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"parts": parts, "renames": renames}, fh)
+    return nxt
 
 
 def read_table(
-    spark: SparkSession, warehouse: str, table: str
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    version: int | None = None,
 ) -> DataFrame | None:
-    parts = _manifest(warehouse, table)
+    """Snapshot read at ``version`` (default: latest).  Applies the
+    manifest's column mapping (physical -> logical names), so a rename
+    commit changes what readers see without touching any part bytes."""
+    parts = _manifest(warehouse, table, version)
     if not parts:
         return None
-    return spark.read.parquet(
+    df = spark.read.parquet(
         *[os.path.join(warehouse, table, p) for p in parts]
     )
+    for phys, logical in _renames(warehouse, table, version).items():
+        df = df.withColumnRenamed(phys, logical)
+    return df
 
 
 # Optimize-write file-count targets (the Delta optimizeWrite idea: bound
@@ -249,6 +346,10 @@ def split_ts(events: DataFrame):
 # inside each gate was the artificial part (16 s of the round-2 bench suite
 # was exactly that duplicated fixed cost).  Build once per (session, sf_dir),
 # record the post-batch-1 fact manifest for the CDC gate, reclaim at exit.
+# ASSUMPTION (documented, not checked): the parquet under sf_dir is an
+# immutable fixture for the life of the process — the cache is keyed on the
+# path alone, so mutating the source data in-place would serve a stale
+# warehouse.  Fixture dirs here are driver-generated and never rewritten.
 _WAREHOUSE_CACHE: dict[str, tuple[str, list[str]]] = {}
 
 
@@ -288,7 +389,7 @@ def q_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_incremental_etl(
         spark, load_table(spark, sf_dir, "events"), warehouse, 3
     )
-    assert res["skipped"] and res["n_new"] == 0, res
+    _require(res["skipped"] and res["n_new"] == 0, res)
     return read_table(spark, warehouse, "fact")
 
 
@@ -327,12 +428,10 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the single-shot star-join SQL restricted to events at or
     before the mid-span cut — the batch-1 universe."""
     warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
-    full = read_table(spark, warehouse, "fact")
     if not v1:
-        return full.limit(0)
-    return spark.read.parquet(
-        *[os.path.join(warehouse, "fact", p) for p in v1]
-    )
+        return read_table(spark, warehouse, "fact").limit(0)
+    # the batch-1 commit is manifest version 1 — VERSION AS OF proper
+    return read_table(spark, warehouse, "fact", version=1)
 
 
 def compact_table(
@@ -357,6 +456,63 @@ def compact_table(
     _swing(warehouse, table, [new_part])
 
 
+def vacuum_table(
+    warehouse: str, table: str, retain_versions: set[int] | None = None
+) -> list[str]:
+    """Retention garbage collection — Delta ``VACUUM`` / Iceberg
+    ``expire_snapshots`` on the manifest-versioned warehouse: drop every
+    manifest version outside ``retain_versions`` (the live version is
+    always retained), then delete every part directory referenced by NO
+    surviving manifest.  Time travel to any retained version keeps
+    working because its part list survives intact; only parts that no
+    retained snapshot can ever read are reclaimed.  Pure metadata + local
+    FS work — no Spark job (at 100 TB: an object-store listing + delete
+    batch driven by the manifest diff, never a data scan).
+
+    Returns the sorted list of removed part names."""
+    import shutil
+
+    vs = _versions(warehouse, table)
+    if not vs:
+        return []
+    retained = set(retain_versions or ()) | {vs[-1]}
+    tdir = os.path.join(warehouse, table)
+    for v in vs:
+        if v not in retained:
+            os.remove(os.path.join(tdir, f"{_MANIFEST_PREFIX}{v}"))
+    referenced: set[str] = set()
+    for v in sorted(retained & set(vs)):
+        referenced.update(_read_manifest_file(warehouse, table, v)["parts"])
+    removed: list[str] = []
+    for entry in os.listdir(tdir):
+        if entry.startswith("_latest"):
+            continue
+        if entry not in referenced:
+            shutil.rmtree(os.path.join(tdir, entry))
+            removed.append(entry)
+    return sorted(removed)
+
+
+def rename_column(warehouse: str, table: str, old: str, new: str) -> int:
+    """Metadata-only column RENAME — Delta column-mapping semantics: the
+    part files keep their physical column name forever; the manifest
+    carries ``{physical: logical}`` and the read path translates.  The
+    commit writes ONE manifest file (CAS-guarded against concurrent
+    commits), zero data bytes; time travel to a pre-rename version shows
+    the old name because the mapping is versioned with the manifest."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: rename on an empty table")
+    m = _read_manifest_file(warehouse, table, cur)
+    renames = dict(m["renames"])
+    # `old` may itself be a logical name from an earlier rename — chase it
+    # back to the on-disk physical name so mappings never chain
+    phys = next((p for p, lg in renames.items() if lg == old), old)
+    renames[phys] = new
+    return _swing(
+        warehouse, table, m["parts"], renames=renames, expected_version=cur
+    )
+
+
 def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction gate: hard-link the shared warehouse's fact parts into
     an isolated table dir (zero data copy — the shared warehouse's own
@@ -371,16 +527,11 @@ def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _manifest(warehouse, "fact") or []
     cw = tempfile.mkdtemp(prefix="spark_spotify_compact_")
     try:
-        for p in parts:
-            src = os.path.join(warehouse, "fact", p)
-            dst = os.path.join(cw, "fact", p)
-            os.makedirs(dst)
-            for f in os.listdir(src):
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _link_fact_into(warehouse, parts, cw)
         _swing(cw, "fact", parts)
         compact_table(spark, cw, "fact", "1")
         after = _manifest(cw, "fact")
-        assert after == ["c1"], after
+        _require(after == ["c1"], after)
         return read_table(spark, cw, "fact").transform(stable_checkpoint)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
@@ -409,12 +560,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = tempfile.mkdtemp(prefix="spark_spotify_evo_")
     try:
         os.makedirs(os.path.join(cw, "fact"))
-        for p in v1:
-            src = os.path.join(warehouse, "fact", p)
-            dst = os.path.join(cw, "fact", p)
-            os.makedirs(dst)
-            for f in os.listdir(src):
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _link_fact_into(warehouse, list(v1), cw)
         manifest = list(v1)
         if new_parts:
             delta = spark.read.parquet(
@@ -456,29 +602,60 @@ def delete_rows(
     O(affected parts), never a table rewrite.
 
     ``predicate`` is a Column selecting rows to DELETE.  Returns the
-    number of parts rewritten.  At 100 TB part pruning uses footer
-    min/max stats instead of this read-and-count (same decision, zero
-    I/O for provably-unaffected parts); on a partitioned layout a delete
-    keyed to the partition column is a pure manifest operation."""
+    number of affected parts.
+
+    Exactly TWO Spark jobs regardless of part count (the shape that
+    survives ~800K parts at 100 TB, where a per-part driver loop would
+    mean 800K sequential job launches):
+
+    1. **Discovery** — one scan of the whole table tagging matches with
+       ``input_file_name()`` and collecting the DISTINCT affected file
+       set (metadata-sized: bounded by part count, not rows).  At 100 TB
+       this scan is itself skipped for provably-clean parts by parquet
+       footer min/max pruning when the predicate is scan-pushable —
+       Catalyst already prunes row groups here via PushedFilters; a
+       partition-keyed delete short-circuits to pure manifest surgery.
+    2. **Rewrite** — ONE parallel job reading only the affected parts and
+       writing the surviving rows as a single new part; unaffected parts
+       keep their bytes and their manifest entries.
+
+    NULL semantics: a row whose predicate evaluates to NULL is NOT a
+    match (SQL ``DELETE WHERE`` three-valued logic) — such rows are
+    counted out of discovery by ``coalesce(pred, false)`` and explicitly
+    KEPT by ``pred IS NULL OR NOT pred`` in the rewrite, so a delete on a
+    nullable column never silently erases NULL rows."""
+    from urllib.parse import unquote, urlparse
+
     parts = _manifest(warehouse, table) or []
-    new_list: list[str] = []
-    rewritten = 0
-    for p in parts:
-        path = os.path.join(warehouse, table, p)
-        df = spark.read.parquet(path)
-        n_match = df.filter(predicate).count()
-        if n_match == 0:
-            new_list.append(p)
-            continue
-        kept = df.filter(~predicate)
-        new_part = f"{p}_{tag}"
-        kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
-            os.path.join(warehouse, table, new_part)
-        )
-        new_list.append(new_part)
-        rewritten += 1
-    _swing(warehouse, table, new_list)
-    return rewritten
+    if not parts:
+        return 0
+    tdir = os.path.join(warehouse, table)
+    hits = (
+        spark.read.parquet(*[os.path.join(tdir, p) for p in parts])
+        .filter(F.coalesce(predicate, F.lit(False)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    affected: set[str] = set()
+    for r in hits:
+        rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
+        affected.add(rel.split(os.sep)[0])
+    if not affected:
+        return 0
+    kept = spark.read.parquet(
+        *[os.path.join(tdir, p) for p in sorted(affected)]
+    ).filter(predicate.isNull() | ~predicate)
+    new_part = f"d{tag}"
+    kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
+        os.path.join(tdir, new_part)
+    )
+    _swing(
+        warehouse,
+        table,
+        [p for p in parts if p not in affected] + [new_part],
+    )
+    return len(affected)
 
 
 def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,12 +670,7 @@ def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _manifest(warehouse, "fact") or []
     cw = tempfile.mkdtemp(prefix="spark_spotify_del_")
     try:
-        for p in parts:
-            src = os.path.join(warehouse, "fact", p)
-            dst = os.path.join(cw, "fact", p)
-            os.makedirs(dst)
-            for f in os.listdir(src):
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _link_fact_into(warehouse, parts, cw)
         _swing(cw, "fact", parts)
         delete_rows(
             spark, cw, "fact", F.col("user_id") == DELETE_USER, "d1"
@@ -510,13 +682,108 @@ def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def _link_fact_into(warehouse: str, parts: list[str], cw: str) -> None:
+    """Hard-link the shared warehouse's fact parts into an isolated table
+    dir (zero data copy; the shared manifests stay untouched)."""
+    for p in parts:
+        src = os.path.join(warehouse, "fact", p)
+        dst = os.path.join(cw, "fact", p)
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+
+
+def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM gate — the retention story ``compact_table`` promises
+    (its docstring: small files "become garbage collectable once
+    unreferenced") made real.  Replays the warehouse's commit history in
+    an isolated dir — v1 = the batch-1 snapshot, v2 = the live two-batch
+    list, v3 = the compacted rewrite — then vacuums retaining only {v1,
+    live}: the batch-2 append-era parts (referenced solely by the dropped
+    v2) are deleted from disk, while time travel to the retained v1 still
+    replays the batch-1 snapshot byte-for-byte and the live compacted
+    table is untouched.  Oracle: the unchanged single-shot star join (GC
+    must not change a single logical row)."""
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_vac_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", v1)  # version 1: the batch-1 snapshot
+        _swing(cw, "fact", parts)  # version 2: live pre-compaction
+        compact_table(spark, cw, "fact", "1")  # version 3: ["c1"]
+        n_v1_before = read_table(spark, cw, "fact", version=1).count()
+        removed = vacuum_table(cw, "fact", retain_versions={1})
+        batch2 = sorted(p for p in parts if p not in set(v1))
+        _require(removed == batch2, (removed, batch2))
+        for p in batch2:
+            _require(
+                not os.path.exists(os.path.join(cw, "fact", p)),
+                f"vacuum left unreferenced part {p}",
+            )
+        for p in list(v1) + ["c1"]:
+            _require(
+                os.path.exists(os.path.join(cw, "fact", p)),
+                f"vacuum removed retained part {p}",
+            )
+        n_v1_after = read_table(spark, cw, "fact", version=1).count()
+        _require(n_v1_after == n_v1_before, (n_v1_after, n_v1_before))
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+RENAME_OLD, RENAME_NEW = "time_period", "day_part"
+
+
+def q_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive schema evolution — column RENAME as a metadata-only
+    commit (Delta column mapping).  The gate asserts the three properties
+    that make it a rename and not a rewrite: zero data files change (the
+    commit adds exactly one manifest), the live read surfaces the new
+    logical name, and time travel to the pre-rename version still shows
+    the old name.  Oracle: the star join with the column aliased to its
+    new name."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_ren_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        before = set(os.listdir(os.path.join(cw, "fact")))
+        rename_column(cw, "fact", RENAME_OLD, RENAME_NEW)
+        after = set(os.listdir(os.path.join(cw, "fact")))
+        _require(
+            after == before | {f"{_MANIFEST_PREFIX}2"},
+            "rename must be metadata-only",
+        )
+        old = read_table(spark, cw, "fact", version=1)
+        _require(RENAME_OLD in old.columns, old.columns)
+        out = read_table(spark, cw, "fact")
+        _require(
+            RENAME_NEW in out.columns and RENAME_OLD not in out.columns,
+            out.columns,
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
     "etl_time_travel": q_time_travel,
     "etl_compact": q_compact,
     "etl_schema_evolution": q_schema_evolution,
+    "etl_schema_rename": q_schema_rename,
     "etl_row_delete": q_row_delete,
+    "etl_vacuum": q_vacuum,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -547,6 +814,13 @@ WHERE e.user_id <> {DELETE_USER}
                   (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) FROM events)
          THEN 'batch2' END AS ingest_source
 FROM events e""",
+    ),
+    # vacuum changes the physical layout only (and only of UNRETAINED
+    # snapshots) — the live table is the unmodified star join
+    "etl_vacuum": _fact.ORACLE["etl_fact_star"],
+    # metadata-only rename: the star join with the renamed output column
+    "etl_schema_rename": _fact.ORACLE["etl_fact_star"].replace(
+        f"AS {RENAME_OLD}", f"AS {RENAME_NEW}"
     ),
     # the v1 snapshot is exactly the batch-1 universe: events at or
     # before the same integer-exact mid-span cut

@@ -89,3 +89,117 @@ def test_late_data_rows_are_dropped(spark, sf_dir):
         for r in q_stream_late_data(spark, sf_dir).collect()
     }
     assert sum(full.values()) > sum(late.values())
+
+
+# --- versioned-warehouse primitives (round 4) ------------------------------
+
+
+def test_commit_cas_exactly_one_winner(warehouse):
+    """Two interleaved committers: both read version 1, both commit —
+    exactly one wins, the loser raises, no committed parts are lost."""
+    from spark_spotify.etl.pipeline import (
+        CommitConflictError,
+        _current_version,
+        _manifest,
+        _swing,
+    )
+
+    assert _swing(warehouse, "t", ["p1"]) == 1
+    seen = _current_version(warehouse, "t")
+    assert _swing(warehouse, "t", ["p1", "p2"], expected_version=seen) == 2
+    with pytest.raises(CommitConflictError):
+        _swing(warehouse, "t", ["p1", "p3"], expected_version=seen)
+    assert _manifest(warehouse, "t") == ["p1", "p2"]
+    # even WITHOUT expected_version the O_EXCL next-file claim protects:
+    # interleave a racing writer between this writer's version read and
+    # its file create (patch the read to return the stale version)
+    from unittest import mock
+
+    from spark_spotify.etl import pipeline as P
+
+    with mock.patch.object(P, "_current_version", return_value=1):
+        with pytest.raises(CommitConflictError):
+            _swing(warehouse, "t", ["p1", "p4"])  # tries v2 — taken
+    assert _manifest(warehouse, "t", version=2) == ["p1", "p2"]
+
+
+def test_delete_rows_null_predicate_rows_survive(spark, warehouse):
+    """DELETE WHERE three-valued logic: rows whose predicate is NULL are
+    neither matched nor silently dropped."""
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        delete_rows,
+        read_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, tag string"
+    )
+    df.coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    n = delete_rows(spark, warehouse, "t", F.col("tag") == "a", "x")
+    assert n == 1
+    left = {r.id for r in read_table(spark, warehouse, "t").collect()}
+    assert left == {2, 3, 4}  # NULL-tag rows 2 and 4 kept
+
+
+def test_delete_rows_untouched_parts_keep_bytes(spark, warehouse):
+    from spark_spotify.etl.pipeline import _manifest, _swing, delete_rows
+
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    b = spark.createDataFrame([(10,), (20,)], "id long")
+    a.coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    b.coalesce(1).write.parquet(f"{warehouse}/t/p2")
+    _swing(warehouse, "t", ["p1", "p2"])
+    n = delete_rows(spark, warehouse, "t", F.col("id") == 10, "g")
+    assert n == 1
+    assert _manifest(warehouse, "t") == ["p1", "dg"]  # p1 untouched
+    assert delete_rows(spark, warehouse, "t", F.col("id") == 999, "h") == 0
+    assert _manifest(warehouse, "t") == ["p1", "dg"]  # no-op, no commit
+
+
+def test_vacuum_retains_time_travel(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        read_table,
+        vacuum_table,
+    )
+    import os
+
+    for name, lo in (("p1", 0), ("p2", 100), ("p3", 200)):
+        spark.range(lo, lo + 5).coalesce(1).write.parquet(
+            f"{warehouse}/t/{name}"
+        )
+    _swing(warehouse, "t", ["p1"])  # v1
+    _swing(warehouse, "t", ["p1", "p2"])  # v2
+    _swing(warehouse, "t", ["p3"])  # v3 (live): p3 replaces both
+    removed = vacuum_table(warehouse, "t", retain_versions={1})
+    assert removed == ["p2"]  # only v2 referenced p2
+    assert not os.path.exists(f"{warehouse}/t/p2")
+    assert read_table(spark, warehouse, "t", version=1).count() == 5
+    assert read_table(spark, warehouse, "t").count() == 5  # live = p3
+
+
+def test_rename_column_metadata_only(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        read_table,
+        rename_column,
+    )
+    import os
+
+    spark.createDataFrame([(1, "x")], "id long, tag string").coalesce(
+        1
+    ).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    files_before = set(os.listdir(f"{warehouse}/t/p1"))
+    rename_column(warehouse, "t", "tag", "label")
+    assert set(os.listdir(f"{warehouse}/t/p1")) == files_before
+    assert read_table(spark, warehouse, "t").columns == ["id", "label"]
+    assert read_table(spark, warehouse, "t", version=1).columns == [
+        "id",
+        "tag",
+    ]
+    # chained rename maps from the PHYSICAL name (no mapping chains)
+    rename_column(warehouse, "t", "label", "category")
+    assert read_table(spark, warehouse, "t").columns == ["id", "category"]
