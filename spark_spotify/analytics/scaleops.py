@@ -302,48 +302,39 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Locally the filtered orders side would broadcast (defeating the demo),
     so this query pins a shuffle join and relaxes the size thresholds the
-    injection rule guards on — the conf scope lasts exactly through plan
-    optimization (forced eagerly below) and is restored before return.
-    A plan-shape test asserts the bloom_filter_agg / might_contain pair.
+    injection rule guards on.  The overrides live in a CLONED session
+    (``spark.newSession()``: shared SparkContext/cache, private SQLConf),
+    so a query planned concurrently in the parent session can never pick
+    them up, and DataFrames DERIVED from the result (``.limit(1)`` etc.)
+    re-plan under the clone's conf and KEEP the bloom filter — the two
+    leak modes a save/restore of session confs has.  A plan-shape test
+    asserts the bloom_filter_agg / might_contain pair.
 
     Result is join-identical with or without the filter (the Bloom pass
     only false-positives, never false-negatives); the oracle is the plain
     join."""
-    confs = {
+    ss = spark.newSession()
+    for k, v in {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
+    }.items():
+        ss.conf.set(k, v)
+    li = load_table(ss, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(ss, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            lsum(F.col("l_extendedprice")).alias("gross_revenue"),
         )
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        out = (
-            li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                lsum(F.col("l_extendedprice")).alias("gross_revenue"),
-            )
-        )
-        # force optimization NOW so the runtime-filter rule sees the confs
-        # above; QueryExecution caches the optimized plan, so the restored
-        # session confs cannot re-plan this DataFrame later
-        out._jdf.queryExecution().optimizedPlan()
-        return out
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    )
 
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,10 +51,24 @@ def _trailing_days(
 def heatmap_load_data(
     day_count: int, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """main_heatmap.py:7 — date×hour grid, zero-filled, trailing window."""
-    return _trailing_days(
-        listening.q_heatmap(spark, sf_dir), "played_date", day_count
+    """main_heatmap.py:7 — date×hour grid, zero-filled, trailing window.
+
+    The trailing window is anchored on the MAX EVENT DATE, not the
+    zero-filled grid's calendar end: q_heatmap's grid always spans the
+    full fixed calendar, so anchoring on its own max(played_date) would
+    return only zero-filled rows whenever events end before the calendar
+    does.  The event-max anchor is a 1-row broadcast, pruned before any
+    shuffle."""
+    grid = listening.q_heatmap(spark, sf_dir)
+    evt_end = load_table(spark, sf_dir, "events").agg(
+        F.max(F.to_date("ts")).alias("_evt_end")
     )
+    grid = (
+        grid.crossJoin(F.broadcast(evt_end))
+        .filter(F.col("played_date") <= F.col("_evt_end"))
+        .drop("_evt_end")
+    )
+    return _trailing_days(grid, "played_date", day_count)
 
 
 def hour_ratio_load_data(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,6 +189,8 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each batch writes O(delta), never a table rewrite; the
     anti-join's existing side is pruned by partition/bucket on the merge
     key; parts are retired by retention/compaction."""
+    import atexit
+    import shutil
     import uuid as _uuid
 
     src = read_event_stream(spark, sf_dir)
@@ -196,6 +198,10 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     base = f"/tmp/spark_spotify_stream_merge/{_uuid.uuid4().hex[:12]}"
+    # the returned DataFrame reads these parts lazily, so cleanup can't
+    # happen in-function — reclaim at interpreter exit like the shared
+    # pipeline warehouse does (etl/pipeline.py)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     # append-only merge: each micro-batch anti-joins its rows against the
     # committed parts and appends only the novel delta as a new part —
     # O(delta) write per batch, never a table rewrite (same manifest
@@ -528,6 +534,8 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: validity is scan-side expression work; each batch appends its
     two deltas (no table rewrite); the DLQ stays tiny by construction —
     its size is the pipeline's data-quality alarm."""
+    import atexit
+    import shutil
     import uuid as _uuid
 
     src = read_event_stream(spark, sf_dir).select("event_id", "props")
@@ -549,6 +557,7 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(mangled, "$.k").cast("int").alias("k"),
     )
     base = f"/tmp/spark_spotify_stream_dlq/{_uuid.uuid4().hex[:12]}"
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     state: dict = {"main": [], "dlq": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -583,6 +592,13 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not state["main"] or not state["dlq"]:
+        # zero micro-batches (empty source): an empty result, not a
+        # spark.read.parquet(*[]) crash
+        return spark.createDataFrame(
+            [],
+            "route string, corruption string, n_rows bigint, sum_k bigint",
+        )
     main = (
         spark.read.parquet(*state["main"])
         .groupBy("corruption")
