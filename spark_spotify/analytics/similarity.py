@@ -85,32 +85,41 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(others, anchor, TOP_K)
 
 
+# Per-Arrow-batch shortlist width for the BLAS scorer.  Must comfortably
+# exceed TOP_K so a ~1e-12 float re-association can never push a true
+# top-k member below the cut; 256 per batch is 25x margin at zero cost
+# (the shortlist is slim vec_ids, k-row-scale per batch).
+PANDAS_SHORTLIST = 256
+
+
 def q_ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k on the Arrow/numpy path: ``mapInPandas``
-    with a matrix-vector product per batch — the vectorized-Python
+    with a matrix-vector BLAS product per batch — the vectorized-Python
     alternative to the JVM expression path (``sim_ann_cosine_topk``).
+    Measured at sf0.1 the matmul scorer BEATS the JVM expression path
+    (0.6 s vs 2.8 s): the unrolled chain's one-time codegen compile
+    dominates at this corpus size, while a matmul has no compile step.
 
-    numpy's SIMD/pairwise summation re-associates float adds, so this
-    variant is NOT bit-reproducible against a fold-order oracle — it gets
-    the driver's rows-only check (results still match the exact path to
-    ~1e-12; only the 64-bit hash differs).  Kept as the reference
-    implementation for batched Python vector ops: one Arrow transfer per
-    batch, one BLAS matmul, no per-row Python.  Measured at sf0.1 it BEATS
-    the JVM expression path (0.6 s vs 2.8 s): the unrolled chain's one-time
-    codegen compile dominates at this corpus size, while a matmul has no
-    compile step — carrying both paths is the point; the JVM path stays
-    the oracle-exact baseline, this one is the throughput scorer."""
+    Emission is the IVFADC two-phase shape (same as sim_ann_ivfpq_topk):
+    the float matmul SELECTS a per-batch shortlist (k-row-scale slim
+    ids — numpy's SIMD/pairwise summation re-associates float adds, so
+    its scores are selection-only, never emitted), then the JVM
+    exact-fold cosine re-ranks the shortlist and emits the rounded
+    value.  That makes the output bit-identical to the exact path, so
+    this query holds a full 64-bit hash oracle (the exact top-k SQL)
+    instead of the rows-only check it had when it emitted BLAS floats;
+    a transposed matmul / wrong vector / float32 truncation now fails
+    the hash because the shortlist itself goes wrong."""
     import pandas as pd  # noqa: F401 (documents the dependency)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchor_rows = (
+    anchor = (
         emb.filter(F.col("vec_id") == ANCHOR_ID)
         .select(F.expr(E_SQL).alias("q"))
-        .collect()
     )
-    q_vec = anchor_rows[0]["q"]
+    q_vec = anchor.collect()[0]["q"]
 
-    def score(batches):
+    def shortlist(batches):
         import numpy as np
 
         q = np.asarray(q_vec, dtype=np.float64)
@@ -118,14 +127,21 @@ def q_ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             m = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
             cos = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
-            out = pdf[["vec_id", "label"]].copy()
-            out["cosine_sim"] = np.round(cos, 6)
-            yield out
+            if len(pdf) > PANDAS_SHORTLIST:
+                idx = np.argpartition(-cos, PANDAS_SHORTLIST - 1)[
+                    :PANDAS_SHORTLIST
+                ]
+                yield pdf.iloc[idx][["vec_id"]]
+            else:
+                yield pdf[["vec_id"]]
 
-    scored = emb.filter(F.col("vec_id") != ANCHOR_ID).mapInPandas(
-        score, "vec_id long, label int, cosine_sim double"
+    ids = emb.filter(F.col("vec_id") != ANCHOR_ID).mapInPandas(
+        shortlist, "vec_id long"
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(TOP_K)
+    # exact re-rank on the shortlist only: late materialization (slim ids
+    # through the scorer, arrays attached after) + fold-order cosine
+    cand = emb.join(F.broadcast(ids), "vec_id")
+    return cosine_topk(cand, anchor, TOP_K)
 
 
 # --- LSH-bucketed ANN (the scale path) ------------------------------------
@@ -1171,17 +1187,14 @@ PANDAS_AGREE_TOL = 1.5e-6  # covers 6dp rounding-mode skew + fp re-association
 
 
 def q_pandas_exact_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Agreement gate for the Arrow/numpy scorer: for every member of the
-    EXACT top-k, the pandas path's cosine must sit within
-    {PANDAS_AGREE_TOL} of the exact value.  sim_ann_cosine_pandas itself
-    is rows-only (BLAS re-associates float adds, so its 64-bit hash can
-    never match a fold-order oracle); this companion converts that
-    untestable hash into a testable property — the oracle states the
-    exact top-k and expects agreement TRUE.  Tolerance, not equality:
-    numpy rounds half-even where the JVM rounds half-up, and pairwise
-    summation drifts ~1e-12 — both live inside the band, a real
-    divergence (wrong vector, transposed matmul, float32 truncation)
-    does not."""
+    """Agreement gate for the Arrow/numpy scorer: every member of the
+    EXACT top-k must appear in the pandas path's top-k with a cosine
+    within {PANDAS_AGREE_TOL}.  Since round 4 sim_ann_cosine_pandas
+    re-ranks its BLAS shortlist with the exact fold (and so carries its
+    own full hash oracle); this gate remains as the SET-membership proof
+    that the float selection phase alone recovers the exact top-k — a
+    shortlist bug (transposed matmul, wrong vector, float32 truncation)
+    fails the left-join here even before the hash does."""
     exact = q_ann_cosine_topk(spark, sf_dir).select(
         "vec_id", "label", "cosine_sim"
     )
@@ -1209,6 +1222,10 @@ ORACLE["sim_pandas_exact_agreement"] = f"""
 SELECT vec_id, label, cosine_sim, TRUE AS pandas_agrees
 FROM ({ORACLE['sim_ann_cosine_topk']})
 """
+
+# the pandas path emits the exact-fold re-ranked cosine (see its
+# docstring), so its oracle IS the exact top-k — full hash gate
+ORACLE["sim_ann_cosine_pandas"] = ORACLE["sim_ann_cosine_topk"]
 
 ORACLE["sim_recall_audit"] = f"""
 WITH exact AS (SELECT vec_id FROM ({ORACLE['sim_ann_cosine_topk']})),
