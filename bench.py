@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "sim_pandas_exact_agreement",
     "stream_dlq",
     "etl_row_delete",
+    "etl_vacuum",
+    "etl_schema_rename",
 ]
 
 
