@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "etl_row_delete",
     "etl_vacuum",
     "etl_schema_rename",
+    "etl_wap_publish",
+    "etl_cluster_layout",
+    "etl_history",
+    "agg_hll_rollup",
 ]
 
 

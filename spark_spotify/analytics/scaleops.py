@@ -398,7 +398,52 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL sketch rollup — the REAGGREGATABLE distinct-count
+    gold table.  ``COUNT(DISTINCT)`` does not re-aggregate: a per-day
+    distinct-user table cannot be summed into monthly uniques, so at
+    100 TB either every rollup granularity rescans the corpus or the
+    daily job persists MERGEABLE state.  This is the second shape: per
+    (day, event_type) Datasketches HLL sketches (``hll_sketch_agg`` —
+    constant-size, associative, map-side-combinable), then the monthly
+    answer is ``hll_union_agg`` over ~30 sketch blobs per group, never
+    touching events again.  The exact recompute here exists only to gate
+    the sketch.
+
+    Gating recipe as agg_approx_distinct: sketch internals are engine-
+    specific (un-hashable), accuracy is a deterministic data property —
+    the oracle states the exact counts and expects the tolerance boolean
+    TRUE (HLL lgk=12 ≈ 1.6% rsd; 15% bound is >9 sigma)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    monthly = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return exact.join(monthly, "event_type").select(
+        "event_type",
+        "exact_users",
+        (err <= 0.15).alias("rollup_within_tol"),
+    )
+
+
 ORACLE = {
+    "agg_hll_rollup": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS rollup_within_tol
+FROM events
+GROUP BY event_type
+""",
     "agg_approx_percentile": """
 SELECT event_type,
        round(quantile_cont(value, 0.50), 4) AS p50_exact,
@@ -512,4 +557,5 @@ QUERIES = {
     "agg_approx_distinct": q_approx_distinct,
     "op_bloom_prune_join": q_bloom_prune_join,
     "agg_approx_percentile": q_approx_percentile,
+    "agg_hll_rollup": q_hll_rollup,
 }

@@ -775,6 +775,213 @@ def q_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def wap_publish(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    staged_parts: list[str],
+    key: str = "event_id",
+) -> bool:
+    """Write-audit-publish — the Iceberg WAP / Delta staging pattern: a
+    delta is WRITTEN as unpublished part dirs, AUDITED against the live
+    snapshot, and PUBLISHED by a single CAS manifest swing only if the
+    audit passes.  A failed audit leaves the table bit-identical (the
+    staged parts are simply never referenced — vacuum reclaims them);
+    readers can never observe un-audited data because visibility IS the
+    manifest.
+
+    Audit here = ingestion contract for a keyed append: no NULL keys, no
+    keys already published (duplicate redelivery).  Two short-circuiting
+    jobs (``limit(1)`` existence probes); at 100 TB the published-side
+    membership probe is the same partition/bucket-pruned anti-join shape
+    as the MERGE path, O(staged) not O(table).  Returns True iff
+    published."""
+    if not staged_parts:
+        return True
+    ver = _current_version(warehouse, table)
+    staged = spark.read.parquet(
+        *[os.path.join(warehouse, table, p) for p in staged_parts]
+    )
+    if staged.filter(F.col(key).isNull()).limit(1).count() > 0:
+        return False
+    published = read_table(spark, warehouse, table)
+    if (
+        published is not None
+        and staged.join(published.select(key), key, "left_semi")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        return False
+    _swing(
+        warehouse,
+        table,
+        (_manifest(warehouse, table) or []) + list(staged_parts),
+        expected_version=ver,
+    )
+    return True
+
+
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP gate: publish batch 1, STAGE two deltas against it — a
+    poisoned one (re-delivered already-published rows, the at-least-once
+    failure WAP exists to catch) and the clean batch-2 delta — and assert
+    the audit rejects the first (manifest untouched) and publishes the
+    second atomically.  Oracle: the unchanged single-shot star join (the
+    published end state is exactly the two-batch table; the poisoned
+    staging must leave zero trace in it)."""
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    batch2 = [p for p in parts if p not in set(v1)]
+    cw = tempfile.mkdtemp(prefix="spark_spotify_wap_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", list(v1))  # published snapshot = batch 1
+        poison = read_table(spark, cw, "fact").limit(50)
+        poison.coalesce(1).write.parquet(
+            os.path.join(cw, "fact", "staged_bad")
+        )
+        _require(
+            not wap_publish(spark, cw, "fact", ["staged_bad"]),
+            "audit must reject re-delivered rows",
+        )
+        _require(
+            _manifest(cw, "fact") == list(v1),
+            "failed audit must leave the published snapshot untouched",
+        )
+        _require(
+            wap_publish(spark, cw, "fact", batch2),
+            "clean delta must publish",
+        )
+        _require(
+            _manifest(cw, "fact") == list(v1) + batch2,
+            "publish must be the staged parts, atomically appended",
+        )
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+CLUSTER_PARTS = 8
+
+
+def q_cluster_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered rewrite + footer-stat pruning proof — the OPTIMIZE
+    ZORDER-lite that makes key-predicate deletes/filters O(1 part): the
+    fact table is rewritten ``repartitionByRange(user_id)`` into one part
+    per range (a REWRITE commit, rows unchanged), the gate then PROVES
+    from the parquet FOOTERS alone (pyarrow metadata read, no Spark job)
+    that per-part user_id ranges are pairwise disjoint, and demonstrates
+    the payoff: a single-user GDPR delete's discovery now flags exactly
+    ONE affected part, so the rewrite phase touches 1/{CLUSTER_PARTS} of
+    the table.  At 100 TB this is the difference between a delete that
+    rewrites ~everything and one that rewrites a few files — the reason
+    Delta/Iceberg cluster on the delete/join key.
+
+    Oracle: the star join minus the deleted subject (same as
+    etl_row_delete — clustering must not change a single logical row)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_clu_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        # REWRITE commit: range-cluster on user_id, one file per range,
+        # then promote each file to its own part so the manifest (and
+        # delete_rows' part granularity) sees the clustering
+        tmp = os.path.join(cw, "_cluster_out")
+        (
+            read_table(spark, cw, "fact")
+            .repartitionByRange(CLUSTER_PARTS, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.parquet(tmp)
+        )
+        new_parts = []
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            pdir = os.path.join(cw, "fact", f"cl{i}")
+            os.makedirs(pdir)
+            os.rename(f, os.path.join(pdir, os.path.basename(f)))
+            new_parts.append(f"cl{i}")
+        _swing(cw, "fact", new_parts)
+        # footer proof: per-part user_id min/max pairwise disjoint —
+        # driver-side metadata only, the stats a 100 TB planner prunes on
+        ranges = []
+        for p in new_parts:
+            for f in _glob.glob(os.path.join(cw, "fact", p, "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                if md.num_rows == 0:
+                    continue  # an empty range partition carries no stats
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(len(md.schema))
+                }["user_id"]
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    _require(st is not None, f"no stats in {f}")
+                    los.append(st.min)
+                    his.append(st.max)
+                ranges.append((min(los), max(his), p))
+        ranges.sort()
+        for (_, hi_a, a), (lo_b, _, b) in zip(ranges, ranges[1:]):
+            _require(hi_a < lo_b, f"ranges overlap: {a} vs {b}")
+        # the payoff: a point delete's discovery flags exactly ONE part
+        n_affected = delete_rows(
+            spark, cw, "fact", F.col("user_id") == DELETE_USER, "c"
+        )
+        _require(
+            n_affected == 1,
+            f"clustered point delete touched {n_affected} parts",
+        )
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the manifest log — every committed version
+    of the fact table with its snapshot row count, read purely from the
+    retained manifests (each count is a parquet-footer-cheap scan of that
+    version's part list; the log itself is O(versions) metadata).  The
+    audit/debug surface every versioned table needs: which commit grew
+    the table, when row counts moved.
+
+    Zero Spark jobs: each version's row count is summed from the parquet
+    FOOTERS of its part list (the stats Delta/Iceberg denormalize into
+    the commit log itself; reading them from footers is the same
+    metadata, one hop further).
+
+    Oracle: version 1 is the batch-1 universe (events at or before the
+    mid-span cut), version 2 the full corpus — the commit history IS the
+    batch structure, so SQL can state it from the source table."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    rows = []
+    for v in _versions(warehouse, "fact"):
+        n = 0
+        for p in _manifest(warehouse, "fact", v) or []:
+            for f in _glob.glob(
+                os.path.join(warehouse, "fact", p, "*.parquet")
+            ):
+                n += pq.ParquetFile(f).metadata.num_rows
+        rows.append((v, n))
+    return spark.createDataFrame(rows, "version int, n_rows bigint")
+
+
 QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
@@ -784,6 +991,9 @@ QUERIES = {
     "etl_schema_rename": q_schema_rename,
     "etl_row_delete": q_row_delete,
     "etl_vacuum": q_vacuum,
+    "etl_wap_publish": q_wap_publish,
+    "etl_cluster_layout": q_cluster_layout,
+    "etl_history": q_history,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -818,6 +1028,28 @@ FROM events e""",
     # vacuum changes the physical layout only (and only of UNRETAINED
     # snapshots) — the live table is the unmodified star join
     "etl_vacuum": _fact.ORACLE["etl_fact_star"],
+    # WAP: the poisoned staging leaves no trace; the published end state
+    # is the full two-batch table — the unmodified star join
+    "etl_wap_publish": _fact.ORACLE["etl_fact_star"],
+    # clustering is a rewrite (rows unchanged); the gate then point-
+    # deletes the subject, so the result is the star join minus them
+    "etl_cluster_layout": _fact.ORACLE["etl_fact_star"]
+    + f"""
+WHERE e.user_id <> {DELETE_USER}
+""",
+    # commit history: v1 = batch-1 universe, v2 = full corpus
+    "etl_history": """
+WITH cut AS (
+  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS c
+  FROM events
+)
+SELECT 1 AS version,
+       CAST((SELECT COUNT(*) FROM events, cut WHERE ts <= c) AS BIGINT)
+         AS n_rows
+UNION ALL
+SELECT 2 AS version,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows
+""",
     # metadata-only rename: the star join with the renamed output column
     "etl_schema_rename": _fact.ORACLE["etl_fact_star"].replace(
         f"AS {RENAME_OLD}", f"AS {RENAME_NEW}"
