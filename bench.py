@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "etl_cluster_layout",
     "etl_history",
     "agg_hll_rollup",
+    "etl_expectations",
 ]
 
 

@@ -24,7 +24,7 @@ from spark_spotify.analytics import (
     similarity,
     textops,
 )
-from spark_spotify.etl import dims, fact, silver, stats
+from spark_spotify.etl import dims, expectations, fact, silver, stats
 from spark_spotify.etl import pipeline as etl_pipeline
 from spark_spotify.streaming import pipeline as streaming_pipeline
 
@@ -35,6 +35,7 @@ _MODULES = [
     dims,
     fact,
     stats,
+    expectations,
     listening,
     relational,
     textops,

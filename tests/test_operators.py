@@ -276,3 +276,45 @@ def test_stable_checkpoint_branches(spark, monkeypatch):
     )
     assert stable_checkpoint(spark.range(5)).count() == 5
     assert calls.get("reliable") is True
+
+
+def test_expectation_rules_fire_on_dirty_rows(spark):
+    """The constraint engine must COUNT violations, not just report zero
+    on clean fixtures — feed one violation per rule and check each rule
+    attributes exactly its own."""
+    from spark_spotify.etl.expectations import expectation_report
+
+    import datetime as dt
+
+    rows = [
+        # clean row
+        (1, 20240105, "et", 1, 10, False, "morning", 1.0, dt.date(2024, 1, 1)),
+        # null event_id
+        (None, 20240105, "et", 1, 10, False, "morning", 1.0, dt.date(2024, 1, 1)),
+        # duplicate event_id (x2)
+        (2, 20240105, "et", 1, 10, False, "morning", 1.0, dt.date(2024, 1, 1)),
+        (2, 20240105, "et", 1, 10, False, "morning", 1.0, dt.date(2024, 1, 1)),
+        # hour out of range
+        (3, 20240105, "et", 1, 99, False, "morning", 1.0, dt.date(2024, 1, 1)),
+        # bad time_period
+        (4, 20240105, "et", 1, 10, False, "brunch", 1.0, dt.date(2024, 1, 1)),
+        # null weekend flag
+        (5, 20240105, "et", 1, 10, None, "morning", 1.0, dt.date(2024, 1, 1)),
+        # first_seen after the event date
+        (6, 20240105, "et", 1, 10, False, "morning", 1.0, dt.date(2024, 2, 1)),
+    ]
+    fact = spark.createDataFrame(
+        rows,
+        "event_id long, date_key int, event_type_key string, user_id long,"
+        " played_hour int, is_weekend boolean, time_period string,"
+        " value double, user_first_seen date",
+    )
+    got = {r.rule: r.n_violations for r in expectation_report(fact).collect()}
+    assert got == {
+        "event_id_not_null": 1,
+        "event_id_unique": 1,  # 2 copies - 1 distinct
+        "played_hour_in_range": 1,
+        "time_period_in_domain": 1,
+        "weekend_flag_not_null": 1,
+        "first_seen_before_event": 1,
+    }
