@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "etl_history",
     "agg_hll_rollup",
     "etl_expectations",
+    "agg_hll_rolling_7d",
 ]
 
 

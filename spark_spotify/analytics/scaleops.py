@@ -436,7 +436,62 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users from MERGEABLE daily sketches — the
+    windowed extension of agg_hll_rollup: once the daily job persists HLL
+    sketches, ANY rolling window is a sketch-union window function over
+    the days-cardinality table (here ``hll_union_agg().over(range 7d)``),
+    never a rescan of events.  The exact recompute (a 30-row broadcast
+    range join against events) exists only to gate the sketch; at 100 TB
+    you'd never run it — which is the point of persisting sketches.
+
+    The window is a single partition deliberately: it runs over the DAILY
+    table (O(days) rows), not events.  Gate: per-day accuracy boolean
+    (HLL lgk=12 ≈ 1.6% rsd; 15% is >9 sigma)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    approx = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "_approx"
+        ),
+    )
+    ends = daily.select(F.col("day").alias("w_end"))
+    exact = (
+        ev.join(
+            F.broadcast(ends),
+            (F.col("day") > F.date_sub("w_end", 7))
+            & (F.col("day") <= F.col("w_end")),
+        )
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .withColumnRenamed("w_end", "day")
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return exact.join(approx, "day").select(
+        "day",
+        "exact_users",
+        (err <= 0.15).alias("rolling_within_tol"),
+    )
+
+
 ORACLE = {
+    "agg_hll_rolling_7d": """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       COUNT(DISTINCT e.user_id) AS exact_users,
+       TRUE AS rolling_within_tol
+FROM d JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
     "agg_hll_rollup": """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
@@ -558,4 +613,5 @@ QUERIES = {
     "op_bloom_prune_join": q_bloom_prune_join,
     "agg_approx_percentile": q_approx_percentile,
     "agg_hll_rollup": q_hll_rollup,
+    "agg_hll_rolling_7d": q_hll_rolling_7d,
 }

@@ -178,48 +178,48 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``foreachBatch`` + anti-join MERGE as the exactly-once idempotent
-    Parquet sink (the reference's ON CONFLICT DO NOTHING per sync batch,
+    sink (the reference's ON CONFLICT DO NOTHING per sync batch,
     daily_etl_pipeline.py:149-191, made transactional per micro-batch).
     The source is doubled to simulate at-least-once redelivery; each batch
-    anti-joins its rows against the committed parts on event_id and
-    APPENDS only the novel delta as a new immutable part — the
-    Delta/Iceberg append transaction on plain Parquet.  Output = each
+    anti-joins its rows against the COMMITTED SNAPSHOT on event_id and
+    appends only the novel delta as a new immutable part.  Output = each
     event exactly once.
+
+    Since round 4 each micro-batch commits through the versioned
+    warehouse's manifest protocol (``etl.pipeline._commit_append``: write
+    part, CAS-swing ``_latest.v{{N}}``) instead of an in-memory part list
+    — so the streaming table gets the same snapshot isolation, time
+    travel, VACUUM and crash-recoverable commit log as the batch
+    warehouse, and a reader attached mid-stream sees only whole batches.
 
     Scale: each batch writes O(delta), never a table rewrite; the
     anti-join's existing side is pruned by partition/bucket on the merge
-    key; parts are retired by retention/compaction."""
+    key; parts are retired by retention/compaction (vacuum_table)."""
     import atexit
     import shutil
-    import uuid as _uuid
+    import tempfile
+
+    from spark_spotify.etl.pipeline import _commit_append, read_table
 
     src = read_event_stream(spark, sf_dir)
     doubled = src.unionByName(read_event_stream(spark, sf_dir)).select(
         "event_id", "user_id", "event_type"
     )
-    base = f"/tmp/spark_spotify_stream_merge/{_uuid.uuid4().hex[:12]}"
-    # the returned DataFrame reads these parts lazily, so cleanup can't
-    # happen in-function — reclaim at interpreter exit like the shared
-    # pipeline warehouse does (etl/pipeline.py)
+    # the returned DataFrame reads the committed parts lazily, so cleanup
+    # can't happen in-function — reclaim at interpreter exit like the
+    # shared pipeline warehouse does (etl/pipeline.py)
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_merge_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    # append-only merge: each micro-batch anti-joins its rows against the
-    # committed parts and appends only the novel delta as a new part —
-    # O(delta) write per batch, never a table rewrite (same manifest
-    # commit as etl.pipeline._commit_append; at scale the anti-join
-    # existing side is pruned by partition/bucket on the merge key)
-    state: dict = {"parts": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         delta = batch_df.dropDuplicates(["event_id"])
-        if state["parts"]:
-            existing = ss.read.parquet(*state["parts"])
+        existing = read_table(ss, base, "events_t")
+        if existing is not None:
             delta = delta.join(
                 existing.select("event_id"), "event_id", "left_anti"
             )
-        part = f"{base}/p{batch_id}"
-        delta.write.mode("overwrite").parquet(part)
-        state["parts"] = state["parts"] + [part]
+        _commit_append(delta, base, "events_t", batch_id)
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -237,7 +237,12 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.read.parquet(*state["parts"])
+    out = read_table(spark, base, "events_t")
+    if out is None:  # zero micro-batches (empty source)
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, event_type string"
+        )
+    return out
 
 
 USER_PROFILE_OUT = T.StructType(
