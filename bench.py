@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "agg_hll_rollup",
     "etl_expectations",
     "agg_hll_rolling_7d",
+    "sim_ann_prefilter_topk",
+    "etl_zorder_layout",
 ]
 
 

@@ -144,6 +144,35 @@ def q_ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(cand, anchor, TOP_K)
 
 
+def q_ann_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the vector-DB "metadata predicate"
+    problem: top-k among vectors sharing the anchor's label.  This is the
+    PRE-filter strategy (filter first, score survivors): the label
+    literal is resolved to a scalar and pushed into the parquet scan
+    (PushedFilters), so the scoring stage touches only the matching
+    corpus fraction and recall within the filtered set is exact by
+    construction.  The alternative — post-filtering an unfiltered ANN
+    top-k — loses recall whenever fewer than k of the global top-k match
+    the predicate, which is exactly the failure this query's oracle would
+    catch.  At 100 TB the label becomes a partition/cluster key and the
+    pre-filter is a partition prune.
+
+    The anchor's (vector, label) is ONE row collected to the driver — the
+    documented scalar-anchor pattern — because a literal, unlike a
+    join-derived predicate, is what reaches the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (
+        emb.filter(F.col("vec_id") == ANCHOR_ID)
+        .select(F.expr(E_SQL).alias("q"), "label")
+        .collect()[0]
+    )
+    anchor = spark.createDataFrame([(a["q"],)], "q array<double>")
+    cand = emb.filter(
+        (F.col("vec_id") != ANCHOR_ID) & (F.col("label") == F.lit(a["label"]))
+    )
+    return cosine_topk(cand, anchor, TOP_K)
+
+
 # --- LSH-bucketed ANN (the scale path) ------------------------------------
 #
 # Random-hyperplane LSH with *integer* hyperplanes r_i[j] = ((31*i + 17*j)
@@ -1227,6 +1256,30 @@ FROM ({ORACLE['sim_ann_cosine_topk']})
 # docstring), so its oracle IS the exact top-k — full hash gate
 ORACLE["sim_ann_cosine_pandas"] = ORACLE["sim_ann_cosine_topk"]
 
+ORACLE["sim_ann_prefilter_topk"] = """
+WITH anchor AS (
+  SELECT embedding::DOUBLE[] AS q, label AS ql
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_reduce(list_transform(
+               list_zip(e.embedding::DOUBLE[], a.q),
+               p -> p[1] * p[2]), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[],
+                                              x -> x * x), (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(a.q, x -> x * x),
+                                 (acc, x) -> acc + x))),
+           6) AS cosine_sim
+  FROM embeddings e CROSS JOIN anchor a
+  WHERE e.vec_id <> 0 AND e.label = a.ql
+)
+SELECT vec_id, label, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
 ORACLE["sim_recall_audit"] = f"""
 WITH exact AS (SELECT vec_id FROM ({ORACLE['sim_ann_cosine_topk']})),
 lsh_k AS (SELECT vec_id FROM ({ORACLE['sim_ann_lsh_topk']})),
@@ -1252,6 +1305,7 @@ GROUP BY u.method
 QUERIES = {
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
+    "sim_ann_prefilter_topk": q_ann_prefilter_topk,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "sim_ann_ivf_topk": q_ann_ivf_topk,

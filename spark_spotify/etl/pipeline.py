@@ -949,6 +949,125 @@ def q_cluster_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+Z_GRID_BITS = 5  # both dims normalized to a 32-cell grid before interleave
+
+
+def _zorder_expr(u_bucket: str, d_bucket: str) -> F.Column:
+    """Bit-interleave two {Z_GRID_BITS}-bit bucket expressions into a
+    Z-value — one generated SQL string, evaluated in whole-stage
+    codegen."""
+    terms = []
+    for i in range(Z_GRID_BITS):
+        terms.append(
+            f"shiftleft((shiftright({u_bucket}, {i}) & 1), {2 * i})"
+        )
+        terms.append(
+            f"shiftleft((shiftright({d_bucket}, {i}) & 1), {2 * i + 1})"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER clustering — what single-key range
+    clustering (etl_cluster_layout) cannot do: bound the footer min/max
+    of TWO columns at once, so point predicates on EITHER dimension prune
+    most parts.  user_id and event day are min-max normalized onto a
+    32-cell grid, bit-interleaved into a Z-value, and the table is
+    rewritten range-partitioned on Z (a REWRITE commit; the Z column is
+    dropped before write — it exists only to order the layout, exactly
+    like Delta ZORDER BY).
+
+    The gate then proves the pruning payoff from the parquet FOOTERS
+    alone: BOTH dimensions individually skip at least one part (the
+    single-key layout can never skip on its second key), and a
+    two-predicate point query (user AND day) provably skips >=50% of
+    parts — the multi-dim property.  At 100 TB those footer checks are
+    the planner's file-skipping index; Z-order is why a two-predicate
+    query reads ~sqrt instead of ~all of the files.
+
+    Oracle: the unchanged single-shot star join (layout only)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_zo_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        df = read_table(spark, cw, "fact")
+        # min-max normalize both dims to the grid (one tiny agg job —
+        # at scale these bounds come from table-level stats)
+        b = df.agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi")
+        ).collect()[0]
+        span = max(int(b["uhi"]) - int(b["ulo"]), 0) + 1
+        cells = 1 << Z_GRID_BITS
+        ub = f"cast((user_id - {int(b['ulo'])}) * {cells} / {span} as int)"
+        db = f"cast(((date_key % 100) - 1) % {cells} as int)"
+        tmp = os.path.join(cw, "_zorder_out")
+        (
+            df.withColumn("_z", _zorder_expr(ub, db))
+            .repartitionByRange(CLUSTER_PARTS, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.parquet(tmp)
+        )
+        new_parts = []
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            pdir = os.path.join(cw, "fact", f"z{i}")
+            os.makedirs(pdir)
+            os.rename(f, os.path.join(pdir, os.path.basename(f)))
+            new_parts.append(f"z{i}")
+        _swing(cw, "fact", new_parts)
+
+        def col_ranges(col: str) -> list[tuple]:
+            out = []
+            for p in new_parts:
+                for f in _glob.glob(
+                    os.path.join(cw, "fact", p, "*.parquet")
+                ):
+                    md = pq.ParquetFile(f).metadata
+                    if md.num_rows == 0:
+                        continue
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(len(md.schema))
+                    }[col]
+                    st = [
+                        md.row_group(rg).column(idx).statistics
+                        for rg in range(md.num_row_groups)
+                    ]
+                    _require(all(s is not None for s in st), f)
+                    out.append(
+                        (min(s.min for s in st), max(s.max for s in st))
+                    )
+            return out
+
+        ur, dr = col_ranges("user_id"), col_ranges("date_key")
+        n = len(ur)
+        probe_day = int(
+            sorted({lo for lo, _ in dr})[len(dr) // 2]
+        )  # a mid date_key that some part contains
+        u_skip = [not (lo <= DELETE_USER <= hi) for lo, hi in ur]
+        d_skip = [not (lo <= probe_day <= hi) for lo, hi in dr]
+        both = sum(1 for a, b in zip(u_skip, d_skip) if a or b)
+        _require(any(u_skip), "no part is user-prunable")
+        _require(any(d_skip), "no part is day-prunable")
+        _require(
+            both >= n * 0.5,
+            f"two-predicate pruning too weak: {both}/{n}",
+        )
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the manifest log — every committed version
     of the fact table with its snapshot row count, read purely from the
@@ -993,6 +1112,7 @@ QUERIES = {
     "etl_vacuum": q_vacuum,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
+    "etl_zorder_layout": q_zorder_layout,
     "etl_history": q_history,
 }
 
@@ -1031,6 +1151,8 @@ FROM events e""",
     # WAP: the poisoned staging leaves no trace; the published end state
     # is the full two-batch table — the unmodified star join
     "etl_wap_publish": _fact.ORACLE["etl_fact_star"],
+    # Z-order is a rewrite: layout changes, logical rows do not
+    "etl_zorder_layout": _fact.ORACLE["etl_fact_star"],
     # clustering is a rewrite (rows unchanged); the gate then point-
     # deletes the subject, so the result is the star join minus them
     "etl_cluster_layout": _fact.ORACLE["etl_fact_star"]

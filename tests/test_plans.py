@@ -336,3 +336,11 @@ def test_global_shuffle_ranks_within_shard_only(spark, sf_dir):
     # rank exchange is hashpartitioning on shard, never a SinglePartition
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_prefilter_ann_pushes_label_to_scan(spark, sf_dir):
+    """The pre-filter vector search must push the label literal into the
+    parquet scan (the strategy's whole point) — a join-derived predicate
+    would evaluate after the read."""
+    plan = _plan(QUERIES["sim_ann_prefilter_topk"](spark, sf_dir))
+    assert "EqualTo(label," in plan
