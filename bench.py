@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "agg_hll_rolling_7d",
     "sim_ann_prefilter_topk",
     "etl_zorder_layout",
+    "graph_pagerank_step",
 ]
 
 

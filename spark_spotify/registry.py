@@ -17,6 +17,7 @@ from spark_spotify.analytics import (
     advanced,
     audio,
     curation,
+    graph,
     listening,
     neardup,
     relational,
@@ -36,6 +37,7 @@ _MODULES = [
     fact,
     stats,
     expectations,
+    graph,
     listening,
     relational,
     textops,
@@ -53,11 +55,13 @@ ORACLE: dict[str, str] = {}
 
 for _m in _MODULES:
     for _name, _fn in _m.QUERIES.items():
-        assert _name not in QUERIES, f"duplicate query name: {_name}"
+        if _name in QUERIES:  # survives python -O, unlike assert
+            raise RuntimeError(f"duplicate query name: {_name}")
         QUERIES[_name] = _fn
     ORACLE.update(_m.ORACLE)
 
 # Every query with an oracle must exist; oracle-less queries are allowed
 # (driver falls back to a rows-only check) but flag typos loudly.
 for _name in ORACLE:
-    assert _name in QUERIES, f"oracle without query: {_name}"
+    if _name not in QUERIES:
+        raise RuntimeError(f"oracle without query: {_name}")
