@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "sim_ann_prefilter_topk",
     "etl_zorder_layout",
     "graph_pagerank_step",
+    "mm_media_release",
 ]
 
 

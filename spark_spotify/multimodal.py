@@ -513,6 +513,81 @@ WHERE media_type = 'video' AND f < n_frames
 """,
 }
 
+MIN_MEDIA_BYTES = PHASH_BITS  # below this no meaningful decode/phash
+
+
+def q_media_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media curation verdict — the binary-modality twin of
+    ``curate_release_manifest``: every payload gets a ship/drop decision
+    with its reason, composing the already-gated stages in precedence
+    order: (1) too small to decode (< {MIN_MEDIA_BYTES} bytes), (2)
+    byte-exact duplicate that lost its canonical election
+    (mm_payload_dedup), (3) perceptual near-duplicate of a lower-id
+    payload (mm_phash_neardup pairs, doc_b side).  This is the manifest a
+    multimodal training-data release actually ships from: which media
+    made the cut and an auditable reason for every drop.
+
+    Scale: stage outputs it composes are each bucketed/banded (see their
+    docstrings); the composition adds one broadcast of the near-dup id
+    set (output-sized — pairs, not corpus) and a window over the md5
+    fingerprint.  Oracle: the same composition as CTEs, near-dup CTE
+    nesting the phash pair SQL verbatim."""
+    dup = q_payload_dedup(spark, sf_dir)
+    nd = (
+        q_phash_neardup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    v = dup.join(F.broadcast(nd), "doc_id", "left")
+    too_small = F.col("payload_bytes") < MIN_MEDIA_BYTES
+    reason = (
+        F.when(too_small, "too_small")
+        .when(~F.col("is_canonical"), "exact_dup")
+        .when(F.col("_nd").isNotNull(), "near_dup")
+    )
+    return v.select(
+        "doc_id",
+        "media_type",
+        "payload_bytes",
+        reason.isNull().alias("ship"),
+        reason.alias("drop_reason"),
+    )
+
+
+ORACLE["mm_media_release"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image'
+              WHEN source = 'src1' THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(strlen(text) AS INT) AS payload_bytes,
+         md5(text) AS payload_fp
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, media_type, payload_bytes,
+         doc_id = MIN(doc_id) OVER (PARTITION BY payload_fp)
+           AS is_canonical
+  FROM m
+),
+nd AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({ORACLE['mm_phash_neardup']})
+)
+SELECT ex.doc_id, ex.media_type, ex.payload_bytes,
+       CASE WHEN ex.payload_bytes < {MIN_MEDIA_BYTES} THEN 'too_small'
+            WHEN NOT ex.is_canonical THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       END IS NULL AS ship,
+       CASE WHEN ex.payload_bytes < {MIN_MEDIA_BYTES} THEN 'too_small'
+            WHEN NOT ex.is_canonical THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       END AS drop_reason
+FROM ex LEFT JOIN nd ON ex.doc_id = nd.doc_id
+"""
+
+
 QUERIES = {
     "mm_media_decode": q_media_decode,
     "mm_media_resize": q_media_resize,
@@ -520,4 +595,5 @@ QUERIES = {
     "mm_audio_energy": q_audio_energy,
     "mm_payload_dedup": q_payload_dedup,
     "mm_phash_neardup": q_phash_neardup,
+    "mm_media_release": q_media_release,
 }
