@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "etl_zorder_layout",
     "graph_pagerank_step",
     "mm_media_release",
+    "etl_change_feed_rows",
 ]
 
 

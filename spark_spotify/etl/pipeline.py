@@ -1068,6 +1068,76 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level Change Data Feed — Delta CDF semantics over the
+    versioned warehouse: the change rows BETWEEN two committed versions
+    of the keyed-merge stats table (v1 = after batch 1, live = after
+    batch 2), classified as ``insert`` (key only in the later version),
+    ``update_preimage``/``update_postimage`` (key in both, any column
+    changed — both sides emitted, as Delta does), or ``delete`` (absent
+    here by construction, emitted for completeness).  Part-list CDC
+    (etl_snapshot_diff) answers "which files changed"; this answers the
+    consumer question — "which ROWS changed, from what to what" — the
+    feed an incremental downstream aggregate or cache invalidation
+    subscribes to.
+
+    The diff itself is a single full-outer join on the merge key between
+    two snapshot reads — O(keys), and for a COW keyed-merge table at
+    100 TB the join prunes to the partitions the commit actually rewrote
+    (named by the manifest diff), so the feed costs O(changed
+    partitions), not O(table).
+
+    Equality is null-safe per column; the stats columns are exact
+    (counts / exact-decimal sums / deterministic argmax), so changed-ness
+    is engine-portable and the oracle recomputes the identical feed from
+    the two event universes.  (At fixture SFs the mid-span cut happens to
+    land in the last ~80 s of a day, so the feed is insert-only here; the
+    update/delete branches are exercised by
+    ``tests/test_pipeline.py::test_change_feed_classifies_all_types``.)"""
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    s1 = read_table(spark, warehouse, "agg_daily_stats", version=1)
+    s2 = read_table(spark, warehouse, "agg_daily_stats")
+    return change_feed(s1, s2, "played_date")
+
+
+def change_feed(s1: DataFrame, s2: DataFrame, key: str) -> DataFrame:
+    """Row-level diff of two keyed snapshots as Delta-CDF change rows:
+    one full-outer join on ``key``, null-safe per-column comparison, four
+    classified projections."""
+    from functools import reduce
+
+    cols = s2.columns
+    a = s1.select([F.col(c).alias(f"a_{c}") for c in cols])
+    b = s2.select([F.col(c).alias(f"b_{c}") for c in cols])
+    j = a.join(
+        b, F.col(f"a_{key}").eqNullSafe(F.col(f"b_{key}")), "full_outer"
+    )
+    changed = reduce(
+        lambda x, y: x | y,
+        [
+            ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+            for c in cols
+            if c != key
+        ],
+    )
+
+    def side(prefix: str, ctype: str, cond) -> DataFrame:
+        return j.filter(cond).select(
+            F.lit(ctype).alias("_change_type"),
+            *[F.col(f"{prefix}_{c}").alias(c) for c in cols],
+        )
+
+    only_new = F.col(f"a_{key}").isNull()
+    only_old = F.col(f"b_{key}").isNull()
+    both_changed = ~only_new & ~only_old & changed
+    return (
+        side("b", "insert", only_new)
+        .unionByName(side("a", "delete", only_old))
+        .unionByName(side("a", "update_preimage", both_changed))
+        .unionByName(side("b", "update_postimage", both_changed))
+    )
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the manifest log — every committed version
     of the fact table with its snapshot row count, read purely from the
@@ -1114,10 +1184,53 @@ QUERIES = {
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
     "etl_history": q_history,
+    "etl_change_feed_rows": q_change_feed_rows,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
 from spark_spotify.etl import fact as _fact  # noqa: E402
+from spark_spotify.etl import stats as _stats  # noqa: E402
+
+_CUT_SQL = (
+    "(SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)"
+    " FROM events)"
+)
+_S1_SQL = _stats.ORACLE["etl_daily_stats"].replace(
+    "FROM events\n", f"FROM events WHERE ts <= {_CUT_SQL}\n"
+)
+_STATS_COLS = [
+    "total_events",
+    "unique_users",
+    "unique_event_types",
+    "total_value",
+    "morning_events",
+    "afternoon_events",
+    "evening_events",
+    "night_events",
+    "top_event_type",
+]
+_CHANGED_SQL = " OR ".join(
+    f"s1.{c} IS DISTINCT FROM s2.{c}" for c in _STATS_COLS
+)
+_CDF_SQL = f"""
+WITH s1 AS ({_S1_SQL}),
+s2 AS ({_stats.ORACLE['etl_daily_stats']}),
+ch AS (
+  SELECT s1.played_date FROM s1 JOIN s2 USING (played_date)
+  WHERE {_CHANGED_SQL}
+)
+SELECT 'insert' AS _change_type, s2.* FROM s2
+WHERE played_date NOT IN (SELECT played_date FROM s1)
+UNION ALL
+SELECT 'delete' AS _change_type, s1.* FROM s1
+WHERE played_date NOT IN (SELECT played_date FROM s2)
+UNION ALL
+SELECT 'update_preimage' AS _change_type, s1.* FROM s1
+WHERE played_date IN (SELECT played_date FROM ch)
+UNION ALL
+SELECT 'update_postimage' AS _change_type, s2.* FROM s2
+WHERE played_date IN (SELECT played_date FROM ch)
+"""
 
 ORACLE = {
     "etl_incremental_pipeline": _fact.ORACLE["etl_fact_star"],
@@ -1159,6 +1272,8 @@ FROM events e""",
     + f"""
 WHERE e.user_id <> {DELETE_USER}
 """,
+    # row-level CDF: the feed recomputed from the two event universes
+    "etl_change_feed_rows": _CDF_SQL,
     # commit history: v1 = batch-1 universe, v2 = full corpus
     "etl_history": """
 WITH cut AS (

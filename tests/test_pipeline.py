@@ -242,3 +242,27 @@ def test_delete_rows_job_count_flat_in_part_count(spark, warehouse):
     # discovery + rewrite + Spark's fixed parquet footer/schema jobs
     # (measured: 5 total, CONSTANT in part count — the property)
     assert large <= 6
+
+
+def test_change_feed_classifies_all_types(spark):
+    """CDF classification on crafted snapshots: insert, delete, and both
+    update images — the branches the fixture cut (which lands on a day
+    boundary) never exercises in the gate."""
+    from spark_spotify.etl.pipeline import change_feed
+
+    s1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k int, n int, t string"
+    )
+    s2 = spark.createDataFrame(
+        [(2, 20, "b"), (3, 31, "c"), (4, 40, "d")], "k int, n int, t string"
+    )
+    rows = {
+        (r._change_type, r.k): (r.n, r.t)
+        for r in change_feed(s1, s2, "k").collect()
+    }
+    assert rows == {
+        ("delete", 1): (10, "a"),
+        ("update_preimage", 3): (30, "c"),
+        ("update_postimage", 3): (31, "c"),
+        ("insert", 4): (40, "d"),
+    }  # key 2 unchanged -> not in the feed
