@@ -47,9 +47,14 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    # out-degree as a window count — one shuffle on the source key and no
+    # degree join (a groupBy+join would shuffle the edge list twice more)
+    from pyspark.sql import Window
+
     inflow = (
-        edges.join(deg, "c")
+        edges.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
         .select("s", F.expr(f"{PR_SCALE} div d").alias("cb"))
         .groupBy("s")
         .agg(F.sum("cb").alias("cs"))
