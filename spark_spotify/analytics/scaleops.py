@@ -151,6 +151,12 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan over the bucketed scans IS the asserted deliverable.)
     sfx = f"pid{_os.getpid()}"
     base = f"/tmp/spark_spotify_warehouse/{sfx}"
+    # reclaim this process's bucketed copies at exit — without this every
+    # sweep/bench/pytest process leaves its pid dir behind forever
+    import atexit as _atexit
+    import shutil as _shutil
+
+    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
     write_bucketed(
         o.select("o_orderkey", "o_custkey", "o_totalprice"),
         f"orders_b_{sfx}",
