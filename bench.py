@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "graph_pagerank_step",
     "mm_media_release",
     "etl_change_feed_rows",
+    "op_partition_overwrite",
 ]
 
 

@@ -404,6 +404,63 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — Delta ``replaceWhere`` / Hive
+    ``INSERT OVERWRITE ... PARTITION`` semantics on the partitioned
+    warehouse: a restatement delta rewrites ONLY the partitions it
+    contains (``partitionOverwriteMode=dynamic``, passed as a per-write
+    option so no session conf is mutated), untouched partitions keep
+    their exact files.  This is the idiomatic backfill/correction shape —
+    recompute one day/type and overwrite in place — where static
+    overwrite mode would silently TRUNCATE the whole table.
+
+    Gate: events land partitioned by event_type; the ``purchase``
+    partition is restated with corrected (doubled) values; the gate
+    asserts the untouched partition's file list is bit-for-bit the same
+    (names unchanged, nothing rewritten) and the oracle states the merged
+    result: every purchase row doubled, every other row untouched.  At
+    100 TB the restated partition is O(partition), never O(table)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+    from spark_spotify.sources.warehouse import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="spark_spotify_dynov_")
+    try:
+        write_partitioned(ev, path, ["event_type"])
+        untouched = _os.path.join(path, "event_type=click")
+        before = sorted(_os.listdir(untouched))
+        delta = ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            delta.repartition("event_type")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        after = sorted(_os.listdir(untouched))
+        if before != after:
+            raise RuntimeError(
+                "dynamic overwrite touched an unrelated partition"
+            )
+        out = read_partitioned(spark, path).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level HLL sketch rollup — the REAGGREGATABLE distinct-count
     gold table.  ``COUNT(DISTINCT)`` does not re-aggregate: a per-day
@@ -489,6 +546,13 @@ def q_hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "op_partition_overwrite": """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+         AS value,
+       event_type
+FROM events
+""",
     "agg_hll_rolling_7d": """
 WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
 SELECT d.day,
@@ -620,4 +684,5 @@ QUERIES = {
     "agg_approx_percentile": q_approx_percentile,
     "agg_hll_rollup": q_hll_rollup,
     "agg_hll_rolling_7d": q_hll_rolling_7d,
+    "op_partition_overwrite": q_partition_overwrite,
 }

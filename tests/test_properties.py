@@ -316,3 +316,51 @@ def test_lsum_bitwise_matches_dsum(spark, vals):
         row.d,
         row.l,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5)), max_size=24
+    ),
+    n_parts=st.integers(1, 4),
+    cut=st.integers(-5, 5),
+)
+@settings(**_SETTINGS)
+def test_delete_rows_matches_filter_model(spark, rows, n_parts, cut):
+    """Law: after delete_rows(pred), the table reads exactly as the
+    NULL-safe filtered baseline, regardless of how rows are split into
+    parts; unaffected parts keep their manifest entries."""
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _manifest,
+        _swing,
+        delete_rows,
+        read_table,
+    )
+
+    wh = tempfile.mkdtemp(prefix="spark_spotify_prop_wh_")
+    try:
+        parts = []
+        chunks = [rows[i::n_parts] for i in range(n_parts)]
+        for i, chunk in enumerate(c for c in chunks if c):
+            _df(spark, chunk).coalesce(1).write.parquet(f"{wh}/t/p{i}")
+            parts.append(f"p{i}")
+        if not parts:
+            return
+        _swing(wh, "t", parts)
+        pred = F.col("v") > cut
+        n_aff = delete_rows(spark, wh, "t", pred, "x")
+        got = sorted(
+            (r.k, r.v) for r in read_table(spark, wh, "t").collect()
+        )
+        want = sorted((k, v) for k, v in rows if not (v > cut))
+        assert got == want
+        live = _manifest(wh, "t")
+        if n_aff == 0:
+            assert live == parts  # no-op delete commits nothing
+        else:
+            assert live[-1] == "dx" and len(live) == len(parts) - n_aff + 1
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
