@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "mm_media_release",
     "etl_change_feed_rows",
     "op_partition_overwrite",
+    "src_csv_ingest_audit",
 ]
 
 

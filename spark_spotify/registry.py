@@ -27,6 +27,7 @@ from spark_spotify.analytics import (
 )
 from spark_spotify.etl import dims, expectations, fact, silver, stats
 from spark_spotify.etl import pipeline as etl_pipeline
+from spark_spotify.sources import csv_ingest
 from spark_spotify.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
@@ -46,6 +47,7 @@ _MODULES = [
     advanced,
     scaleops,
     multimodal,
+    csv_ingest,
     streaming_pipeline,
     etl_pipeline,
 ]
