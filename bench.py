@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "etl_change_feed_rows",
     "op_partition_overwrite",
     "src_csv_ingest_audit",
+    "stream_resume",
 ]
 
 

@@ -520,6 +520,91 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, joined, "attrib")
 
 
+def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart/recovery — the contract that makes Structured
+    Streaming exactly-once END TO END across process restarts: a query
+    stopped and relaunched with the same ``checkpointLocation`` resumes
+    from its committed source offsets, so already-ingested files are
+    never reprocessed and only genuinely new files are.  (The other
+    streaming gates replay bounded sources in one run; this one proves
+    the RESTART path, which is what a production deployment actually
+    exercises on every deploy/crash.)
+
+    Rig: the events table is staged into a source directory in two
+    waves split at the mid-span cut.  Run 1 (availableNow) ingests wave
+    1 into the manifest-committed sink; wave 2's file then lands; run 2
+    restarts against the SAME checkpoint and must process exactly the
+    wave-2 rows — asserted — with the sink ending at each event exactly
+    once (the oracle: plain SELECT).  Sink commits ride the versioned
+    warehouse's CAS manifest protocol, so a crash between batch and
+    commit re-offers the batch (at-least-once) and the manifest keeps
+    the table consistent."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _commit_append,
+        _require,
+        read_table,
+        split_ts,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    cut = split_ts(events)
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_resume_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    land(events.filter(F.col("ts") <= F.lit(cut)), "wave1")
+    counts: dict = {}
+
+    def run(phase: str) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            counts[phase] = counts.get(phase, 0) + batch_df.count()
+            _commit_append(batch_df, base, "t", f"{phase}{batch_id}")
+
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", _os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run("a")
+    n2 = events.filter(F.col("ts") > F.lit(cut)).count()
+    land(events.filter(F.col("ts") > F.lit(cut)), "wave2")
+    run("b")
+    _require(
+        counts.get("b", 0) == n2,
+        f"restart must process exactly the new file "
+        f"({counts.get('b', 0)} != {n2})",
+    )
+    return read_table(spark, base, "t").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter-queue routing — the quarantine pattern every
     production ingest stream needs: malformed payloads must neither kill
@@ -654,6 +739,10 @@ FROM r GROUP BY route, corruption
     "stream_merge_sink": """
 SELECT event_id, user_id, event_type FROM events
 """,
+    # exactly-once across restart: each event lands once, full stop
+    "stream_resume": """
+SELECT event_id, user_id, event_type FROM events
+""",
     "stream_user_profile": """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -781,6 +870,7 @@ QUERIES = {
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
     "stream_dlq": q_stream_dlq,
+    "stream_resume": q_stream_resume,
     "stream_enrich_join": q_stream_enrich_join,
     "stream_sliding_rollup": q_stream_sliding_rollup,
     "stream_click_purchase": q_stream_click_purchase,
