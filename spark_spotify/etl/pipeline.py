@@ -130,14 +130,19 @@ def _swing(
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
-    The next version file ``_latest.v{N+1}`` is created with
-    ``O_CREAT|O_EXCL`` — the put-if-absent that Delta's log protocol uses:
-    if two committers race, exactly one creates the file and wins; the
+    The manifest CONTENT is written to a private temp file first, then
+    hard-linked to ``_latest.v{N+1}`` — ``link`` fails with EEXIST if the
+    name is taken, giving the put-if-absent that Delta's log protocol
+    uses, with the content already durable at claim time (an
+    ``O_CREAT|O_EXCL`` claim followed by a write would expose an
+    empty/partial manifest to concurrent readers between the two steps).
+    If two committers race, exactly one links the name and wins; the
     loser raises :class:`CommitConflictError` (retry = re-read the table
     state and re-derive the commit).  ``expected_version`` additionally
     rejects the commit if the table moved since the caller read it.
     Returns the committed version number."""
     import json
+    import uuid
 
     tdir = os.path.join(warehouse, table)
     os.makedirs(tdir, exist_ok=True)
@@ -150,14 +155,17 @@ def _swing(
         renames = _renames(warehouse, table) if cur else {}
     nxt = cur + 1
     path = os.path.join(tdir, f"{_MANIFEST_PREFIX}{nxt}")
+    tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump({"parts": parts, "renames": renames}, fh)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise CommitConflictError(
             f"{table}: version {nxt} was committed concurrently"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"parts": parts, "renames": renames}, fh)
+    finally:
+        os.unlink(tmp)
     return nxt
 
 
@@ -170,13 +178,18 @@ def read_table(
     """Snapshot read at ``version`` (default: latest).  Applies the
     manifest's column mapping (physical -> logical names), so a rename
     commit changes what readers see without touching any part bytes."""
-    parts = _manifest(warehouse, table, version)
-    if not parts:
+    vs = _versions(warehouse, table)
+    if not vs:
+        return None
+    m = _read_manifest_file(
+        warehouse, table, vs[-1] if version is None else version
+    )
+    if not m["parts"]:
         return None
     df = spark.read.parquet(
-        *[os.path.join(warehouse, table, p) for p in parts]
+        *[os.path.join(warehouse, table, p) for p in m["parts"]]
     )
-    for phys, logical in _renames(warehouse, table, version).items():
+    for phys, logical in m["renames"].items():
         df = df.withColumnRenamed(phys, logical)
     return df
 
@@ -485,7 +498,11 @@ def vacuum_table(
         referenced.update(_read_manifest_file(warehouse, table, v)["parts"])
     removed: list[str] = []
     for entry in os.listdir(tdir):
-        if entry.startswith("_latest"):
+        # "_"-prefixed entries are metadata and in-flight stagings
+        # (manifests, commit temp files, WAP "_stage_*" parts pending
+        # audit) — never data GC candidates, so a vacuum racing a
+        # staged-but-unpublished commit cannot delete its parts
+        if entry.startswith("_"):
             continue
         if entry not in referenced:
             shutil.rmtree(os.path.join(tdir, entry))
@@ -647,6 +664,11 @@ def delete_rows(
         *[os.path.join(tdir, p) for p in sorted(affected)]
     ).filter(predicate.isNull() | ~predicate)
     new_part = f"d{tag}"
+    # a reused tag would overwrite a LIVE part's directory and commit a
+    # duplicate manifest entry — refuse rather than lose data
+    _require(
+        new_part not in parts, f"delete tag {tag!r} collides with {new_part}"
+    )
     kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
@@ -791,11 +813,18 @@ def wap_publish(
     manifest.
 
     Audit here = ingestion contract for a keyed append: no NULL keys, no
-    keys already published (duplicate redelivery).  Two short-circuiting
-    jobs (``limit(1)`` existence probes); at 100 TB the published-side
-    membership probe is the same partition/bucket-pruned anti-join shape
-    as the MERGE path, O(staged) not O(table).  Returns True iff
-    published."""
+    duplicate keys WITHIN the staged delta (at-least-once redelivery can
+    land twice in one staging), and no keys already published.  Three
+    short-circuiting jobs (``limit(1)`` existence probes); at 100 TB the
+    published-side membership probe is the same partition/bucket-pruned
+    anti-join shape as the MERGE path, O(staged) not O(table).
+
+    Stage parts under a ``_stage_`` name prefix to make them invisible
+    to a concurrently running ``vacuum_table`` (which reclaims only
+    un-prefixed unreferenced dirs); publish PROMOTES them by renaming to
+    the permanent (prefix-stripped) name before the manifest swing.
+    Un-prefixed staged names also publish, but are then racing vacuum.
+    Returns True iff published."""
     if not staged_parts:
         return True
     ver = _current_version(warehouse, table)
@@ -803,6 +832,15 @@ def wap_publish(
         *[os.path.join(warehouse, table, p) for p in staged_parts]
     )
     if staged.filter(F.col(key).isNull()).limit(1).count() > 0:
+        return False
+    if (
+        staged.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+        > 0
+    ):
         return False
     published = read_table(spark, warehouse, table)
     if (
@@ -813,10 +851,19 @@ def wap_publish(
         > 0
     ):
         return False
+    final_names = []
+    for p in staged_parts:
+        name = p[len("_stage_"):] if p.startswith("_stage_") else p
+        if name != p:
+            os.rename(
+                os.path.join(warehouse, table, p),
+                os.path.join(warehouse, table, name),
+            )
+        final_names.append(name)
     _swing(
         warehouse,
         table,
-        (_manifest(warehouse, table) or []) + list(staged_parts),
+        (_manifest(warehouse, table) or []) + final_names,
         expected_version=ver,
     )
     return True
@@ -842,23 +889,32 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         _swing(cw, "fact", list(v1))  # published snapshot = batch 1
         poison = read_table(spark, cw, "fact").limit(50)
         poison.coalesce(1).write.parquet(
-            os.path.join(cw, "fact", "staged_bad")
+            os.path.join(cw, "fact", "_stage_bad")
         )
         _require(
-            not wap_publish(spark, cw, "fact", ["staged_bad"]),
+            not wap_publish(spark, cw, "fact", ["_stage_bad"]),
             "audit must reject re-delivered rows",
         )
         _require(
             _manifest(cw, "fact") == list(v1),
             "failed audit must leave the published snapshot untouched",
         )
+        # stage the clean delta under the vacuum-fenced prefix; publish
+        # must PROMOTE the parts to their permanent names
+        staged = []
+        for p in batch2:
+            os.rename(
+                os.path.join(cw, "fact", p),
+                os.path.join(cw, "fact", f"_stage_{p}"),
+            )
+            staged.append(f"_stage_{p}")
         _require(
-            wap_publish(spark, cw, "fact", batch2),
+            wap_publish(spark, cw, "fact", staged),
             "clean delta must publish",
         )
         _require(
             _manifest(cw, "fact") == list(v1) + batch2,
-            "publish must be the staged parts, atomically appended",
+            "publish must promote the staged parts, atomically appended",
         )
         return read_table(spark, cw, "fact").transform(stable_checkpoint)
     finally:
@@ -1051,9 +1107,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ur, dr = col_ranges("user_id"), col_ranges("date_key")
         n = len(ur)
-        probe_day = int(
-            sorted({lo for lo, _ in dr})[len(dr) // 2]
-        )  # a mid date_key that some part contains
+        # a mid date_key that some part contains — index the DISTINCT
+        # minima list by its own length (parts may share minima)
+        day_minima = sorted({lo for lo, _ in dr})
+        probe_day = int(day_minima[len(day_minima) // 2])
         u_skip = [not (lo <= DELETE_USER <= hi) for lo, hi in ur]
         d_skip = [not (lo <= probe_day <= hi) for lo, hi in dr]
         both = sum(1 for a, b in zip(u_skip, d_skip) if a or b)
@@ -1103,12 +1160,21 @@ def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def change_feed(s1: DataFrame, s2: DataFrame, key: str) -> DataFrame:
     """Row-level diff of two keyed snapshots as Delta-CDF change rows:
     one full-outer join on ``key``, null-safe per-column comparison, four
-    classified projections."""
+    classified projections.  Join MISSES are detected via per-side
+    presence markers, not key nullness — a NULL key present in both
+    snapshots pairs up under ``eqNullSafe`` and must classify as
+    update/unchanged, not as a spurious insert+delete."""
     from functools import reduce
 
     cols = s2.columns
-    a = s1.select([F.col(c).alias(f"a_{c}") for c in cols])
-    b = s2.select([F.col(c).alias(f"b_{c}") for c in cols])
+    a = s1.select(
+        [F.col(c).alias(f"a_{c}") for c in cols]
+        + [F.lit(True).alias("a_present")]
+    )
+    b = s2.select(
+        [F.col(c).alias(f"b_{c}") for c in cols]
+        + [F.lit(True).alias("b_present")]
+    )
     j = a.join(
         b, F.col(f"a_{key}").eqNullSafe(F.col(f"b_{key}")), "full_outer"
     )
@@ -1127,8 +1193,8 @@ def change_feed(s1: DataFrame, s2: DataFrame, key: str) -> DataFrame:
             *[F.col(f"{prefix}_{c}").alias(c) for c in cols],
         )
 
-    only_new = F.col(f"a_{key}").isNull()
-    only_old = F.col(f"b_{key}").isNull()
+    only_new = F.col("a_present").isNull()
+    only_old = F.col("b_present").isNull()
     both_changed = ~only_new & ~only_old & changed
     return (
         side("b", "insert", only_new)

@@ -266,3 +266,58 @@ def test_change_feed_classifies_all_types(spark):
         ("update_postimage", 3): (31, "c"),
         ("insert", 4): (40, "d"),
     }  # key 2 unchanged -> not in the feed
+
+
+def test_change_feed_null_key_pairs_up(spark):
+    """A NULL key present in both snapshots pairs under eqNullSafe and
+    classifies as update (or silence), never as insert+delete."""
+    from spark_spotify.etl.pipeline import change_feed
+
+    s1 = spark.createDataFrame([(None, 1)], "k string, n int")
+    s2 = spark.createDataFrame([(None, 2)], "k string, n int")
+    types = sorted(
+        r._change_type for r in change_feed(s1, s2, "k").collect()
+    )
+    assert types == ["update_postimage", "update_preimage"]
+    unchanged = change_feed(s1, s1, "k").collect()
+    assert unchanged == []
+
+
+def test_delete_rows_rejects_reused_tag(spark, warehouse):
+    """A reused delete tag would overwrite a live part — must refuse."""
+    from spark_spotify.etl.pipeline import _swing, delete_rows
+
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(
+        1
+    ).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    assert delete_rows(spark, warehouse, "t", F.col("id") == 1, "g") == 1
+    with pytest.raises(RuntimeError, match="collides"):
+        delete_rows(spark, warehouse, "t", F.col("id") == 2, "g")
+
+
+def test_wap_rejects_intra_batch_duplicates(spark, warehouse):
+    """Duplicate keys WITHIN one staged delta must fail the audit."""
+    from spark_spotify.etl.pipeline import _manifest, _swing, wap_publish
+
+    spark.createDataFrame(
+        [(1, "x"), (1, "y")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_s1")
+    _swing(warehouse, "t", [])
+    assert not wap_publish(spark, warehouse, "t", ["_stage_s1"])
+    assert _manifest(warehouse, "t") == []
+
+
+def test_vacuum_skips_staged_parts(spark, warehouse):
+    """vacuum must not reclaim in-flight '_stage_*' dirs (WAP fence)."""
+    import os
+
+    from spark_spotify.etl.pipeline import _swing, vacuum_table
+
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/_stage_p2")
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/orphan")
+    _swing(warehouse, "t", ["p1"])
+    removed = vacuum_table(warehouse, "t", retain_versions=set())
+    assert removed == ["orphan"]
+    assert os.path.exists(f"{warehouse}/t/_stage_p2")
