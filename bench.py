@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "sim_pandas_exact_agreement",
     "stream_dlq",
     "etl_row_delete",
+    "etl_merge_cow",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",
@@ -168,6 +169,7 @@ BENCH_QUERIES = [
     "graph_pagerank_step",
     "mm_media_release",
     "etl_change_feed_rows",
+    "etl_cdf_apply",
     "op_partition_overwrite",
     "src_csv_ingest_audit",
     "stream_resume",

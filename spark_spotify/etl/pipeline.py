@@ -715,6 +715,160 @@ def _link_fact_into(warehouse: str, parts: list[str], cw: str) -> None:
             os.link(os.path.join(src, f), os.path.join(dst, f))
 
 
+def merge_rows(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    source: DataFrame,
+    key: str,
+    tag: str,
+) -> int:
+    """MERGE INTO — the Delta/Iceberg copy-on-write upsert commit, the
+    last CRUD verb the versioned warehouse needed (append `_commit_append`,
+    DELETE `delete_rows`, and now MERGE): ``WHEN MATCHED THEN UPDATE SET *``
+    (the source row replaces the target row wholly), ``WHEN NOT MATCHED
+    THEN INSERT *``.  Parts containing matched keys are rewritten with the
+    source rows substituted; not-matched source rows land in the same new
+    part; untouched parts keep their bytes; the manifest swings atomically.
+    Write cost is O(affected parts + source), never a table rewrite.
+
+    Mirrors the reference's upsert intent (daily_etl_pipeline.py:350-370's
+    ON CONFLICT DO UPDATE) at warehouse granularity.  ``key`` must be
+    unique in both target and source (the MERGE cardinality precondition —
+    Delta raises on multiple source matches for the same target row), and
+    ``source`` must carry the target's exact physical schema.
+
+    Exactly TWO Spark jobs regardless of part count (same scale shape as
+    ``delete_rows``; a per-part driver loop would be ~800K sequential job
+    launches at 100 TB):
+
+    1. **Discovery** — one scan of the table inner-joined against the
+       BROADCAST source key set (source is delta-sized by contract),
+       collecting the DISTINCT ``input_file_name()`` set (metadata-sized).
+       Any table row matching a source key lives in an affected part, so a
+       source key with NO affected-part match exists nowhere in the table
+       — it is an INSERT; no second existence scan is needed.  On a
+       clustered layout (etl_cluster_layout) footer min/max stats bound
+       discovery to the key-range parts.
+    2. **Rewrite** — ONE job full-outer-joining the affected parts' rows
+       with the source on ``key``: matched -> source row, target-only ->
+       original row, source-only -> insert.  One new part; manifest =
+       (parts - affected) + [new part].
+
+    Returns the number of affected (rewritten) parts."""
+    from urllib.parse import unquote, urlparse
+
+    parts = _manifest(warehouse, table) or []
+    tdir = os.path.join(warehouse, table)
+    new_part = f"m{tag}"
+    _require(
+        new_part not in parts, f"merge tag {tag!r} collides with {new_part}"
+    )
+    affected: set[str] = set()
+    if parts:
+        hits = (
+            spark.read.parquet(*[os.path.join(tdir, p) for p in parts])
+            # project the file name BEFORE the join — input_file_name()
+            # is single-source only, and this keeps the probe slim
+            # (key + file), the late-materialization shape
+            .select(F.col(key), F.input_file_name().alias("f"))
+            .join(F.broadcast(source.select(key).distinct()), key, "inner")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        for r in hits:
+            rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
+            affected.add(rel.split(os.sep)[0])
+    if affected:
+        tgt = spark.read.parquet(
+            *[os.path.join(tdir, p) for p in sorted(affected)]
+        )
+        cols = tgt.columns
+        joined = tgt.alias("t").join(
+            source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        )
+        matched = F.col(f"s.{key}").isNotNull()  # key is non-null by contract
+        merged = joined.select(
+            *[
+                F.when(matched, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+    else:
+        merged = source  # pure insert: every source row is new
+    merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
+        os.path.join(tdir, new_part)
+    )
+    _swing(
+        warehouse,
+        table,
+        [p for p in parts if p not in affected] + [new_part],
+    )
+    return len(affected)
+
+
+MERGE_UPDATE_USER = 11  # existing rows rewritten (value doubled)
+MERGE_INSERT_USER = 13  # template rows re-keyed negative -> pure inserts
+
+
+def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE gate: hard-link the shared warehouse's fact parts into an
+    isolated table dir, then MERGE one deterministic source batch that
+    exercises BOTH arms at once — user {MERGE_UPDATE_USER}'s fact rows
+    with ``value`` doubled (exact in IEEE binary64: scaling by a power of
+    two — engine-portable) as the matched/update half, and user
+    {MERGE_INSERT_USER}'s rows re-keyed to ``-(event_id + 1)`` (strictly
+    negative — keys that exist nowhere in the table) as the
+    not-matched/insert half.  Asserts the
+    update half touched at least one part and the committed row count grew
+    by exactly the insert count.  Oracle: the star join with the CASE'd
+    value update, UNION ALL the negated-key insert rows."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_mrg_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        fact = read_table(spark, cw, "fact")
+        n_before = fact.count()
+        updates = fact.filter(
+            F.col("user_id") == MERGE_UPDATE_USER
+        ).withColumn("value", F.col("value") * 2)
+        inserts = fact.filter(
+            F.col("user_id") == MERGE_INSERT_USER
+        ).withColumn(
+            # -(id+1) is STRICTLY negative — a bare -id would collide
+            # with the live table at event_id 0 and silently turn one
+            # insert into an update
+            "event_id",
+            -(F.col("event_id") + F.lit(1)),
+        )
+        n_inserts = inserts.count()
+        n_affected = merge_rows(
+            spark,
+            cw,
+            "fact",
+            updates.unionByName(inserts),
+            "event_id",
+            "1",
+        )
+        _require(n_affected >= 1, "update arm matched no part")
+        out = read_table(spark, cw, "fact")
+        _require(
+            out.count() == n_before + n_inserts,
+            "MERGE must add exactly the not-matched rows",
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM gate — the retention story ``compact_table`` promises
     (its docstring: small files "become garbage collectable once
@@ -1204,6 +1358,53 @@ def change_feed(s1: DataFrame, s2: DataFrame, key: str) -> DataFrame:
     )
 
 
+def apply_change_feed(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
+    """The CONSUMER side of the change feed — replay CDF rows onto a
+    replica snapshot: drop the keys the feed deletes or updates (one
+    null-safe anti-join on the touched-key set, O(changes) — AQE
+    broadcasts it when delta-sized), then union the ``insert`` and
+    ``update_postimage`` rows.  This is how a downstream materialized
+    view / cache / search index stays in sync reading ONLY the feed,
+    never rescanning the source table: replay cost is O(changes)
+    regardless of replica size.  Inverse-pair property with
+    :func:`change_feed` — ``apply(s1, feed(s1, s2)) == s2`` for any two
+    keyed snapshots (property-tested)."""
+    cols = base.columns
+    touched = (
+        feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        )
+        .select(F.col(key).alias("_touched_key"))
+        .distinct()
+    )
+    kept = base.join(
+        touched,
+        F.col(key).eqNullSafe(F.col("_touched_key")),
+        "left_anti",
+    )
+    additions = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    return kept.unionByName(additions)
+
+
+def q_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF round-trip gate: compute the change feed between the stats
+    table's v1 and live snapshots, replay it onto the v1 REPLICA, and
+    return the reconstructed table — which must equal the live snapshot
+    exactly (oracle: the full daily-stats SQL).  Closes the CDC loop that
+    etl_snapshot_diff (file-level) and etl_change_feed_rows (row-level
+    producer) opened: producer and consumer compose to an O(changes)
+    replication protocol over the versioned warehouse."""
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    s1 = read_table(spark, warehouse, "agg_daily_stats", version=1)
+    s2 = read_table(spark, warehouse, "agg_daily_stats")
+    feed = change_feed(s1, s2, "played_date")
+    return stable_checkpoint(
+        apply_change_feed(s1, feed, "played_date")
+    )
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the manifest log — every committed version
     of the fact table with its snapshot row count, read purely from the
@@ -1245,12 +1446,14 @@ QUERIES = {
     "etl_schema_evolution": q_schema_evolution,
     "etl_schema_rename": q_schema_rename,
     "etl_row_delete": q_row_delete,
+    "etl_merge_cow": q_merge_cow,
     "etl_vacuum": q_vacuum,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
     "etl_history": q_history,
     "etl_change_feed_rows": q_change_feed_rows,
+    "etl_cdf_apply": q_cdf_apply,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -1316,6 +1519,22 @@ WHERE e.ts > (SELECT make_timestamp(
     + f"""
 WHERE e.user_id <> {DELETE_USER}
 """,
+    # copy-on-write MERGE: matched rows (the update user) carry the
+    # doubled value; the not-matched arm re-plays the insert-template
+    # user's rows under negated keys
+    "etl_merge_cow": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT event_id, date_key, event_type_key, user_id, played_hour,
+       is_weekend, time_period,
+       CASE WHEN user_id = {MERGE_UPDATE_USER} THEN value * 2
+            ELSE value END AS value,
+       user_first_seen
+FROM base
+UNION ALL
+SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
+       played_hour, is_weekend, time_period, value, user_first_seen
+FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
     # evolved read = star join + the new column, NULL before the cut
     "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(
         "FROM events e",
@@ -1340,6 +1559,9 @@ WHERE e.user_id <> {DELETE_USER}
 """,
     # row-level CDF: the feed recomputed from the two event universes
     "etl_change_feed_rows": _CDF_SQL,
+    # replaying the feed onto the v1 replica reconstructs the live
+    # snapshot exactly — the oracle is the full daily-stats SQL
+    "etl_cdf_apply": _stats.ORACLE["etl_daily_stats"],
     # commit history: v1 = batch-1 universe, v2 = full corpus
     "etl_history": """
 WITH cut AS (
