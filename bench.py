@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "stream_dlq",
     "etl_row_delete",
     "etl_merge_cow",
+    "etl_time_travel_ts",
+    "etl_partition_evolution",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

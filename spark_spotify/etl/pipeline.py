@@ -32,6 +32,7 @@ byte-identical to the single-shot batch build, because every merge is keyed
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,6 +96,8 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     if isinstance(m, list):  # tolerate bare part lists
         m = {"parts": m}
     m.setdefault("renames", {})
+    m.setdefault("ts", None)  # pre-timestamp manifests
+    m.setdefault("specs", {})  # {part: [hive partition cols]}
     return m
 
 
@@ -127,6 +130,7 @@ def _swing(
     parts: list[str],
     renames: dict[str, str] | None = None,
     expected_version: int | None = None,
+    specs: dict[str, list[str]] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -153,11 +157,29 @@ def _swing(
         )
     if renames is None:
         renames = _renames(warehouse, table) if cur else {}
+    if specs is None:
+        specs = (
+            _read_manifest_file(warehouse, table, cur)["specs"]
+            if cur
+            else {}
+        )
+    # a spec entry for a part no longer in the list is dead metadata
+    specs = {p: s for p, s in specs.items() if p in parts}
     nxt = cur + 1
     path = os.path.join(tdir, f"{_MANIFEST_PREFIX}{nxt}")
     tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as fh:
-        json.dump({"parts": parts, "renames": renames}, fh)
+        # commit wall-clock enables AS OF TIMESTAMP reads; readers
+        # tolerate its absence in pre-timestamp manifests
+        json.dump(
+            {
+                "parts": parts,
+                "renames": renames,
+                "ts": time.time(),
+                "specs": specs,
+            },
+            fh,
+        )
     try:
         os.link(tmp, path)
     except FileExistsError:
@@ -169,26 +191,95 @@ def _swing(
     return nxt
 
 
+def _read_parts(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    parts: list[str],
+    specs: dict[str, list[str]] | None = None,
+) -> DataFrame | None:
+    """Spec-aware snapshot scan: unpartitioned parts go through ONE
+    multi-path parquet read; each hive-partitioned part (partition spec
+    evolution) is read under its own root so partition discovery restores
+    its partition columns, then the groups union by name (one extra scan
+    node per SPEC GENERATION — Iceberg's mixed-spec read shape — never
+    per part: all parts sharing a spec list could share a read, and spec
+    generations are O(1) over a table's life)."""
+    branches = _part_branches(spark, warehouse, table, parts, specs)
+    out = None
+    for df in branches:
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _part_branches(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    parts: list[str],
+    specs: dict[str, list[str]] | None = None,
+) -> list[DataFrame]:
+    """The per-spec scan branches behind :func:`_read_parts` — exposed so
+    per-branch work (e.g. ``input_file_name()`` discovery, which is
+    single-source-only and must not sit above the union) can map each
+    branch before combining."""
+    if not parts:
+        return []
+    specs = specs or {}
+    tdir = os.path.join(warehouse, table)
+    plain = [p for p in parts if p not in specs]
+    branches = []
+    if plain:
+        branches.append(
+            spark.read.parquet(*[os.path.join(tdir, p) for p in plain])
+        )
+    branches.extend(
+        spark.read.parquet(os.path.join(tdir, p))
+        for p in parts
+        if p in specs
+    )
+    return branches
+
+
+def version_as_of(warehouse: str, table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the latest committed version whose
+    commit wall-clock is <= ``ts`` (Delta/Iceberg timestamp travel).
+    O(versions) metadata reads, no Spark job.  Raises if no commit is
+    that old (reading before the table existed) — pre-timestamp
+    manifests (no ``ts`` field) are treated as infinitely old, so
+    timestamp travel over a mixed log still resolves."""
+    best = None
+    for v in _versions(warehouse, table):
+        mts = _read_manifest_file(warehouse, table, v)["ts"]
+        if mts is None or mts <= ts:
+            best = v
+    _require(best is not None, f"{table}: no commit at or before {ts}")
+    return best
+
+
 def read_table(
     spark: SparkSession,
     warehouse: str,
     table: str,
     version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame | None:
-    """Snapshot read at ``version`` (default: latest).  Applies the
+    """Snapshot read at ``version`` (default: latest), or at the last
+    version committed at or before wall-clock ``as_of_ts``.  Applies the
     manifest's column mapping (physical -> logical names), so a rename
     commit changes what readers see without touching any part bytes."""
     vs = _versions(warehouse, table)
     if not vs:
         return None
+    if as_of_ts is not None:
+        _require(version is None, "pass version OR as_of_ts, not both")
+        version = version_as_of(warehouse, table, as_of_ts)
     m = _read_manifest_file(
         warehouse, table, vs[-1] if version is None else version
     )
     if not m["parts"]:
         return None
-    df = spark.read.parquet(
-        *[os.path.join(warehouse, table, p) for p in m["parts"]]
-    )
+    df = _read_parts(spark, warehouse, table, m["parts"], m["specs"])
     for phys, logical in m["renames"].items():
         df = df.withColumnRenamed(phys, logical)
     return df
@@ -447,6 +538,40 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, warehouse, "fact", version=1)
 
 
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel — version resolution by commit
+    wall-clock instead of version number (``SELECT ... TIMESTAMP AS OF
+    t``), the form audits and reproducible-training pins actually use
+    ("the table as of last midnight"), since callers rarely know version
+    numbers.  Replays the two-batch commit log in an isolated dir with
+    distinct commit clocks, then reads the table as of an instant BETWEEN
+    the two commits — which must resolve to the batch-1 snapshot.  The
+    resolution is O(versions) manifest metadata; the read itself is the
+    ordinary snapshot read.
+
+    Oracle: the batch-1 star join (same universe as etl_time_travel)."""
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    if not v1:
+        return read_table(spark, warehouse, "fact").limit(0)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_ttts_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", v1)
+        t1 = _read_manifest_file(cw, "fact", 1)["ts"]
+        time.sleep(0.02)  # guarantee distinct commit clocks
+        _swing(cw, "fact", parts)
+        t2 = _read_manifest_file(cw, "fact", 2)["ts"]
+        _require(t2 > t1, "commit clocks must advance")
+        out = read_table(spark, cw, "fact", as_of_ts=(t1 + t2) / 2)
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession, warehouse: str, table: str, tag: str
 ) -> None:
@@ -459,9 +584,10 @@ def compact_table(
     rewrite targets ~128 MB files per partition instead of 1 global file;
     the manifest mechanics are identical."""
     parts = _manifest(warehouse, table) or []
-    df = spark.read.parquet(
-        *[os.path.join(warehouse, table, p) for p in parts]
-    )
+    specs = _read_manifest_file(
+        warehouse, table, _current_version(warehouse, table)
+    )["specs"]
+    df = _read_parts(spark, warehouse, table, parts, specs)
     new_part = f"c{tag}"
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, new_part)
@@ -646,22 +772,27 @@ def delete_rows(
     parts = _manifest(warehouse, table) or []
     if not parts:
         return 0
+    specs = _read_manifest_file(
+        warehouse, table, _current_version(warehouse, table)
+    )["specs"]
     tdir = os.path.join(warehouse, table)
-    hits = (
-        spark.read.parquet(*[os.path.join(tdir, p) for p in parts])
-        .filter(F.coalesce(predicate, F.lit(False)))
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
+    probe = None
+    for br in _part_branches(spark, warehouse, table, parts, specs):
+        # filter BEFORE projecting the (non-deterministic) file name so
+        # the predicate still pushes down to each scan
+        b = br.filter(F.coalesce(predicate, F.lit(False))).select(
+            F.input_file_name().alias("f")
+        )
+        probe = b if probe is None else probe.unionByName(b)
+    hits = probe.distinct().collect()
     affected: set[str] = set()
     for r in hits:
         rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
         affected.add(rel.split(os.sep)[0])
     if not affected:
         return 0
-    kept = spark.read.parquet(
-        *[os.path.join(tdir, p) for p in sorted(affected)]
+    kept = _read_parts(
+        spark, warehouse, table, sorted(affected), specs
     ).filter(predicate.isNull() | ~predicate)
     new_part = f"d{tag}"
     # a reused tag would overwrite a LIVE part's directory and commit a
@@ -764,15 +895,23 @@ def merge_rows(
     _require(
         new_part not in parts, f"merge tag {tag!r} collides with {new_part}"
     )
+    specs = {}
     affected: set[str] = set()
     if parts:
+        specs = _read_manifest_file(
+            warehouse, table, _current_version(warehouse, table)
+        )["specs"]
+        probe = None
+        for br in _part_branches(spark, warehouse, table, parts, specs):
+            # project (key, file) BEFORE the join — input_file_name() is
+            # single-source only, and this keeps the probe slim, the
+            # late-materialization shape
+            b = br.select(F.col(key), F.input_file_name().alias("f"))
+            probe = b if probe is None else probe.unionByName(b)
         hits = (
-            spark.read.parquet(*[os.path.join(tdir, p) for p in parts])
-            # project the file name BEFORE the join — input_file_name()
-            # is single-source only, and this keeps the probe slim
-            # (key + file), the late-materialization shape
-            .select(F.col(key), F.input_file_name().alias("f"))
-            .join(F.broadcast(source.select(key).distinct()), key, "inner")
+            probe.join(
+                F.broadcast(source.select(key).distinct()), key, "inner"
+            )
             .select("f")
             .distinct()
             .collect()
@@ -781,8 +920,8 @@ def merge_rows(
             rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
             affected.add(rel.split(os.sep)[0])
     if affected:
-        tgt = spark.read.parquet(
-            *[os.path.join(tdir, p) for p in sorted(affected)]
+        tgt = _read_parts(
+            spark, warehouse, table, sorted(affected), specs
         )
         cols = tgt.columns
         joined = tgt.alias("t").join(
@@ -945,6 +1084,69 @@ def q_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require(
             RENAME_NEW in out.columns and RENAME_OLD not in out.columns,
             out.columns,
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition SPEC EVOLUTION — the Iceberg hallmark (Spec Evolution,
+    iceberg.apache.org/docs/latest/evolution): the table changes its
+    physical partitioning for FUTURE commits without rewriting a byte of
+    history.  The batch-1 parts keep their legacy unpartitioned layout;
+    the batch-2 delta commits hive-partitioned by ``date_key`` under the
+    NEW spec (recorded per-part in the manifest); a snapshot read unions
+    the two generations transparently (schema-stable — partition columns
+    are restored as data columns).  The gate then PROVES the payoff from
+    the optimized plan: a day-predicate probe carries a directory-level
+    ``PartitionFilters`` entry on the evolved scan — the pruning class
+    the legacy layout can only approximate with footer stats.  At 100 TB
+    evolving a spec costs ONE manifest write where a re-partitioning
+    rewrite would be a full-table job; that asymmetry is why Iceberg
+    tables survive layout mistakes.
+
+    Oracle: the unchanged single-shot star join (spec evolution must not
+    change a single logical row)."""
+    import re
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    if not v1:
+        return read_table(spark, warehouse, "fact").limit(0)
+    batch2 = [p for p in parts if p not in set(v1)]
+    cw = tempfile.mkdtemp(prefix="spark_spotify_pse_")
+    try:
+        _link_fact_into(warehouse, v1, cw)
+        _swing(cw, "fact", list(v1))  # v1: legacy unpartitioned spec
+        delta = spark.read.parquet(
+            *[os.path.join(warehouse, "fact", p) for p in batch2]
+        )
+        delta.write.partitionBy("date_key").parquet(
+            os.path.join(cw, "fact", "q2")
+        )
+        _swing(
+            cw,
+            "fact",
+            list(v1) + ["q2"],
+            specs={"q2": ["date_key"]},
+        )
+        out = read_table(spark, cw, "fact")
+        _require(
+            out.columns == read_table(spark, cw, "fact", version=1).columns,
+            "mixed-spec read must be schema-stable",
+        )
+        probe_day = delta.agg(F.min("date_key")).collect()[0][0]
+        probe = out.filter(F.col("date_key") == F.lit(probe_day))
+        plan = probe._sc._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted"
+        )
+        _require(
+            re.search(r"PartitionFilters: \[[^\]]*date_key", plan)
+            is not None,
+            "evolved scan must prune on the partition directory",
         )
         return stable_checkpoint(out)
     finally:
@@ -1442,9 +1644,11 @@ QUERIES = {
     "etl_incremental_pipeline": q_incremental_pipeline,
     "etl_snapshot_diff": q_snapshot_diff,
     "etl_time_travel": q_time_travel,
+    "etl_time_travel_ts": q_time_travel_ts,
     "etl_compact": q_compact,
     "etl_schema_evolution": q_schema_evolution,
     "etl_schema_rename": q_schema_rename,
+    "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_merge_cow": q_merge_cow,
     "etl_vacuum": q_vacuum,
@@ -1543,6 +1747,8 @@ FROM base WHERE user_id = {MERGE_INSERT_USER}
          THEN 'batch2' END AS ingest_source
 FROM events e""",
     ),
+    # spec evolution changes future layout only — rows unchanged
+    "etl_partition_evolution": _fact.ORACLE["etl_fact_star"],
     # vacuum changes the physical layout only (and only of UNRETAINED
     # snapshots) — the live table is the unmodified star join
     "etl_vacuum": _fact.ORACLE["etl_fact_star"],
@@ -1588,3 +1794,7 @@ WHERE e.ts <= (SELECT make_timestamp(
                FROM events)
 """,
 }
+
+# timestamp travel between the two commits resolves to the same batch-1
+# snapshot VERSION AS OF 1 replays
+ORACLE["etl_time_travel_ts"] = ORACLE["etl_time_travel"]

@@ -425,3 +425,90 @@ def test_apply_change_feed_inverts_change_feed(spark):
     got = {(r.k, r.v) for r in out.collect()}
     want = {(r.k, r.v) for r in s2.collect()}
     assert got == want
+
+
+def test_version_as_of_timestamp(spark, warehouse):
+    """Timestamp travel resolves the last commit at-or-before t, treats
+    pre-timestamp manifests as infinitely old, and refuses reads before
+    the first commit."""
+    import json
+    import os
+
+    import pytest
+
+    from spark_spotify.etl.pipeline import (
+        _read_manifest_file,
+        _swing,
+        read_table,
+        version_as_of,
+    )
+
+    spark.range(1).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    spark.range(2).coalesce(1).write.parquet(f"{warehouse}/t/p2")
+    _swing(warehouse, "t", ["p1"])
+    # strip v1's ts to simulate a pre-timestamp manifest
+    p = f"{warehouse}/t/_latest.v1"
+    m = json.load(open(p))
+    del m["ts"]
+    os.remove(p)
+    json.dump(m, open(p, "w"))
+    _swing(warehouse, "t", ["p1", "p2"])
+    t2 = _read_manifest_file(warehouse, "t", 2)["ts"]
+    assert version_as_of(warehouse, "t", t2) == 2          # boundary: <=
+    assert version_as_of(warehouse, "t", t2 - 0.001) == 1  # legacy ts=None
+    assert read_table(
+        spark, warehouse, "t", as_of_ts=t2 - 0.001
+    ).count() == 1
+    with pytest.raises(RuntimeError, match="pass version OR as_of_ts"):
+        read_table(spark, warehouse, "t", version=1, as_of_ts=t2)
+
+
+def test_mixed_spec_read_and_cow_over_partitioned_part(spark, warehouse):
+    """A table with one legacy unpartitioned part and one hive-partitioned
+    part (spec evolution) reads as a schema-stable union, and the COW
+    verbs (DELETE / MERGE) work across the mixed layout."""
+    from spark_spotify.etl.pipeline import (
+        _manifest,
+        _swing,
+        delete_rows,
+        merge_rows,
+        read_table,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id long, day int, v string"
+    )
+    new = spark.createDataFrame(
+        [(3, 20, "c"), (4, 21, "d")], "id long, day int, v string"
+    )
+    old.coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    new.write.partitionBy("day").parquet(f"{warehouse}/t/q1")
+    _swing(warehouse, "t", ["p1", "q1"], specs={"q1": ["day"]})
+    df = read_table(spark, warehouse, "t")
+    assert df.columns == ["id", "day", "v"]  # schema-stable order
+    assert {(r.id, r.day, r.v) for r in df.collect()} == {
+        (1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, 21, "d")
+    }
+    # DELETE a row living in the PARTITIONED part
+    assert delete_rows(spark, warehouse, "t", F.col("id") == 3, "x") == 1
+    assert _manifest(warehouse, "t") == ["p1", "dx"]  # p1 untouched
+    assert {r.id for r in read_table(spark, warehouse, "t").collect()} == {
+        1, 2, 4
+    }
+    # MERGE an update into the legacy part + a fresh insert
+    src = spark.createDataFrame(
+        [(1, 99, "A"), (7, 30, "g")], "id long, day int, v string"
+    )
+    assert merge_rows(spark, warehouse, "t", src, "id", "y") == 1
+    got = {(r.id, r.day, r.v) for r in read_table(spark, warehouse, "t").collect()}
+    assert got == {(1, 99, "A"), (2, 10, "b"), (4, 21, "d"), (7, 30, "g")}
+
+
+def test_spec_entries_pruned_with_parts(warehouse):
+    """A spec entry for a part dropped from the list must not survive the
+    commit (dead metadata)."""
+    from spark_spotify.etl.pipeline import _read_manifest_file, _swing
+
+    _swing(warehouse, "t", ["q1"], specs={"q1": ["day"]})
+    _swing(warehouse, "t", ["p2"])  # q1 rewritten away
+    assert _read_manifest_file(warehouse, "t", 2)["specs"] == {}
