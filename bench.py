@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "ana_value_histogram",
     "curate_mix_epochs",
     "text_bigram_logprob",
+    "text_collocation_pmi",
     "mm_payload_dedup",
     "sim_ann_lsh_multiprobe",
     "etl_snapshot_diff",

@@ -390,6 +390,106 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PMI_MIN_PAIR = 5  # support floor: rare pairs have unboundedly noisy PMI
+PMI_TOPK = 50
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining — pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990), the phrase-detection pass
+    a training pipeline runs before vocabulary induction (word2vec's
+    phrase joining): ``PMI(a,b) = ln(p(ab) / (p(a) p(b)))`` with a
+    support floor of {PMI_MIN_PAIR} (a 1-count pair's PMI is unboundedly
+    noisy), top-{PMI_TOPK} pairs by PMI.
+
+    Dataflow: one token explosion -> unigram counts; one shifted-zip
+    bigram explosion -> pair counts (both map-side combinable); the two
+    corpus totals ride a broadcast scalar; the SUPPORT-FILTERED pair
+    relation joins unigram counts once per side — vocabulary-keyed
+    shuffle joins, not broadcasts, because unigram vocabularies outgrow
+    broadcast at corpus scale.  Top-k is TakeOrderedAndProject (never a
+    full sort).  Exactness: PMI is ONE ln of ONE double ratio with both
+    engines' operand order pinned, quantized to integer micro-nats
+    before ranking; boundary ties break lexicographically so the top-k
+    cut is total-ordered and engine-portable."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col(F.col("text"))
+    uc = (
+        fan_out(d)
+        .select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    base = fan_out(d).select(t.alias("t")).filter(F.size("t") >= 2)
+    pc = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pc = pc.persist()  # feeds the n_bg total AND the scored join
+    totals = uc.agg(F.sum("c_w").alias("n_u")).crossJoin(
+        pc.agg(F.sum("n_ab").alias("n_bg"))
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    scored = (
+        pc.filter(F.col("n_ab") >= PMI_MIN_PAIR)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_ab").cast("double")
+                        * F.col("n_u")
+                        * F.col("n_u")
+                    )
+                    / (
+                        F.col("n_bg").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                )
+                * LOGP_SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    out = (
+        scored.orderBy(
+            F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(PMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(F.col("pmi_micro") / F.lit(float(LOGP_SCALE)), 6).alias(
+                "pmi"
+            ),
+        )
+        .transform(stable_checkpoint)
+    )
+    pc.unpersist()
+    return out
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character Shannon entropy (bits/char) + distinct-char
     count — the compression-proxy quality signal that separates natural
@@ -824,6 +924,46 @@ SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
        token, n_occurrences
 FROM counts
 """,
+    "text_collocation_pmi": """
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+uc AS (
+  SELECT w, COUNT(*) AS c_w FROM toks GROUP BY w
+),
+base AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+idx AS (
+  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM base
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2
+),
+tot AS (
+  SELECT CAST((SELECT SUM(c_w) FROM uc) AS BIGINT) AS n_u,
+         CAST((SELECT SUM(n_ab) FROM pc) AS BIGINT) AS n_bg
+),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.n_ab,
+         CAST(round(ln((CAST(pc.n_ab AS DOUBLE) * t.n_u * t.n_u)
+                       / (CAST(t.n_bg AS DOUBLE) * a.c_w * b.c_w))
+                    * 1000000, 0) AS BIGINT) AS pmi_micro
+  FROM pc
+  JOIN uc a ON pc.w1 = a.w
+  JOIN uc b ON pc.w2 = b.w
+  CROSS JOIN tot t
+  WHERE pc.n_ab >= 5
+)
+SELECT w1, w2, n_ab, round(pmi_micro / 1000000.0, 6) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT 50
+""",
     "text_bigram_logprob": """
 WITH base AS (
   SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
@@ -1145,6 +1285,7 @@ QUERIES = {
     "text_unigram_logprob": q_unigram_logprob,
     "text_tfidf_topk": q_tfidf_topk,
     "text_bigram_logprob": q_bigram_logprob,
+    "text_collocation_pmi": q_collocation_pmi,
     "text_char_entropy": q_char_entropy,
     "text_bm25_topk": q_bm25_topk,
     "text_quality_lr": q_quality_lr,
