@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "etl_merge_cow",
     "etl_time_travel_ts",
     "etl_partition_evolution",
+    "etl_profile_columns",
+    "agg_heavy_hitters",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

@@ -545,7 +545,114 @@ def q_hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_TOPK = 20  # heavy hitters returned
+HH_SUMMARY = 256  # Misra-Gries counters per partition
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-{HH_TOPK} most frequent tokens via the sketch-then-verify
+    dataflow — the heavy-hitter shape that avoids a full-vocabulary
+    shuffle at 100 TB, where groupBy(token) over billions of distinct
+    keys is the bottleneck and the candidate set is what actually fits:
+
+    1. **Sketch pass** — per-partition MERGEABLE Misra-Gries summaries
+       ({HH_SUMMARY} counters) built batch-wise inside ``mapInPandas``
+       (pandas ``value_counts`` per Arrow batch at C speed, then the
+       Agarwal-et-al. merge: add, subtract the (M+1)-th largest count,
+       drop non-positive, accumulate the subtraction into the summary's
+       error).  Output is O(partitions × {HH_SUMMARY}) candidate rows —
+       metadata-sized — never the vocabulary.
+    2. **Verify pass** — exact counts of ONLY the candidate tokens
+       (broadcast semi-join, one slim shuffle), top-{HH_TOPK} by
+       (count DESC, token).
+    3. **Certification** — the MG invariant guarantees any token absent
+       from every summary has true frequency <= E = Σ per-partition
+       errors; the gate REQUIRES the {HH_TOPK}-th verified count > E, so
+       the returned top-k is PROVABLY complete (raises rather than
+       silently returning a possibly-wrong set).
+
+    The result is exact and partitioning-independent (candidates vary
+    with partitioning; the verified, certified top-k does not) — which
+    is why a plain SQL top-k oracle can hash-gate a sketch query."""
+    import pandas as pd
+
+    from spark_spotify.analytics.textops import tokens_col
+    from spark_spotify.sources.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > HH_SUMMARY:
+                vals = sorted(counters.values(), reverse=True)
+                cut = vals[HH_SUMMARY]  # (M+1)-th largest
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+                err += cut
+        yield pd.DataFrame(
+            {
+                "token": [*counters.keys(), None],
+                "err": [0] * len(counters) + [err],
+            }
+        )
+
+    sketch = toks.mapInPandas(
+        mg_partition, "token string, err long"
+    ).persist()
+    e_total = sketch.agg(F.sum("err")).collect()[0][0] or 0
+    candidates = sketch.filter(F.col("token").isNotNull()).select(
+        "token"
+    ).distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(HH_TOPK)
+    )
+    from pyspark.sql import Window
+
+    out = exact.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("token"))
+        ),
+    ).select(F.col("rank").cast("bigint"), "token", "n")
+    rows = out.collect()  # HH_TOPK rows — the certification scalar read
+    sketch.unpersist()
+    if len(rows) == HH_TOPK and rows[-1]["n"] <= e_total:
+        raise RuntimeError(
+            f"heavy-hitter certification failed: k-th count "
+            f"{rows[-1]['n']} <= summary error {e_total}; raise "
+            f"HH_SUMMARY"
+        )
+    return spark.createDataFrame(rows, out.schema)
+
+
 ORACLE = {
+    "agg_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+ec AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+rk AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM ec
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n FROM rk WHERE rank <= 20
+""",
     "op_partition_overwrite": """
 SELECT event_id, user_id,
        CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
@@ -685,4 +792,5 @@ QUERIES = {
     "agg_hll_rollup": q_hll_rollup,
     "agg_hll_rolling_7d": q_hll_rolling_7d,
     "op_partition_overwrite": q_partition_overwrite,
+    "agg_heavy_hitters": q_heavy_hitters,
 }

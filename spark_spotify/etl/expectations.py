@@ -68,9 +68,92 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectation_report(q_fact_star(spark, sf_dir))
 
 
+# (column, numeric projection) — timestamps profile as epoch MICROS
+# (exact in binary64 up to 2^53; a raw timestamp min/max would hash
+# differently across engines' string renderings)
+_PROFILE_NUM = ("event_id", "ts_us", "user_id", "value")
+_PROFILE_STR = ("event_type", "props")
+
+
+def profile_columns(src: DataFrame) -> DataFrame:
+    """Deequ-style one-pass column profiler — the discovery step that
+    FEEDS :func:`expectation_report` (profile first, then pin the
+    invariants the profile reveals): for every column its row count,
+    null count, exact distinct count, and type-appropriate min/max, in
+    ONE aggregate job over ONE scan.  All per-column aggregates are
+    partial-aggregatable, so at 100 TB this is a single map-side-combined
+    pass; the multi-DISTINCT rewrite (Catalyst Expand) amplifies rows
+    column-fold but each expanded row is a single slim value.  The
+    1-row aggregate is unpivoted driver-free via ``stack`` into one row
+    per column.
+
+    ``src`` must carry numeric columns ``_PROFILE_NUM`` (already cast to
+    double) and string columns ``_PROFILE_STR``."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in (*_PROFILE_NUM, *_PROFILE_STR):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    for c in _PROFILE_STR:
+        aggs.append(F.min(c).alias(f"mns_{c}"))
+        aggs.append(F.max(c).alias(f"mxs_{c}"))
+    one = src.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mns_{c}, mxs_{c}"
+        )
+    n = len(rows)
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({n}, {', '.join(rows)}) AS "
+            "(col_name, n_null, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    ).orderBy("col_name")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_id").cast("double").alias("event_id"),
+        F.unix_micros("ts").cast("double").alias("ts_us"),
+        F.col("user_id").cast("double").alias("user_id"),
+        F.col("value"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    return profile_columns(src)
+
+
 from spark_spotify.etl import fact as _fact  # noqa: E402
 
-QUERIES = {"etl_expectations": q_expectations}
+QUERIES = {
+    "etl_expectations": q_expectations,
+    "etl_profile_columns": q_profile_columns,
+}
 
 ORACLE = {
     "etl_expectations": f"""
@@ -104,3 +187,64 @@ SELECT rule, n_violations FROM (
 ) ORDER BY rule
 """,
 }
+
+ORACLE["etl_profile_columns"] = """
+WITH src AS (
+  SELECT CAST(event_id AS DOUBLE) AS event_id,
+         CAST(epoch_us(ts) AS DOUBLE) AS ts_us,
+         CAST(user_id AS DOUBLE) AS user_id,
+         value, event_type, props
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'event_id' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         MIN(event_id) AS min_num, MAX(event_id) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'ts_us' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT ts_us) AS BIGINT) AS n_distinct,
+         MIN(ts_us) AS min_num, MAX(ts_us) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'user_id' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+         MIN(user_id) AS min_num, MAX(user_id) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'value' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+         MIN(value) AS min_num, MAX(value) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(event_type), MAX(event_type)
+  FROM src
+  UNION ALL
+  SELECT 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(props), MAX(props)
+  FROM src
+) ORDER BY col_name
+"""

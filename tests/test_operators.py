@@ -318,3 +318,48 @@ def test_expectation_rules_fire_on_dirty_rows(spark):
         "weekend_flag_not_null": 1,
         "first_seen_before_event": 1,
     }
+
+
+def test_heavy_hitters_matches_exact_under_any_partitioning(spark, tmp_path):
+    """The certified sketch-then-verify top-k equals the exact top-k on a
+    skew+uniform mixture regardless of partition layout (candidates vary
+    with partitioning; the verified output must not)."""
+    import pandas as pd
+
+    from spark_spotify.analytics import scaleops as S
+
+    rng = __import__("random").Random(7)
+    toks = (
+        ["hot%d" % i for i in range(30) for _ in range(200 - i)]
+        + ["cold%d" % rng.randrange(5000) for _ in range(8000)]
+    )
+    rng.shuffle(toks)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(toks) // 10),
+            "text": [
+                " ".join(toks[i * 10:(i + 1) * 10])
+                for i in range(len(toks) // 10)
+            ],
+        }
+    )
+    sf_dir = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf_dir}/documents.parquet")
+    got = [
+        (r["rank"], r.token, r.n)
+        for r in S.q_heavy_hitters(spark, sf_dir).collect()
+    ]
+    kept = [t for txt in docs["text"] for t in txt.split(" ")]
+    exact = (
+        pd.Series(kept).value_counts().rename_axis("t").reset_index(name="n")
+    )
+    exact = exact.sort_values(["n", "t"], ascending=[False, True]).head(
+        S.HH_TOPK
+    )
+    want = [
+        (i + 1, r.t, r.n) for i, r in enumerate(exact.itertuples(index=False))
+    ]
+    assert got == want
