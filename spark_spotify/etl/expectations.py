@@ -76,61 +76,67 @@ _PROFILE_STR = ("event_type", "props")
 
 
 def profile_columns(src: DataFrame) -> DataFrame:
-    """Deequ-style one-pass column profiler — the discovery step that
+    """Deequ-style one-scan column profiler — the discovery step that
     FEEDS :func:`expectation_report` (profile first, then pin the
     invariants the profile reveals): for every column its row count,
-    null count, exact distinct count, and type-appropriate min/max, in
-    ONE aggregate job over ONE scan.  All per-column aggregates are
-    partial-aggregatable, so at 100 TB this is a single map-side-combined
-    pass; the multi-DISTINCT rewrite (Catalyst Expand) amplifies rows
-    column-fold but each expanded row is a single slim value.  The
-    1-row aggregate is unpivoted driver-free via ``stack`` into one row
-    per column.
+    null count, exact distinct count, and type-appropriate min/max.
+
+    Shape: ONE ``stack`` melt of the scan into slim (col_name, num_val,
+    str_val) triples feeding two aggregates — per-column stats (count /
+    nulls / min / max, 6 groups) and a two-level exact distinct
+    (hash-distinct the value pairs, then count per column).  This
+    deliberately AVOIDS the single-agg multi-DISTINCT form: 6 DISTINCT
+    aggregates trigger Catalyst's Expand(×7) and the string min/max
+    buffers force SortAggregate, so the whole expanded stream gets
+    sorted — measured 2.7 s vs 0.5 s for this shape at sf0.1 (5×).
+    Everything here is hash-aggregable and map-side combinable; at
+    100 TB the melt amplifies rows column-fold but each row is one slim
+    value, and both shuffles carry only group/distinct keys.
 
     ``src`` must carry numeric columns ``_PROFILE_NUM`` (already cast to
     double) and string columns ``_PROFILE_STR``."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in (*_PROFILE_NUM, *_PROFILE_STR):
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
-        )
-        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
-    for c in _PROFILE_NUM:
-        aggs.append(F.min(c).alias(f"mn_{c}"))
-        aggs.append(F.max(c).alias(f"mx_{c}"))
-    for c in _PROFILE_STR:
-        aggs.append(F.min(c).alias(f"mns_{c}"))
-        aggs.append(F.max(c).alias(f"mxs_{c}"))
-    one = src.agg(*aggs)
-    rows = []
-    for c in _PROFILE_NUM:
-        rows.append(
-            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
-            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
-        )
-    for c in _PROFILE_STR:
-        rows.append(
-            f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
-            f"CAST(NULL AS DOUBLE), mns_{c}, mxs_{c}"
-        )
+    rows = [
+        f"'{c}', {c}, CAST(NULL AS STRING)" for c in _PROFILE_NUM
+    ] + [
+        f"'{c}', CAST(NULL AS DOUBLE), {c}" for c in _PROFILE_STR
+    ]
     n = len(rows)
-    return one.select(
-        "n_rows",
+    melt = src.select(
         F.expr(
             f"stack({n}, {', '.join(rows)}) AS "
-            "(col_name, n_null, n_distinct, min_num, max_num, "
-            "min_str, max_str)"
-        ),
-    ).select(
-        "col_name",
-        "n_rows",
-        "n_null",
-        "n_distinct",
-        "min_num",
-        "max_num",
-        "min_str",
-        "max_str",
-    ).orderBy("col_name")
+            "(col_name, num_val, str_val)"
+        )
+    )
+    both_null = F.col("num_val").isNull() & F.col("str_val").isNull()
+    stats = melt.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(both_null.cast("bigint")).alias("n_null"),
+        F.min("num_val").alias("min_num"),
+        F.max("num_val").alias("max_num"),
+        F.min("str_val").alias("min_str"),
+        F.max("str_val").alias("max_str"),
+    )
+    dc = (
+        melt.filter(~both_null)
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        stats.join(dc, "col_name", "left")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            # an all-NULL column has no distinct pairs at all
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
+        .orderBy("col_name")
+    )
 
 
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
