@@ -344,3 +344,21 @@ def test_prefilter_ann_pushes_label_to_scan(spark, sf_dir):
     would evaluate after the read."""
     plan = _plan(QUERIES["sim_ann_prefilter_topk"](spark, sf_dir))
     assert "EqualTo(label," in plan
+
+
+def test_profile_columns_keeps_melt_shape(spark, sf_dir):
+    """The profiler must keep the melt shape: no Expand (the
+    multi-DISTINCT rewrite that amplified the stream column-fold and
+    dragged every aggregate into one sorted pipeline — measured 5x
+    slower), and the exact-distinct branch must stay hash-aggregated
+    (SortAggregate is tolerated only for the 6-group stats branch,
+    whose string min/max buffers cannot hash-agg)."""
+    import re
+
+    plan = _plan(QUERIES["etl_profile_columns"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
+    # node lines look like "(5) SortAggregate"; the details section
+    # repeats each name, so count node lines only
+    nodes = re.findall(r"\(\d+\) SortAggregate", plan)
+    assert len(nodes) <= 2, nodes  # stats partial+final only
