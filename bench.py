@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "etl_partition_evolution",
     "etl_profile_columns",
     "agg_heavy_hitters",
+    "agg_exact_median",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

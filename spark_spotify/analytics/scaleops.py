@@ -638,7 +638,143 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+MEDIAN_LOCAL_CAP = 65536  # collect threshold for the final local select
+MEDIAN_BUCKETS = 1024
+
+
+def exact_order_stats(
+    df: DataFrame, col: str, ranks: list[int]
+) -> dict[int, float]:
+    """EXACT k-th order statistics of a numeric column WITHOUT a global
+    sort — the scalable exact-quantile dataflow (Spark's own
+    ``percentile`` is a single-buffer TypedImperativeAggregate that
+    collects every value into one executor: exact but O(N) memory on one
+    node; ``approx_percentile`` is bounded-memory but approximate; this
+    is both exact AND bounded).  Iterative histogram narrowing:
+
+    1. one aggregate for (n, min, max);
+    2. while the candidate set exceeds {MEDIAN_LOCAL_CAP}: bucket the
+       CURRENT candidate range into {MEDIAN_BUCKETS} equal-width cells
+       (one scan-side aggregate, predicate pushed down), walk the
+       metadata-sized cumulative histogram on the driver, and narrow to
+       the cell span containing the target ranks.  The next filter
+       reuses the SAME bucket expression (never recomputed float
+       bounds), so edge rows cannot leak between iterations;
+    3. resolve ranks from the survivors' per-VALUE counts (one slim
+       groupBy, bounded by the candidate distinct count — which a
+       duplicate-heavy stall only shrinks).
+
+    Each iteration shrinks the candidate set ~{MEDIAN_BUCKETS}x, so the
+    loop is O(log_B N) flat scan jobs — 3 scans for a trillion rows —
+    and driver memory is O(B + cap).  Requested ranks must be nearby
+    (e.g. the two median straddlers); the narrowing keeps ONE interval
+    covering all of them."""
+    targets = sorted(ranks)
+    first = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).collect()[0]
+    n, lo, hi = first["n"], first["mn"], first["mx"]
+    if n == 0:
+        return {}
+    for r in targets:
+        if not 1 <= r <= n:
+            raise ValueError(f"rank {r} outside 1..{n}")
+    pred = F.col(col).isNotNull()
+    offset = 0  # rows excluded below the current candidate set
+    cnt = n
+    # each genuine narrowing shrinks the value interval >= 512x (the
+    # target span is <= 2 of {MEDIAN_BUCKETS} cells), so 8 iterations
+    # exhaust binary64's entire exponent+mantissa range; anything left
+    # after that is a duplicate mass a width-based histogram can never
+    # split, resolved below on per-VALUE counts
+    iters = 0
+    while cnt > MEDIAN_LOCAL_CAP and lo < hi and iters < 8:
+        iters += 1
+        width = hi - lo
+        bucket = F.least(
+            F.floor(
+                (F.col(col) - F.lit(lo)) * MEDIAN_BUCKETS / F.lit(width)
+            ),
+            F.lit(MEDIAN_BUCKETS - 1),
+        ).cast("int")
+        histo = {
+            r["b"]: r["c"]
+            for r in df.filter(pred)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        cum = 0
+        spans = []
+        for b in range(MEDIAN_BUCKETS):
+            c = histo.get(b, 0)
+            if any(cum < r - offset <= cum + c for r in targets):
+                spans.append((b, cum, c))
+            cum += c
+        b_first, cum_first, _ = spans[0]
+        b_last = spans[-1][0]
+        new_cnt = sum(c for _, _, c in spans) + sum(
+            histo.get(b, 0)
+            for b in range(b_first + 1, b_last)
+        )
+        pred = pred & bucket.between(b_first, b_last)
+        offset += cum_first
+        new_lo = lo + b_first * width / MEDIAN_BUCKETS
+        new_hi = lo + (b_last + 1) * width / MEDIAN_BUCKETS
+        if new_cnt == cnt and (new_lo, new_hi) == (lo, hi):
+            break  # narrowing stalled — duplicate mass
+        cnt, lo, hi = new_cnt, min(max(new_lo, lo), hi), min(new_hi, hi)
+    # final resolution on per-VALUE counts (never raw rows): bounded by
+    # the candidate DISTINCT count — <= cnt <= cap after a clean narrow,
+    # and a handful of few-ulp-apart doubles after a duplicate stall
+    pairs = (
+        df.filter(pred)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(col)
+        .collect()
+    )
+    out: dict[int, float] = {}
+    cum = offset
+    for row in pairs:
+        for r in targets:
+            if cum < r <= cum + row["c"]:
+                out[r] = row[col]
+        cum += row["c"]
+    return out
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-median gate: the two order statistics straddling the median
+    of ``events.value`` ((n+1)//2 and n//2+1, equal when n is odd) via
+    the sort-free narrowing above.  Emitting the straddlers rather than
+    their interpolated midpoint keeps the output hash-exact across
+    engines (a midpoint's last ulp depends on the interpolation
+    formula).  Oracle: row_number order statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    r_lo, r_hi = (n + 1) // 2, n // 2 + 1
+    stats = exact_order_stats(ev, "value", [r_lo, r_hi])
+    return spark.createDataFrame(
+        [(n, stats[r_lo], stats[r_hi])],
+        "n_rows long, v_lo double, v_hi double",
+    )
+
+
 ORACLE = {
+    "agg_exact_median": """
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS v_lo,
+       MAX(CASE WHEN rn = n // 2 + 1 THEN value END) AS v_hi
+FROM s
+""",
     "agg_heavy_hitters": """
 WITH toks AS (
   SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
@@ -793,4 +929,5 @@ QUERIES = {
     "agg_hll_rolling_7d": q_hll_rolling_7d,
     "op_partition_overwrite": q_partition_overwrite,
     "agg_heavy_hitters": q_heavy_hitters,
+    "agg_exact_median": q_exact_median,
 }

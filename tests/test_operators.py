@@ -363,3 +363,31 @@ def test_heavy_hitters_matches_exact_under_any_partitioning(spark, tmp_path):
         (i + 1, r.t, r.n) for i, r in enumerate(exact.itertuples(index=False))
     ]
     assert got == want
+
+
+def test_exact_order_stats_narrowing_loop(spark, monkeypatch):
+    """Force the histogram-narrowing loop (cap far below n) on mixed and
+    duplicate-heavy data; results must equal the sorted truth."""
+    import random
+
+    from spark_spotify.analytics import scaleops as S
+
+    monkeypatch.setattr(S, "MEDIAN_LOCAL_CAP", 50)
+    rng = random.Random(11)
+    vals = [rng.uniform(-100, 100) for _ in range(3000)] + [7.5] * 2000
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    n = len(vals)
+    ranks = [1, (n + 1) // 2, n // 2 + 1, n]
+    got = S.exact_order_stats(df, "value", ranks)
+    truth = sorted(vals)
+    assert got == {r: truth[r - 1] for r in ranks}
+
+
+def test_exact_order_stats_all_duplicates(spark, monkeypatch):
+    """A > cap mass of ONE exact value must resolve without collecting."""
+    from spark_spotify.analytics import scaleops as S
+
+    monkeypatch.setattr(S, "MEDIAN_LOCAL_CAP", 10)
+    df = spark.createDataFrame([(3.25,)] * 500, "value double")
+    assert S.exact_order_stats(df, "value", [250]) == {250: 3.25}
