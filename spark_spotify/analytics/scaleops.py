@@ -671,7 +671,9 @@ def exact_order_stats(
     covering all of them."""
     targets = sorted(ranks)
     first = df.agg(
-        F.count(F.lit(1)).alias("n"),
+        # count(col), not count(*): ranks are over the NON-NULL
+        # multiset — a null row is in no order statistic
+        F.count(col).alias("n"),
         F.min(col).alias("mn"),
         F.max(col).alias("mx"),
     ).collect()[0]
