@@ -629,11 +629,20 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("rank").cast("bigint"), "token", "n")
     rows = out.collect()  # HH_TOPK rows — the certification scalar read
     sketch.unpersist()
-    if len(rows) == HH_TOPK and rows[-1]["n"] <= e_total:
+    # completeness certificate: any token absent from every summary has
+    # true count <= e_total.  With a full k rows the k-th count must
+    # clear that bound; with FEWER rows the candidate set itself may be
+    # missing heavy tokens unless no decrement ever happened.
+    uncertified = (
+        rows[-1]["n"] <= e_total
+        if len(rows) == HH_TOPK
+        else e_total > 0
+    )
+    if rows and uncertified:
         raise RuntimeError(
-            f"heavy-hitter certification failed: k-th count "
-            f"{rows[-1]['n']} <= summary error {e_total}; raise "
-            f"HH_SUMMARY"
+            f"heavy-hitter certification failed: {len(rows)} verified "
+            f"rows, k-th count {rows[-1]['n']}, summary error "
+            f"{e_total}; raise HH_SUMMARY"
         )
     return spark.createDataFrame(rows, out.schema)
 
@@ -695,11 +704,19 @@ def exact_order_stats(
     while cnt > MEDIAN_LOCAL_CAP and lo < hi and iters < 8:
         iters += 1
         width = hi - lo
-        bucket = F.least(
-            F.floor(
-                (F.col(col) - F.lit(lo)) * MEDIAN_BUCKETS / F.lit(width)
+        # clamp BOTH sides: float rounding near a prior iteration's
+        # bucket boundary can push a surviving edge row to -1 or B,
+        # which would silently vanish from the histogram walk
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col(col) - F.lit(lo))
+                    * MEDIAN_BUCKETS
+                    / F.lit(width)
+                ),
+                F.lit(MEDIAN_BUCKETS - 1),
             ),
-            F.lit(MEDIAN_BUCKETS - 1),
         ).cast("int")
         histo = {
             r["b"]: r["c"]
@@ -717,9 +734,8 @@ def exact_order_stats(
             cum += c
         b_first, cum_first, _ = spans[0]
         b_last = spans[-1][0]
-        new_cnt = sum(c for _, _, c in spans) + sum(
-            histo.get(b, 0)
-            for b in range(b_first + 1, b_last)
+        new_cnt = sum(
+            histo.get(b, 0) for b in range(b_first, b_last + 1)
         )
         pred = pred & bucket.between(b_first, b_last)
         offset += cum_first
@@ -756,7 +772,8 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (a midpoint's last ulp depends on the interpolation
     formula).  Oracle: row_number order statistics."""
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
+    # count the NON-NULL multiset — exact_order_stats ranks over it
+    n = ev.agg(F.count("value")).collect()[0][0]
     r_lo, r_hi = (n + 1) // 2, n // 2 + 1
     stats = exact_order_stats(ev, "value", [r_lo, r_hi])
     return spark.createDataFrame(

@@ -200,11 +200,15 @@ def _read_parts(
 ) -> DataFrame | None:
     """Spec-aware snapshot scan: unpartitioned parts go through ONE
     multi-path parquet read; each hive-partitioned part (partition spec
-    evolution) is read under its own root so partition discovery restores
-    its partition columns, then the groups union by name (one extra scan
-    node per SPEC GENERATION — Iceberg's mixed-spec read shape — never
-    per part: all parts sharing a spec list could share a read, and spec
-    generations are O(1) over a table's life)."""
+    evolution) is read under its own root so partition discovery
+    restores its partition columns, then the branches union by name.
+    Note the branch count is per hive-partitioned PART, not per spec
+    generation — Spark's partition discovery rejects multiple roots
+    (CONFLICTING_DIRECTORY_STRUCTURES), so spec'd parts cannot share a
+    scan.  The scale posture is therefore: keep the spec'd part count
+    low by COMPACTING evolved commits (compact_table rewrites any mix
+    into one plain part), exactly as Iceberg compaction folds old-spec
+    files forward."""
     branches = _part_branches(spark, warehouse, table, parts, specs)
     out = None
     for df in branches:
@@ -245,13 +249,21 @@ def version_as_of(warehouse: str, table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest committed version whose
     commit wall-clock is <= ``ts`` (Delta/Iceberg timestamp travel).
     O(versions) metadata reads, no Spark job.  Raises if no commit is
-    that old (reading before the table existed) — pre-timestamp
-    manifests (no ``ts`` field) are treated as infinitely old, so
-    timestamp travel over a mixed log still resolves."""
+    that old (reading before the table existed).  Pre-timestamp
+    manifests (no ``ts`` field) INHERIT the previous version's effective
+    clock (-inf at the head of the log) and qualify only STRICTLY beyond
+    it — a legacy commit is known only to be at-or-after its
+    predecessor, so resolution stays monotonic and an early timestamp
+    can never resolve to a late un-timestamped version."""
     best = None
+    eff = float("-inf")
     for v in _versions(warehouse, table):
         mts = _read_manifest_file(warehouse, table, v)["ts"]
-        if mts is None or mts <= ts:
+        if mts is not None:
+            eff = mts
+            if eff <= ts:
+                best = v
+        elif eff < ts:
             best = v
     _require(best is not None, f"{table}: no commit at or before {ts}")
     return best
@@ -795,10 +807,13 @@ def delete_rows(
         spark, warehouse, table, sorted(affected), specs
     ).filter(predicate.isNull() | ~predicate)
     new_part = f"d{tag}"
-    # a reused tag would overwrite a LIVE part's directory and commit a
-    # duplicate manifest entry — refuse rather than lose data
+    # a reused tag would overwrite a part's directory — including one
+    # referenced only by OLDER manifests (time travel) — so check the
+    # disk, not just the live manifest
     _require(
-        new_part not in parts, f"delete tag {tag!r} collides with {new_part}"
+        new_part not in parts
+        and not os.path.exists(os.path.join(tdir, new_part)),
+        f"delete tag {tag!r} collides with {new_part}",
     )
     kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
@@ -892,8 +907,28 @@ def merge_rows(
     parts = _manifest(warehouse, table) or []
     tdir = os.path.join(warehouse, table)
     new_part = f"m{tag}"
+    # check the DISK, not just the live manifest: a part dropped from
+    # the current version may still be referenced by older manifests
+    # (time travel) — overwriting its directory would corrupt history
     _require(
-        new_part not in parts, f"merge tag {tag!r} collides with {new_part}"
+        new_part not in parts
+        and not os.path.exists(os.path.join(tdir, new_part)),
+        f"merge tag {tag!r} collides with {new_part}",
+    )
+    # enforce the MERGE cardinality precondition Delta enforces: a
+    # duplicate (or NULL) source key would fan out through the
+    # full-outer join and commit corrupt rows.  One aggregate over the
+    # delta-sized source.
+    sc_row = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("nk"),
+        F.countDistinct(key).alias("nd"),
+    ).collect()[0]
+    _require(
+        sc_row["n"] == sc_row["nk"] == sc_row["nd"],
+        f"source keys must be unique and non-null "
+        f"(rows={sc_row['n']}, non-null={sc_row['nk']}, "
+        f"distinct={sc_row['nd']})",
     )
     specs = {}
     affected: set[str] = set()

@@ -402,9 +402,10 @@ def test_merge_rows_job_count_flat_in_part_count(spark, warehouse):
     small = jobs_for("msmall", 3, "mrg_small")
     large = jobs_for("mlarge", 30, "mrg_large")
     assert small == large, (small, large)
-    # discovery + broadcast build + rewrite + Spark's fixed parquet
-    # footer/schema jobs (measured: 9 total, CONSTANT in part count)
-    assert large <= 10
+    # source validation + discovery + broadcast build + rewrite +
+    # Spark's fixed parquet footer/schema jobs (measured: 12 total,
+    # CONSTANT in part count — the property under test)
+    assert large <= 13
 
 
 def test_apply_change_feed_inverts_change_feed(spark):
@@ -512,3 +513,79 @@ def test_spec_entries_pruned_with_parts(warehouse):
     _swing(warehouse, "t", ["q1"], specs={"q1": ["day"]})
     _swing(warehouse, "t", ["p2"])  # q1 rewritten away
     assert _read_manifest_file(warehouse, "t", 2)["specs"] == {}
+
+
+def test_merge_rows_rejects_duplicate_source_keys(spark, warehouse):
+    """The Delta MERGE cardinality precondition is ENFORCED, not just
+    documented: duplicate or NULL source keys raise instead of fanning
+    out through the join."""
+    import pytest
+
+    from spark_spotify.etl.pipeline import _swing, merge_rows
+
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    dup = spark.createDataFrame([(1,), (1,)], "id long")
+    with pytest.raises(RuntimeError, match="unique and non-null"):
+        merge_rows(spark, warehouse, "t", dup, "id", "g")
+    withnull = spark.createDataFrame([(1,), (None,)], "id long")
+    with pytest.raises(RuntimeError, match="unique and non-null"):
+        merge_rows(spark, warehouse, "t", withnull, "id", "g2")
+
+
+def test_cow_tag_collision_checks_disk_not_manifest(spark, warehouse):
+    """A part referenced only by an OLDER manifest version must still
+    block tag reuse — overwriting it would corrupt time travel."""
+    import pytest
+
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        delete_rows,
+        merge_rows,
+        read_table,
+    )
+
+    spark.range(4).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    assert merge_rows(spark, warehouse, "t", spark.range(1, 2), "id", "g") == 1
+    # v2 = [mg]; now compact-style rewrite drops mg from the live list
+    spark.range(4).coalesce(1).write.parquet(f"{warehouse}/t/c1")
+    _swing(warehouse, "t", ["c1"])
+    # mg is no longer live but v2 still references it
+    with pytest.raises(RuntimeError, match="collides"):
+        merge_rows(spark, warehouse, "t", spark.range(9, 10), "id", "g")
+    with pytest.raises(RuntimeError, match="collides"):
+        # delete's dg would be fine, but seed a dir to prove disk check
+        spark.range(1).coalesce(1).write.parquet(f"{warehouse}/t/dx")
+        delete_rows(spark, warehouse, "t", F.col("id") == 1, "x")
+    assert read_table(spark, warehouse, "t", version=2).count() == 4
+
+
+def test_version_as_of_monotonic_over_legacy_sandwich(warehouse):
+    """A pre-timestamp manifest committed AFTER timestamped ones inherits
+    the previous effective clock: an early timestamp can never resolve
+    to the late legacy version."""
+    import json
+
+    import pytest
+
+    from spark_spotify.etl.pipeline import (
+        _read_manifest_file,
+        _swing,
+        version_as_of,
+    )
+
+    _swing(warehouse, "t", ["p1"])  # v1, real ts
+    t1 = _read_manifest_file(warehouse, "t", 1)["ts"]
+    _swing(warehouse, "t", ["p1", "p2"])  # v2, real ts -> strip it
+    p = f"{warehouse}/t/_latest.v2"
+    m = json.load(open(p))
+    del m["ts"]
+    import os
+
+    os.remove(p)
+    json.dump(m, open(p, "w"))
+    assert version_as_of(warehouse, "t", t1) == 1  # not the legacy v2
+    assert version_as_of(warehouse, "t", t1 + 1e6) == 2
+    with pytest.raises(RuntimeError, match="no commit at or before"):
+        version_as_of(warehouse, "t", t1 - 1.0)
