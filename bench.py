@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "etl_profile_columns",
     "agg_heavy_hitters",
     "agg_exact_median",
+    "graph_triangle_count",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

@@ -391,3 +391,32 @@ def test_exact_order_stats_all_duplicates(spark, monkeypatch):
     monkeypatch.setattr(S, "MEDIAN_LOCAL_CAP", 10)
     df = spark.createDataFrame([(3.25,)] * 500, "value double")
     assert S.exact_order_stats(df, "value", [250]) == {250: 3.25}
+
+
+def test_triangle_count_known_graph(spark, tmp_path, monkeypatch):
+    """Hand-built co-supply graph with sampling disabled (mod 1): K4 on
+    suppliers 1-4 (4 triangles) via one shared order, plus a dangling
+    edge (5-6) contributing none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_spotify.analytics import graph as G
+
+    monkeypatch.setattr(G, "TRI_SAMPLE_MOD", 1)
+    rows = [(100, s) for s in (1, 2, 3, 4)] + [(200, 5), (200, 6)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": [r[0] for r in rows],
+                "l_suppkey": [r[1] for r in rows],
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    got = G.q_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (
+        got.n_vertices,
+        got.n_edges,
+        got.n_triangles,
+        got.est_triangles,
+    ) == (6, 7, 4, 4)
