@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "agg_heavy_hitters",
     "agg_exact_median",
     "graph_triangle_count",
+    "agg_exact_quartiles",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

@@ -782,7 +782,62 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUARTILE_PCTS = (25, 75, 99)
+
+
+def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25 / p75 / p99 EXACT order-statistic straddlers over
+    ``events.value`` — the percentile surface a data platform actually
+    serves, each quantile resolved by its own sort-free narrowing (the
+    single-interval narrowing contract wants nearby ranks, so spread
+    quantiles compose as independent O(log N) passes sharing nothing
+    but the initial count — ~3 metadata-light scans per quantile, flat
+    in data size).  Straddlers, not interpolated midpoints, for
+    hash-exact engine portability (same rationale as
+    ``agg_exact_median``)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.agg(F.count("value")).collect()[0][0]
+    vals = {}
+    for p in QUARTILE_PCTS:
+        x = (n - 1) * (p / 100.0)
+        r_lo, r_hi = math.floor(x) + 1, math.ceil(x) + 1
+        st = exact_order_stats(ev, "value", sorted({r_lo, r_hi}))
+        vals[f"p{p}_lo"], vals[f"p{p}_hi"] = st[r_lo], st[r_hi]
+    cols = [f"p{p}_{s}" for p in QUARTILE_PCTS for s in ("lo", "hi")]
+    return spark.createDataFrame(
+        [(n, *[vals[c] for c in cols])],
+        "n_rows long, " + ", ".join(f"{c} double" for c in cols),
+    )
+
+
+def _quartile_oracle() -> str:
+    picks = []
+    for p in QUARTILE_PCTS:
+        q = p / 100.0
+        picks.append(
+            f"(SELECT value FROM s WHERE rn ="
+            f" CAST(FLOOR((r.n - 1) * {q}) AS BIGINT) + 1) AS p{p}_lo"
+        )
+        picks.append(
+            f"(SELECT value FROM s WHERE rn ="
+            f" CAST(CEIL((r.n - 1) * {q}) AS BIGINT) + 1) AS p{p}_hi"
+        )
+    return f"""
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn
+  FROM events
+),
+r AS (SELECT COUNT(*) AS n FROM s)
+SELECT CAST(r.n AS BIGINT) AS n_rows,
+       {", ".join(picks)}
+FROM r
+"""
+
+
 ORACLE = {
+    "agg_exact_quartiles": _quartile_oracle(),
     "agg_exact_median": """
 WITH s AS (
   SELECT value, row_number() OVER (ORDER BY value) AS rn,
@@ -949,4 +1004,5 @@ QUERIES = {
     "op_partition_overwrite": q_partition_overwrite,
     "agg_heavy_hitters": q_heavy_hitters,
     "agg_exact_median": q_exact_median,
+    "agg_exact_quartiles": q_exact_quartiles,
 }
