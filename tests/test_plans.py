@@ -362,3 +362,37 @@ def test_profile_columns_keeps_melt_shape(spark, sf_dir):
     # repeats each name, so count node lines only
     nodes = re.findall(r"\(\d+\) SortAggregate", plan)
     assert len(nodes) <= 2, nodes  # stats partial+final only
+
+
+def test_triangle_count_avoids_cartesian_wedges(spark, sf_dir):
+    """The wedge stage must stay a keyed equi-join on the oriented
+    source (the orientation's whole point) — a planner regression to
+    CartesianProduct/BroadcastNestedLoop would be the O(m^2) shape."""
+    from spark_spotify.analytics import graph as G
+    from spark_spotify.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # reproduce the oriented-edge relation cheaply, then the wedge join
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> transform(slice(ss,"
+                " i + 2, greatest(size(ss) - i - 1, 0)), y ->"
+                " struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
+    e1, e2 = pairs.alias("e1"), pairs.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    )
+    plan = _plan(wedges)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
