@@ -1194,6 +1194,7 @@ def wap_publish(
     table: str,
     staged_parts: list[str],
     key: str = "event_id",
+    max_retries: int = 5,
 ) -> bool:
     """Write-audit-publish — the Iceberg WAP / Delta staging pattern: a
     delta is WRITTEN as unpublished part dirs, AUDITED against the live
@@ -1215,49 +1216,91 @@ def wap_publish(
     un-prefixed unreferenced dirs); publish PROMOTES them by renaming to
     the permanent (prefix-stripped) name before the manifest swing.
     Un-prefixed staged names also publish, but are then racing vacuum.
+
+    Concurrency: promotion targets are validated against the disk AND
+    every retained manifest BEFORE any rename (a mid-loop collision
+    would strand a half-promoted staging), and a losing CAS swing
+    restores the ``_stage_`` names and RE-RUNS the audit against the
+    winner's snapshot — the winner may have published overlapping keys,
+    so a blind swing retry would break the uniqueness contract.  After
+    ``max_retries`` lost races the staging is left intact (still
+    vacuum-fenced) and the conflict propagates.
     Returns True iff published."""
     if not staged_parts:
         return True
-    ver = _current_version(warehouse, table)
-    staged = spark.read.parquet(
-        *[os.path.join(warehouse, table, p) for p in staged_parts]
-    )
-    if staged.filter(F.col(key).isNull()).limit(1).count() > 0:
-        return False
-    if (
-        staged.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(1)
-        .count()
-        > 0
-    ):
-        return False
-    published = read_table(spark, warehouse, table)
-    if (
-        published is not None
-        and staged.join(published.select(key), key, "left_semi")
-        .limit(1)
-        .count()
-        > 0
-    ):
-        return False
-    final_names = []
-    for p in staged_parts:
-        name = p[len("_stage_"):] if p.startswith("_stage_") else p
-        if name != p:
-            os.rename(
-                os.path.join(warehouse, table, p),
-                os.path.join(warehouse, table, name),
+    tdir = os.path.join(warehouse, table)
+    final_of = {
+        p: (p[len("_stage_"):] if p.startswith("_stage_") else p)
+        for p in staged_parts
+    }
+    # validate EVERY promotion target up front: colliding with a live dir
+    # or any retained manifest's part (time travel) mid-loop would leave
+    # some parts promoted and some staged — unpublishable and unretryable
+    retained = {
+        p
+        for v in _versions(warehouse, table)
+        for p in (_manifest(warehouse, table, v) or [])
+    }
+    for p, name in final_of.items():
+        _require(
+            name == p
+            or (
+                name not in retained
+                and not os.path.exists(os.path.join(tdir, name))
+            ),
+            f"promotion target {name!r} collides with an existing part",
+        )
+    for _ in range(max_retries):
+        ver = _current_version(warehouse, table)
+        staged = spark.read.parquet(
+            *[os.path.join(tdir, p) for p in staged_parts]
+        )
+        if staged.filter(F.col(key).isNull()).limit(1).count() > 0:
+            return False
+        if (
+            staged.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return False
+        published = read_table(spark, warehouse, table, version=ver or None)
+        if (
+            published is not None
+            and staged.join(published.select(key), key, "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return False
+        promoted = []
+        for p in staged_parts:
+            name = final_of[p]
+            if name != p:
+                os.rename(
+                    os.path.join(tdir, p), os.path.join(tdir, name)
+                )
+                promoted.append((p, name))
+        try:
+            _swing(
+                warehouse,
+                table,
+                (_manifest(warehouse, table) or []) + list(final_of.values()),
+                expected_version=ver,
             )
-        final_names.append(name)
-    _swing(
-        warehouse,
-        table,
-        (_manifest(warehouse, table) or []) + final_names,
-        expected_version=ver,
+            return True
+        except CommitConflictError:
+            # lost the race: un-promote so the delta stays staged (still
+            # vacuum-fenced, still retryable), then re-audit vs the winner
+            for p, name in promoted:
+                os.rename(
+                    os.path.join(tdir, name), os.path.join(tdir, p)
+                )
+    raise CommitConflictError(
+        f"{table}: publish lost {max_retries} consecutive commit races"
     )
-    return True
 
 
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,8 +1710,11 @@ def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in _versions(warehouse, "fact"):
         n = 0
         for p in _manifest(warehouse, "fact", v) or []:
+            # recursive: spec-evolved parts keep their files under hive
+            # partition subdirs (col=val/...), which a flat glob misses
             for f in _glob.glob(
-                os.path.join(warehouse, "fact", p, "*.parquet")
+                os.path.join(warehouse, "fact", p, "**", "*.parquet"),
+                recursive=True,
             ):
                 n += pq.ParquetFile(f).metadata.num_rows
         rows.append((v, n))

@@ -40,14 +40,28 @@ def q_csv_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (
         F.when(F.pmod("event_id", F.lit(CORRUPT_MOD)) == 0, F.lit("oops"))
-        .otherwise(F.col("value").cast("string"))
+        # NULL value -> empty field (CSV NULL), not a dropped field:
+        # concat_ws would silently emit a SHORT line that PERMISSIVE
+        # quarantines, diverging from the id-mod oracle
+        .otherwise(F.coalesce(F.col("value").cast("string"), F.lit("")))
     )
+    # RFC-4180-quote the free-text field so an event_type containing a
+    # comma/quote round-trips instead of shifting columns; NULL stays a
+    # bare empty field (unquoted "" is how Spark's reader spells NULL)
+    etype = F.when(
+        F.col("event_type").isNotNull(),
+        F.concat(
+            F.lit('"'),
+            F.replace(F.col("event_type"), F.lit('"'), F.lit('""')),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
     lines = ev.select(
         F.concat_ws(
             ",",
-            F.col("event_id").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
+            F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            etype,
             num,
         ).alias("value")
     )

@@ -589,3 +589,92 @@ def test_version_as_of_monotonic_over_legacy_sandwich(warehouse):
     assert version_as_of(warehouse, "t", t1 + 1e6) == 2
     with pytest.raises(RuntimeError, match="no commit at or before"):
         version_as_of(warehouse, "t", t1 - 1.0)
+
+
+def test_wap_lost_race_restores_staging_and_retries(
+    spark, warehouse, monkeypatch
+):
+    """A losing CAS swing must un-promote the parts back to their
+    '_stage_' names (vacuum fence intact, delta retryable) and re-run
+    the publish against the winner's snapshot — here the retry wins."""
+    import os
+
+    from spark_spotify.etl import pipeline as P
+
+    spark.createDataFrame(
+        [(1, "x")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_s1")
+    P._swing(warehouse, "t", [])
+
+    real_swing = P._swing
+    calls = {"n": 0}
+
+    def flaky_swing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # before failing, PROVE the part was promoted (rename ran)
+            assert os.path.exists(f"{warehouse}/t/s1")
+            raise P.CommitConflictError("simulated lost race")
+        # retry must see the staging restored before re-promoting
+        return real_swing(*a, **kw)
+
+    monkeypatch.setattr(P, "_swing", flaky_swing)
+    assert P.wap_publish(spark, warehouse, "t", ["_stage_s1"])
+    assert calls["n"] == 2
+    assert P._manifest(warehouse, "t") == ["s1"]
+    assert not os.path.exists(f"{warehouse}/t/_stage_s1")
+
+
+def test_wap_exhausted_retries_leaves_staging_intact(
+    spark, warehouse, monkeypatch
+):
+    """After max_retries lost races the conflict propagates and the delta
+    is still fully staged (no half-promoted parts)."""
+    import os
+
+    import pytest
+
+    from spark_spotify.etl import pipeline as P
+
+    spark.createDataFrame(
+        [(1, "x")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_s1")
+    P._swing(warehouse, "t", [])
+
+    def always_lose(*a, **kw):
+        raise P.CommitConflictError("simulated")
+
+    monkeypatch.setattr(P, "_swing", always_lose)
+    with pytest.raises(P.CommitConflictError, match="lost 2"):
+        P.wap_publish(spark, warehouse, "t", ["_stage_s1"], max_retries=2)
+    assert os.path.exists(f"{warehouse}/t/_stage_s1")
+    assert not os.path.exists(f"{warehouse}/t/s1")
+
+
+def test_wap_promotion_collision_rejected_before_any_rename(
+    spark, warehouse
+):
+    """Promoting '_stage_X' when X exists (here: referenced only by an
+    OLDER manifest version) must raise up front, before ANY part was
+    renamed — never mid-loop with a half-promoted staging."""
+    import os
+
+    import pytest
+
+    from spark_spotify.etl.pipeline import _swing, wap_publish
+
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/s1")
+    _swing(warehouse, "t", ["s1"])  # v1 references s1
+    _swing(warehouse, "t", [])  # v2 drops it (still on disk + in v1)
+    spark.createDataFrame(
+        [(1, "x")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_ok")
+    spark.createDataFrame(
+        [(2, "y")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_s1")
+    with pytest.raises(RuntimeError, match="collides"):
+        # _stage_ok sorts first: without the up-front check it would be
+        # promoted before _stage_s1's collision fired
+        wap_publish(spark, warehouse, "t", ["_stage_ok", "_stage_s1"])
+    assert os.path.exists(f"{warehouse}/t/_stage_ok")
+    assert not os.path.exists(f"{warehouse}/t/ok")
