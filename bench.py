@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "stream_dlq",
     "etl_row_delete",
     "etl_merge_cow",
+    "etl_merge_full",
     "etl_time_travel_ts",
     "etl_partition_evolution",
     "etl_profile_columns",

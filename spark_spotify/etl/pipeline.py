@@ -861,6 +861,29 @@ def _link_fact_into(warehouse: str, parts: list[str], cw: str) -> None:
             os.link(os.path.join(src, f), os.path.join(dst, f))
 
 
+def matched_update(condition=None, assignments=None):
+    """``WHEN MATCHED [AND condition] THEN UPDATE`` arm for
+    :func:`merge_rows`.  ``assignments=None`` is ``SET *`` (the source
+    row replaces the target row wholly); a dict ``{col: Column}`` is a
+    partial ``SET col = expr`` — unassigned columns KEEP their target
+    values (Delta semantics).  Conditions/exprs reference the target as
+    alias ``t`` and the source as alias ``s``."""
+    return ("update", condition, assignments)
+
+
+def matched_delete(condition=None):
+    """``WHEN MATCHED [AND condition] THEN DELETE`` arm — the CDC
+    tombstone-apply verb."""
+    return ("delete", condition, None)
+
+
+def not_matched_insert(condition=None):
+    """``WHEN NOT MATCHED [AND condition] THEN INSERT *`` arm.  The
+    condition may reference only the source (alias ``s``) — there is no
+    target row on this side, per the SQL MERGE grammar."""
+    return ("insert", condition, None)
+
+
 def merge_rows(
     spark: SparkSession,
     warehouse: str,
@@ -868,21 +891,36 @@ def merge_rows(
     source: DataFrame,
     key: str,
     tag: str,
+    when_matched: list | None = None,
+    when_not_matched: list | None = None,
 ) -> int:
     """MERGE INTO — the Delta/Iceberg copy-on-write upsert commit, the
     last CRUD verb the versioned warehouse needed (append `_commit_append`,
-    DELETE `delete_rows`, and now MERGE): ``WHEN MATCHED THEN UPDATE SET *``
-    (the source row replaces the target row wholly), ``WHEN NOT MATCHED
-    THEN INSERT *``.  Parts containing matched keys are rewritten with the
-    source rows substituted; not-matched source rows land in the same new
-    part; untouched parts keep their bytes; the manifest swings atomically.
-    Write cost is O(affected parts + source), never a table rewrite.
+    DELETE `delete_rows`, and now MERGE), with the FULL conditional
+    grammar: an ordered list of ``WHEN MATCHED [AND cond] THEN
+    UPDATE/DELETE`` arms (first arm whose condition holds applies — Delta
+    clause-order semantics; a matched row no arm claims is left
+    unchanged) and ``WHEN NOT MATCHED [AND cond] THEN INSERT *`` arms (a
+    source row no arm claims is discarded).  Defaults reproduce the
+    unconditional upsert: ``UPDATE SET *`` + ``INSERT *``.  Parts
+    containing matched keys are rewritten with the arms applied;
+    inserted source rows land in the same new part; untouched parts keep
+    their bytes; the manifest swings atomically.  Write cost is
+    O(affected parts + source), never a table rewrite.
 
     Mirrors the reference's upsert intent (daily_etl_pipeline.py:350-370's
-    ON CONFLICT DO UPDATE) at warehouse granularity.  ``key`` must be
-    unique in both target and source (the MERGE cardinality precondition —
-    Delta raises on multiple source matches for the same target row), and
-    ``source`` must carry the target's exact physical schema.
+    ON CONFLICT DO UPDATE) at warehouse granularity — the conditional
+    DELETE arm is the CDC-apply-with-tombstones verb that upsert
+    degenerates from.  ``key`` must be unique in both target and source
+    (the MERGE cardinality precondition — Delta raises on multiple
+    source matches for the same target row), and ``source`` must carry
+    the target's exact physical schema.
+
+    ``WHEN NOT MATCHED BY SOURCE`` is deliberately NOT offered: it
+    predicates on target rows with no source match, which makes EVERY
+    part affected and turns MERGE into a table rewrite — at warehouse
+    scale that verb belongs to :func:`delete_rows` with an anti-join
+    predicate, not to a part-pruned MERGE.
 
     Exactly TWO Spark jobs regardless of part count (same scale shape as
     ``delete_rows``; a per-part driver loop would be ~800K sequential job
@@ -897,13 +935,28 @@ def merge_rows(
        clustered layout (etl_cluster_layout) footer min/max stats bound
        discovery to the key-range parts.
     2. **Rewrite** — ONE job full-outer-joining the affected parts' rows
-       with the source on ``key``: matched -> source row, target-only ->
-       original row, source-only -> insert.  One new part; manifest =
+       with the source on ``key``: each row is classified ONCE into the
+       first applicable arm (a single ``_action`` CASE column — arm
+       conditions evaluate exactly once per row, Delta's contract), then
+       deletes/discards are filtered and the per-column CASE projects
+       the winning arm's values.  One new part; manifest =
        (parts - affected) + [new part].
 
     Returns the number of affected (rewritten) parts."""
     from urllib.parse import unquote, urlparse
 
+    if when_matched is None:
+        when_matched = [matched_update()]
+    if when_not_matched is None:
+        when_not_matched = [not_matched_insert()]
+    _require(
+        all(kind in ("update", "delete") for kind, _, _ in when_matched),
+        "when_matched arms must be matched_update/matched_delete",
+    )
+    _require(
+        all(kind == "insert" for kind, _, _ in when_not_matched),
+        "when_not_matched arms must be not_matched_insert",
+    )
     parts = _manifest(warehouse, table) or []
     tdir = os.path.join(warehouse, table)
     new_part = f"m{tag}"
@@ -954,6 +1007,28 @@ def merge_rows(
         for r in hits:
             rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
             affected.add(rel.split(os.sep)[0])
+    # arm conditions follow SQL MERGE three-valued logic: NULL = arm
+    # does not apply (coalesce to false), and arms are tried IN ORDER
+    def _first_arm(arms, codes, default):
+        act = default
+        for i in reversed(range(len(arms))):
+            _, cond, _ = arms[i]
+            c = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(cond, F.lit(False))
+            )
+            act = F.when(c, F.lit(codes[i])).otherwise(act)
+        return act
+
+    KEEP, DISCARD = 0, -1  # keep target row unchanged / drop source row
+    m_codes = list(range(1, len(when_matched) + 1))
+    i_codes = [100 + j for j in range(len(when_not_matched))]
+    delete_codes = [
+        c
+        for c, (kind, _, _) in zip(m_codes, when_matched)
+        if kind == "delete"
+    ]
     if affected:
         tgt = _read_parts(
             spark, warehouse, table, sorted(affected), specs
@@ -962,17 +1037,62 @@ def merge_rows(
         joined = tgt.alias("t").join(
             source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
         )
-        matched = F.col(f"s.{key}").isNotNull()  # key is non-null by contract
-        merged = joined.select(
-            *[
-                F.when(matched, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in cols
-            ]
+        action = (
+            # source key is non-null by contract: s.key NULL <=> no
+            # source row joined <=> target-only (and vice versa for t)
+            F.when(F.col(f"s.{key}").isNull(), F.lit(KEEP))
+            .when(
+                F.col(f"t.{key}").isNull(),
+                _first_arm(when_not_matched, i_codes, F.lit(DISCARD)),
+            )
+            .otherwise(_first_arm(when_matched, m_codes, F.lit(KEEP)))
         )
+        surviving = joined.withColumn("_action", action).filter(
+            ~F.col("_action").isin([DISCARD] + delete_codes)
+        )
+
+        def _value(c: str) -> F.Column:
+            w = None
+            for code, (kind, _, assign) in zip(m_codes, when_matched):
+                if kind != "update":
+                    continue
+                # SET * -> source column; partial SET -> assigned expr,
+                # unassigned columns keep the target value (Delta)
+                v = (
+                    F.col(f"s.{c}")
+                    if assign is None
+                    else assign.get(c, F.col(f"t.{c}"))
+                )
+                w = (w.when if w is not None else F.when)(
+                    F.col("_action") == code, v
+                )
+            for code in i_codes:
+                w = (w.when if w is not None else F.when)(
+                    F.col("_action") == code, F.col(f"s.{c}")
+                )
+            default = F.col(f"t.{c}")
+            return (w.otherwise(default) if w is not None else default).alias(c)
+
+        merged = surviving.select(*[_value(c) for c in cols])
     else:
-        merged = source  # pure insert: every source row is new
+        # pure insert: no key matched anywhere, so only the not-matched
+        # arms apply — a source row is inserted iff ANY arm claims it
+        # (insert arms are all INSERT *, so first-match == any-match)
+        s = source.alias("s")
+        conds = [cond for _, cond, _ in when_not_matched]
+        if any(c is None for c in conds):
+            merged = s
+        elif conds:
+            from functools import reduce
+
+            merged = s.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.coalesce(c, F.lit(False)) for c in conds],
+                )
+            )
+        else:
+            merged = s.limit(0)
     merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
@@ -1037,6 +1157,85 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require(
             out.count() == n_before + n_inserts,
             "MERGE must add exactly the not-matched rows",
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-grammar MERGE gate — all three conditional arms in ONE
+    commit, the CDC-apply-with-tombstones shape:
+
+    - ``WHEN MATCHED AND s.event_id % 3 = 0 THEN DELETE`` — every third
+      matched row of user {MERGE_UPDATE_USER} is tombstoned;
+    - ``WHEN MATCHED THEN UPDATE SET value = t.value + s.value`` — the
+      remaining matched rows get ``v + 2v`` (source carries ``value*2``;
+      both scaling and the single add are IEEE-deterministic, so the
+      oracle's ``value + value*2`` is bit-identical).  The source's
+      OTHER columns are poisoned (``time_period='poison'``) to prove the
+      partial-SET contract: unassigned columns keep their TARGET values;
+    - ``WHEN NOT MATCHED AND s.played_hour < 12 THEN INSERT *`` — user
+      {MERGE_INSERT_USER}'s rows re-keyed strictly negative, but only
+      the morning half clears the insert condition (the rest are
+      discarded, per the grammar).
+
+    Clause order matters (delete is tried before the unconditional
+    update — Delta first-match semantics) and the gate asserts the exact
+    row accounting: n_before - deletes + conditional inserts."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_mrgf_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        fact = read_table(spark, cw, "fact")
+        n_before = fact.count()
+        matched_src = (
+            fact.filter(F.col("user_id") == MERGE_UPDATE_USER)
+            .withColumn("value", F.col("value") * 2)
+            # poison an unassigned column: partial SET must NOT copy it
+            .withColumn("time_period", F.lit("poison"))
+        )
+        insert_src = fact.filter(
+            F.col("user_id") == MERGE_INSERT_USER
+        ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+        n_deletes = matched_src.filter(
+            F.pmod("event_id", F.lit(3)) == 0
+        ).count()
+        n_inserts = insert_src.filter(F.col("played_hour") < 12).count()
+        n_skipped = insert_src.count() - n_inserts
+        _require(n_deletes >= 1, "delete arm matched no row")
+        _require(n_inserts >= 1, "insert arm admitted no row")
+        _require(n_skipped >= 1, "insert condition filtered no row")
+        merge_rows(
+            spark,
+            cw,
+            "fact",
+            matched_src.unionByName(insert_src),
+            "event_id",
+            "1",
+            when_matched=[
+                matched_delete(
+                    F.pmod(F.col("s.event_id"), F.lit(3)) == 0
+                ),
+                matched_update(
+                    assignments={
+                        "value": F.col("t.value") + F.col("s.value")
+                    }
+                ),
+            ],
+            when_not_matched=[
+                not_matched_insert(F.col("s.played_hour") < 12)
+            ],
+        )
+        out = read_table(spark, cw, "fact")
+        _require(
+            out.count() == n_before - n_deletes + n_inserts,
+            "MERGE row accounting: -deletes +conditional inserts",
         )
         return stable_checkpoint(out)
     finally:
@@ -1732,6 +1931,7 @@ QUERIES = {
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_merge_cow": q_merge_cow,
+    "etl_merge_full": q_merge_full,
     "etl_vacuum": q_vacuum,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
@@ -1819,6 +2019,26 @@ UNION ALL
 SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
        played_hour, is_weekend, time_period, value, user_first_seen
 FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # full MERGE grammar: conditional DELETE tombstones every third
+    # matched row, the fallback UPDATE adds the doubled source value
+    # (v + 2v, IEEE-deterministic), unassigned columns keep target
+    # values (the poisoned time_period must NOT surface), and the
+    # conditional INSERT admits only the morning half of the re-keyed
+    # template rows
+    "etl_merge_full": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT event_id, date_key, event_type_key, user_id, played_hour,
+       is_weekend, time_period,
+       CASE WHEN user_id = {MERGE_UPDATE_USER} THEN value + value * 2
+            ELSE value END AS value,
+       user_first_seen
+FROM base
+WHERE NOT (user_id = {MERGE_UPDATE_USER} AND event_id % 3 = 0)
+UNION ALL
+SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
+       played_hour, is_weekend, time_period, value, user_first_seen
+FROM base WHERE user_id = {MERGE_INSERT_USER} AND played_hour < 12
 """,
     # evolved read = star join + the new column, NULL before the cut
     "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(

@@ -678,3 +678,186 @@ def test_wap_promotion_collision_rejected_before_any_rename(
         wap_publish(spark, warehouse, "t", ["_stage_ok", "_stage_s1"])
     assert os.path.exists(f"{warehouse}/t/_stage_ok")
     assert not os.path.exists(f"{warehouse}/t/ok")
+
+
+def _mk_merge_table(spark, warehouse):
+    from spark_spotify.etl.pipeline import _swing
+
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "id long, v double, s string",
+    ).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+
+
+def test_merge_full_grammar_three_arms(spark, warehouse):
+    """Conditional DELETE + partial-SET UPDATE + conditional INSERT in
+    one commit: first-match clause order, unassigned columns keep TARGET
+    values, and an unclaimed source row is discarded."""
+    from spark_spotify.etl.pipeline import (
+        matched_delete,
+        matched_update,
+        merge_rows,
+        not_matched_insert,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [
+            (1, 100.0, "X"),  # matched, v >= 100 -> DELETE
+            (2, 5.0, "X"),  # matched -> UPDATE v=t.v+s.v; s kept target
+            (4, 40.0, "X"),  # not matched, v >= 10 -> INSERT
+            (5, 1.0, "X"),  # not matched, v < 10 -> discarded
+        ],
+        "id long, v double, s string",
+    )
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "g",
+        when_matched=[
+            matched_delete(F.col("s.v") >= 100),
+            matched_update(
+                assignments={"v": F.col("t.v") + F.col("s.v")}
+            ),
+        ],
+        when_not_matched=[not_matched_insert(F.col("s.v") >= 10)],
+    )
+    rows = {
+        r.id: (r.v, r.s)
+        for r in read_table(spark, warehouse, "t").collect()
+    }
+    assert rows == {
+        2: (25.0, "b"),  # updated v, target s kept (partial SET)
+        3: (30.0, "c"),  # untouched
+        4: (40.0, "X"),  # conditional insert admitted
+    }
+
+
+def test_merge_matched_no_arm_keeps_target_row(spark, warehouse):
+    """A matched row claimed by NO arm (every condition false/NULL) is
+    left unchanged — not updated, not deleted."""
+    from spark_spotify.etl.pipeline import (
+        matched_update,
+        merge_rows,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [(1, None, "z"), (2, 999.0, "z")], "id long, v double, s string"
+    )
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "g",
+        # s.v > 50: NULL for id=1 (three-valued logic -> arm skipped),
+        # true for id=2
+        when_matched=[
+            matched_update(F.col("s.v") > 50, {"v": F.col("s.v")})
+        ],
+        when_not_matched=[],
+    )
+    rows = {
+        r.id: (r.v, r.s)
+        for r in read_table(spark, warehouse, "t").collect()
+    }
+    assert rows == {
+        1: (10.0, "a"),  # NULL condition: arm does not apply
+        2: (999.0, "b"),  # v updated, s keeps target (partial SET)
+        3: (30.0, "c"),
+    }
+
+
+def test_merge_clause_order_first_match_wins(spark, warehouse):
+    """Two overlapping matched arms: the FIRST whose condition holds
+    applies (Delta clause-order semantics), even if a later one also
+    matches."""
+    from spark_spotify.etl.pipeline import (
+        matched_update,
+        merge_rows,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [(1, 100.0, "z")], "id long, v double, s string"
+    )
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "g",
+        when_matched=[
+            matched_update(F.col("s.v") >= 10, {"v": F.lit(-1.0)}),
+            matched_update(F.col("s.v") >= 10, {"v": F.lit(-2.0)}),
+        ],
+        when_not_matched=[],
+    )
+    rows = {r.id: r.v for r in read_table(spark, warehouse, "t").collect()}
+    assert rows[1] == -1.0
+
+
+def test_merge_pure_insert_path_applies_conditions(spark, warehouse):
+    """When no source key matches any part (the affected-free fast
+    path), insert conditions must still filter the source."""
+    from spark_spotify.etl.pipeline import (
+        merge_rows,
+        not_matched_insert,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [(10, 1.0, "x"), (11, 50.0, "y")], "id long, v double, s string"
+    )
+    assert (
+        merge_rows(
+            spark,
+            warehouse,
+            "t",
+            src,
+            "id",
+            "g",
+            when_not_matched=[not_matched_insert(F.col("s.v") >= 10)],
+        )
+        == 0
+    )
+    ids = {r.id for r in read_table(spark, warehouse, "t").collect()}
+    assert ids == {1, 2, 3, 11}
+
+
+def test_merge_unconditional_delete_arm(spark, warehouse):
+    """when_matched=[matched_delete()] with no insert arms is the CDC
+    tombstone batch: matched keys vanish, nothing else changes."""
+    from spark_spotify.etl.pipeline import (
+        matched_delete,
+        merge_rows,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [(1, 0.0, ""), (3, 0.0, "")], "id long, v double, s string"
+    )
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "g",
+        when_matched=[matched_delete()],
+        when_not_matched=[],
+    )
+    ids = {r.id for r in read_table(spark, warehouse, "t").collect()}
+    assert ids == {2}
