@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "mm_media_release",
     "etl_change_feed_rows",
     "etl_cdf_apply",
+    "etl_agg_incremental",
     "op_partition_overwrite",
     "src_csv_ingest_audit",
     "stream_resume",

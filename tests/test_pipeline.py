@@ -861,3 +861,67 @@ def test_merge_unconditional_delete_arm(spark, warehouse):
     )
     ids = {r.id for r in read_table(spark, warehouse, "t").collect()}
     assert ids == {2}
+
+
+def test_refresh_daily_stats_untouched_rows_not_recomputed(spark):
+    """Incrementality proof: a poisoned gold row for an UNTOUCHED date
+    must survive the refresh byte-for-byte — untouched dates are copied,
+    never recomputed; and a date whose rows were all deleted loses its
+    gold row (the case a plain key-upsert keeps stale)."""
+    import datetime as dt
+
+    from spark_spotify.etl.pipeline import (
+        change_feed,
+        refresh_daily_stats,
+    )
+    from spark_spotify.etl.stats import daily_stats
+
+    def ev(eid, day, hour, user, etype, value):
+        return (
+            eid,
+            user,
+            etype,
+            dt.datetime(2024, 1, day, hour, 0, 0),
+            value,
+            None,
+        )
+
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double, props string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            ev(1, 1, 9, 1, "play", 1.0),
+            ev(2, 1, 14, 2, "play", 2.0),  # day 1
+            ev(3, 2, 9, 1, "skip", 3.0),  # day 2: will be fully deleted
+            ev(4, 3, 9, 1, "play", 4.0),  # day 3: untouched
+        ],
+        schema,
+    )
+    # live: day 1 gains a row, day 2's only row deleted, day 3 untouched
+    b2 = spark.createDataFrame(
+        [
+            ev(1, 1, 9, 1, "play", 1.0),
+            ev(2, 1, 14, 2, "play", 2.0),
+            ev(5, 1, 20, 3, "play", 5.0),
+            ev(4, 3, 9, 1, "play", 4.0),
+        ],
+        schema,
+    )
+    poison = daily_stats(b1).withColumn(
+        "total_value",
+        F.when(
+            F.col("played_date") == F.lit(dt.date(2024, 1, 3)),
+            F.lit(-999.0),
+        ).otherwise(F.col("total_value")),
+    )
+    feed = change_feed(b1, b2, "event_id")
+    out = refresh_daily_stats(spark, poison, feed, b2)
+    rows = {r.played_date: r for r in out.collect()}
+    assert set(rows) == {dt.date(2024, 1, 1), dt.date(2024, 1, 3)}
+    # untouched day 3: the poison survives => it was copied, not rebuilt
+    assert rows[dt.date(2024, 1, 3)].total_value == -999.0
+    # touched day 1: recomputed from live (3 events now)
+    assert rows[dt.date(2024, 1, 1)].total_events == 3
+    # day 2 was fully deleted: no stale gold row
