@@ -191,6 +191,77 @@ def _swing(
     return nxt
 
 
+def swing_rebase(
+    warehouse: str,
+    table: str,
+    base_version: int,
+    added: list[str],
+    removed: set[str] | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Optimistic-concurrency commit with AUTOMATIC REBASE — the Delta
+    conflict-resolution protocol on top of :func:`_swing`'s CAS.  The
+    commit is expressed as a DELTA against the snapshot the writer read
+    (``base_version``): parts it adds and parts it removes (a COW
+    rewrite removes its inputs and adds their replacement).  If other
+    writers committed since ``base_version``, the delta is REPLAYED onto
+    the current manifest instead of erroring, provided the two commits
+    are disjoint:
+
+    - append ∥ append — always rebases (both part lists land);
+    - append ∥ delete-of-other-parts — rebases;
+    - both sides REMOVED the same part (two writers rewriting the same
+      rows), or both CLAIM the same new part name — true overlap, raises
+      :class:`CommitConflictError` with no side effects.
+
+    Isolation level is Delta's default **WriteSerializable**: a rebased
+    delete does NOT re-check its predicate against parts appended by the
+    winner — concurrent appends win, exactly as ``spark.databricks.
+    delta.isolationLevel=WriteSerializable`` behaves.  Full Serializable
+    would require re-running discovery, which the CALLER can do by
+    catching the conflict and re-deriving the commit.
+
+    Each retry is O(manifest) metadata only — no Spark job, no part
+    rewrite; the loser of a CAS race re-reads and replays until it wins
+    or finds a true overlap."""
+    added = list(added)
+    removed = set(removed or ())
+    base_parts = set(
+        (_manifest(warehouse, table, base_version) or [])
+        if base_version
+        else []
+    )
+    _require(
+        removed <= base_parts,
+        f"rebase removes parts not in base v{base_version}: "
+        f"{sorted(removed - base_parts)}",
+    )
+    for _ in range(max_retries):
+        cur = _current_version(warehouse, table)
+        cur_parts = (
+            (_manifest(warehouse, table, cur) or []) if cur else []
+        )
+        if cur != base_version:
+            winner_removed = base_parts - set(cur_parts)
+            winner_added = set(cur_parts) - base_parts
+            overlap = removed & winner_removed
+            collide = set(added) & winner_added
+            if overlap or collide:
+                raise CommitConflictError(
+                    f"{table}: concurrent commit overlaps "
+                    f"(both rewrote {sorted(overlap)}, "
+                    f"both added {sorted(collide)})"
+                )
+        new_list = [p for p in cur_parts if p not in removed] + added
+        try:
+            return _swing(warehouse, table, new_list, expected_version=cur)
+        except CommitConflictError:
+            continue  # lost the CAS itself: re-read and replay
+    raise CommitConflictError(
+        f"{table}: rebase lost {max_retries} consecutive commit races"
+    )
+
+
 def _read_parts(
     spark: SparkSession,
     warehouse: str,
@@ -331,11 +402,15 @@ def _commit_append(
     manifest.  Readers still get snapshot isolation — a reader holds
     whichever part list it opened with."""
     part = f"p{version}"
+    base = _current_version(warehouse, table)
     delta.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, part)
     )
-    prev = _manifest(warehouse, table) or []
-    _swing(warehouse, table, prev + [part])
+    # append ∥ anything-disjoint auto-rebases: a concurrent commit
+    # landing between the base read and the swing is replayed under,
+    # never silently dropped (the lost-update hazard of an absolute
+    # part-list swing)
+    swing_rebase(warehouse, table, base, [part])
 
 
 def _merge_user_dim(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -781,12 +856,12 @@ def delete_rows(
     nullable column never silently erases NULL rows."""
     from urllib.parse import unquote, urlparse
 
-    parts = _manifest(warehouse, table) or []
+    base = _current_version(warehouse, table)
+    parts = _manifest(warehouse, table, base) if base else None
+    parts = parts or []
     if not parts:
         return 0
-    specs = _read_manifest_file(
-        warehouse, table, _current_version(warehouse, table)
-    )["specs"]
+    specs = _read_manifest_file(warehouse, table, base)["specs"]
     tdir = os.path.join(warehouse, table)
     probe = None
     for br in _part_branches(spark, warehouse, table, parts, specs):
@@ -818,11 +893,10 @@ def delete_rows(
     kept.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
-    _swing(
-        warehouse,
-        table,
-        [p for p in parts if p not in affected] + [new_part],
-    )
+    # delta commit (add rewrite, drop inputs): disjoint concurrent
+    # commits rebase under WriteSerializable; a concurrent rewrite of
+    # the SAME parts raises
+    swing_rebase(warehouse, table, base, [new_part], affected)
     return len(affected)
 
 
@@ -957,7 +1031,8 @@ def merge_rows(
         all(kind == "insert" for kind, _, _ in when_not_matched),
         "when_not_matched arms must be not_matched_insert",
     )
-    parts = _manifest(warehouse, table) or []
+    base = _current_version(warehouse, table)
+    parts = (_manifest(warehouse, table, base) if base else None) or []
     tdir = os.path.join(warehouse, table)
     new_part = f"m{tag}"
     # check the DISK, not just the live manifest: a part dropped from
@@ -986,9 +1061,7 @@ def merge_rows(
     specs = {}
     affected: set[str] = set()
     if parts:
-        specs = _read_manifest_file(
-            warehouse, table, _current_version(warehouse, table)
-        )["specs"]
+        specs = _read_manifest_file(warehouse, table, base)["specs"]
         probe = None
         for br in _part_branches(spark, warehouse, table, parts, specs):
             # project (key, file) BEFORE the join — input_file_name() is
@@ -1096,11 +1169,9 @@ def merge_rows(
     merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
-    _swing(
-        warehouse,
-        table,
-        [p for p in parts if p not in affected] + [new_part],
-    )
+    # delta commit: disjoint concurrent commits rebase, overlapping
+    # rewrites of the same parts raise (WriteSerializable)
+    swing_rebase(warehouse, table, base, [new_part], affected)
     return len(affected)
 
 

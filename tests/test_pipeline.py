@@ -925,3 +925,94 @@ def test_refresh_daily_stats_untouched_rows_not_recomputed(spark):
     # touched day 1: recomputed from live (3 events now)
     assert rows[dt.date(2024, 1, 1)].total_events == 3
     # day 2 was fully deleted: no stale gold row
+
+
+# --- OCC rebase (round 5) ---------------------------------------------------
+
+
+def test_rebase_disjoint_appends_both_succeed(spark, warehouse):
+    """Two appenders from the same base version: the second replays its
+    delta onto the winner's manifest — BOTH parts land."""
+    from spark_spotify.etl import pipeline as P
+
+    spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    base = P._swing(warehouse, "t", ["p1"])
+    for name in ("a1", "b1"):
+        spark.range(3).coalesce(1).write.parquet(f"{warehouse}/t/{name}")
+    P.swing_rebase(warehouse, "t", base, ["a1"])
+    P.swing_rebase(warehouse, "t", base, ["b1"])  # stale base: rebases
+    assert P._manifest(warehouse, "t") == ["p1", "a1", "b1"]
+
+
+def test_rebase_append_parallel_delete_of_other_parts(spark, warehouse):
+    """append ∥ delete-of-other-parts from the same base: the delete's
+    rewrite (drop p2, add d1) rebases over the append."""
+    from spark_spotify.etl import pipeline as P
+
+    for name in ("p1", "p2", "a1", "d1"):
+        spark.range(2).coalesce(1).write.parquet(f"{warehouse}/t/{name}")
+    base = P._swing(warehouse, "t", ["p1", "p2"])
+    P.swing_rebase(warehouse, "t", base, ["a1"])  # appender wins first
+    P.swing_rebase(warehouse, "t", base, ["d1"], {"p2"})
+    assert P._manifest(warehouse, "t") == ["p1", "a1", "d1"]
+
+
+def test_rebase_overlapping_rewrites_exactly_one_winner(spark, warehouse):
+    """Both writers rewrite the SAME part: the second must raise with no
+    side effects — no lost update, no double-applied rewrite."""
+    import pytest
+
+    from spark_spotify.etl import pipeline as P
+
+    for name in ("p1", "p2", "x2", "y2"):
+        spark.range(2).coalesce(1).write.parquet(f"{warehouse}/t/{name}")
+    base = P._swing(warehouse, "t", ["p1", "p2"])
+    P.swing_rebase(warehouse, "t", base, ["x2"], {"p2"})
+    with pytest.raises(P.CommitConflictError, match="overlap"):
+        P.swing_rebase(warehouse, "t", base, ["y2"], {"p2"})
+    assert P._manifest(warehouse, "t") == ["p1", "x2"]
+
+
+def test_rebase_added_name_collision_raises(spark, warehouse):
+    import pytest
+
+    from spark_spotify.etl import pipeline as P
+
+    spark.range(2).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    spark.range(2).coalesce(1).write.parquet(f"{warehouse}/t/n1")
+    base = P._swing(warehouse, "t", ["p1"])
+    P.swing_rebase(warehouse, "t", base, ["n1"])
+    with pytest.raises(P.CommitConflictError, match="overlap"):
+        P.swing_rebase(warehouse, "t", base, ["n1"])
+
+
+def test_delete_rebases_under_concurrent_append(spark, warehouse, monkeypatch):
+    """End-to-end WriteSerializable: an append lands between a DELETE's
+    snapshot read and its commit — the delete rebases, and BOTH the
+    appended rows and the delete survive (no lost update)."""
+    from spark_spotify.etl import pipeline as P
+
+    spark.range(1, 4).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    spark.range(10, 14).coalesce(1).write.parquet(f"{warehouse}/t/p2")
+    P._swing(warehouse, "t", ["p1", "p2"])
+
+    real = P.swing_rebase
+    fired = {"n": 0}
+
+    def hooked(wh, tbl, base, added, removed=None, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # a concurrent appender commits first
+            spark.range(100, 103).coalesce(1).write.parquet(
+                f"{warehouse}/t/px"
+            )
+            real(wh, tbl, P._current_version(wh, tbl), ["px"])
+        return real(wh, tbl, base, added, removed, **kw)
+
+    monkeypatch.setattr(P, "swing_rebase", hooked)
+    assert (
+        P.delete_rows(spark, warehouse, "t", F.col("id") == 10, "g") == 1
+    )
+    assert P._manifest(warehouse, "t") == ["p1", "px", "dg"]
+    ids = {r.id for r in P.read_table(spark, warehouse, "t").collect()}
+    assert ids == {1, 2, 3, 11, 12, 13, 100, 101, 102}
