@@ -72,6 +72,77 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_SAMPLE_MOD = 8  # DOULION edge-sampling rate p = 1/8
+TRI_GROUP_CAP = 1024  # per-order set size above which pairing leaves the array path
+
+def _coin_sql(u: str, v: str) -> str:
+    """The deterministic DOULION coin as a SQL predicate over an edge's
+    endpoint expressions — usable both inside higher-order-function
+    lambdas and as a column filter.  Reads TRI_SAMPLE_MOD at call time
+    (tests pin it to 1 to disable sampling)."""
+    return (
+        f"cast(conv(substring(md5(concat(cast({u} as string), '-', "
+        f"cast({v} as string))), 1, 8), 16, 10) as bigint) "
+        f"% {TRI_SAMPLE_MOD} = 0"
+    )
+
+
+def _sampled_edges(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deduped, DOULION-sampled undirected co-supply edges (u < v) from a
+    (l_orderkey, l_suppkey) relation.  Returns ``(edges, grp)`` where
+    ``grp`` is the PERSISTED per-order set aggregate feeding both paths —
+    the caller unpersists it once the edge set is materialized.  Two
+    pair-generation paths split on per-order supplier-set size:
+
+    - **array path** (size ≤ {TRI_GROUP_CAP}): one groupBy + per-order
+      array pairing, with the sampling coin INSIDE the pairing lambda —
+      each inner slice is filtered before ``flatten`` ever materializes
+      the full C(k,2) pair array, so peak per-row memory is
+      ~C(k,2)/p + O(k), not C(k,2).  3-4× faster than a self-join on
+      the fixture's tiny orders.
+    - **self-join path** (size > cap): the order's supplier set is
+      exploded back to rows and pair generation becomes a distributed
+      equi-join with the coin fused into the same stage — pairs stream
+      through the filter instead of materializing inside ONE task's
+      array.  A pathological 10^5-supplier order is still O(k²/p)
+      EMITTED rows (the coin is a function of the pair, so no sampling
+      scheme can dodge pair enumeration), but they stream to the dedup
+      shuffle instead of sitting in a single 10^10-element array.
+
+    Both paths apply the same pure-function coin, so
+    filter-then-distinct ≡ distinct-then-filter and the union is
+    path-invariant (property-tested at the cap boundary)."""
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    grp = grp.persist()
+    small = grp.filter(F.size("ss") <= TRI_GROUP_CAP)
+    coin_p = _coin_sql("p.u", "p.v")
+    pairs_small = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "filter(transform(slice(ss, i + 2, "
+                "greatest(size(ss) - i - 1, 0)), "
+                "y -> struct(x AS u, y AS v)), "
+                f"p -> {coin_p})))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    ex = (
+        grp.filter(F.size("ss") > TRI_GROUP_CAP)
+        .select("l_orderkey", F.explode("ss").alias("s"))
+        .alias("a")
+    )
+    pairs_big = (
+        ex.join(
+            ex.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .filter(F.expr(_coin_sql("u", "v")))
+    )
+    return pairs_small.unionByName(pairs_big).distinct(), grp
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,52 +167,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     after edge build: degree aggregate, wedge self-join on the oriented
     source, closing-edge join on the oriented pair.  Output: exact
     BIGINTs on the sampled graph + the integer DOULION estimate."""
-    # pair generation as ONE groupBy + per-order array pairing instead
-    # of the lineitem×lineitem sort-merge self-join (two full sorts of
-    # the stream): per-order supplier sets are tiny, so the pairing is
-    # array work inside the aggregate's output — measured 3-4x faster
-    # at sf0.1 (~5 s -> ~1.4 s) with identical edges
+    # pair generation via _sampled_edges: per-order array pairing with
+    # the coin inside the lambda (measured 3-4x faster than a self-join
+    # on the fixture's tiny orders), hyper-orders (> TRI_GROUP_CAP
+    # suppliers) diverted to the distributed self-join path
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    grp = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = grp.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, greatest(size(ss) - i - 1,"
-                " 0)), y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    und = (
-        pairs
-        # sample BEFORE the distinct: the coin is a pure function of
-        # (u, v), so filter-then-distinct ≡ distinct-then-filter, and
-        # 1 - p of the pair stream never reaches the dedup shuffle
-        .filter(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("u").cast("string"),
-                            F.lit("-"),
-                            F.col("v").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % TRI_SAMPLE_MOD
-            == 0
-        )
-        .distinct()
-    )
+    und, grp = _sampled_edges(li)
     # three actions (triangle count, vertex count, edge count) read the
     # sampled edge set — persist it once instead of re-running the
     # pair-generation join per action (measured 6.7 s -> ~2 s at sf0.1)
@@ -210,6 +243,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_e = und.count()
     oriented.unpersist()
     und.unpersist()
+    grp.unpersist()
     return spark.createDataFrame(
         [(n_v, n_e, n_tri, n_tri * TRI_SAMPLE_MOD**3)],
         "n_vertices long, n_edges long, n_triangles long,"

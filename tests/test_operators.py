@@ -420,3 +420,36 @@ def test_triangle_count_known_graph(spark, tmp_path, monkeypatch):
         got.n_triangles,
         got.est_triangles,
     ) == (6, 7, 4, 4)
+
+
+def test_triangle_pairing_paths_agree_on_hyper_order(spark, monkeypatch):
+    """A 3000-supplier hyper-order (above TRI_GROUP_CAP) routes through
+    the distributed self-join path; forcing the cap high routes the SAME
+    order through the array path — both must produce the identical
+    sampled edge set, and the hyper-order must not blow up a single
+    task's array (the round-4 skew hole: C(k,2) structs materialized
+    before the coin)."""
+    from spark_spotify.analytics import graph as G
+
+    rows = [(1, s) for s in range(3000)] + [
+        (2, 1),
+        (2, 2),
+        (2, 9999),
+        (3, 5),
+        (3, 6),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+
+    def edges(cap):
+        monkeypatch.setattr(G, "TRI_GROUP_CAP", cap)
+        df, grp = G._sampled_edges(li)
+        out = {(r.u, r.v) for r in df.collect()}
+        grp.unpersist()
+        return out
+
+    via_join = edges(100)  # hyper-order -> self-join path
+    via_array = edges(10**6)  # same order -> array path
+    assert via_join == via_array
+    assert len(via_join) > 0
+    # sampling still applied (~1/8 of ~4.5M pairs, not all of them)
+    assert len(via_join) < 1_000_000
