@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "etl_row_delete",
     "etl_merge_cow",
     "etl_merge_full",
+    "etl_schema_drop",
     "etl_time_travel_ts",
     "etl_partition_evolution",
     "etl_profile_columns",

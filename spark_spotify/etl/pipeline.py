@@ -98,6 +98,7 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("renames", {})
     m.setdefault("ts", None)  # pre-timestamp manifests
     m.setdefault("specs", {})  # {part: [hive partition cols]}
+    m.setdefault("drops", [])  # physical column names dropped
     return m
 
 
@@ -131,6 +132,7 @@ def _swing(
     renames: dict[str, str] | None = None,
     expected_version: int | None = None,
     specs: dict[str, list[str]] | None = None,
+    drops: list[str] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -157,6 +159,12 @@ def _swing(
         )
     if renames is None:
         renames = _renames(warehouse, table) if cur else {}
+    if drops is None:
+        drops = (
+            _read_manifest_file(warehouse, table, cur)["drops"]
+            if cur
+            else []
+        )
     if specs is None:
         specs = (
             _read_manifest_file(warehouse, table, cur)["specs"]
@@ -177,6 +185,7 @@ def _swing(
                 "renames": renames,
                 "ts": time.time(),
                 "specs": specs,
+                "drops": drops,
             },
             fh,
         )
@@ -363,6 +372,11 @@ def read_table(
     if not m["parts"]:
         return None
     df = _read_parts(spark, warehouse, table, m["parts"], m["specs"])
+    if m["drops"]:
+        # drops are PHYSICAL names, applied before the rename mapping;
+        # the part bytes still carry the column (Delta column-mapping
+        # drop), readers just never project it
+        df = df.drop(*m["drops"])
     for phys, logical in m["renames"].items():
         df = df.withColumnRenamed(phys, logical)
     return df
@@ -737,9 +751,42 @@ def rename_column(warehouse: str, table: str, old: str, new: str) -> int:
     # `old` may itself be a logical name from an earlier rename — chase it
     # back to the on-disk physical name so mappings never chain
     phys = next((p for p, lg in renames.items() if lg == old), old)
+    _require(
+        phys not in m["drops"], f"{table}: rename of dropped column {old!r}"
+    )
     renames[phys] = new
     return _swing(
         warehouse, table, m["parts"], renames=renames, expected_version=cur
+    )
+
+
+def drop_column(warehouse: str, table: str, name: str) -> int:
+    """Metadata-only DROP COLUMN — the other half of Delta column
+    mapping (rename_column being the first): the physical column stays
+    in every part's bytes forever (until a rewrite such as
+    ``compact_table`` naturally ages it out), the manifest records the
+    physical name in ``drops``, and the read path projects it out.  The
+    commit writes ONE manifest file (CAS-guarded), zero data bytes;
+    time travel to a pre-drop version still shows the column because
+    the drop list is versioned with the manifest.  ``name`` may be a
+    logical name from an earlier rename — it is resolved to the
+    physical name, and its mapping entry is retired with it."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: drop on an empty table")
+    m = _read_manifest_file(warehouse, table, cur)
+    renames = dict(m["renames"])
+    phys = next((p for p, lg in renames.items() if lg == name), name)
+    _require(
+        phys not in m["drops"], f"{table}: column {name!r} already dropped"
+    )
+    renames.pop(phys, None)
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        renames=renames,
+        expected_version=cur,
+        drops=m["drops"] + [phys],
     )
 
 
@@ -1388,6 +1435,48 @@ def q_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_table(spark, cw, "fact")
         _require(
             RENAME_NEW in out.columns and RENAME_OLD not in out.columns,
+            out.columns,
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+DROP_COL = "is_weekend"
+
+
+def q_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN as a metadata-only commit — the complement of
+    q_schema_rename, completing Delta column mapping.  Asserts the same
+    three properties: zero data files change (the commit adds exactly
+    one manifest), the live read no longer surfaces the column, and time
+    travel to the pre-drop version still shows it.  The drop goes
+    through the LOGICAL name after a rename (rename time_period →
+    day_part first, then drop is_weekend — proving the two mapping
+    halves compose in one table history).  Oracle: the star join without
+    the dropped column, with the rename applied."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_drop_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        rename_column(cw, "fact", RENAME_OLD, RENAME_NEW)  # v2
+        before = set(os.listdir(os.path.join(cw, "fact")))
+        drop_column(cw, "fact", DROP_COL)  # v3
+        after = set(os.listdir(os.path.join(cw, "fact")))
+        _require(
+            after == before | {f"{_MANIFEST_PREFIX}3"},
+            "drop must be metadata-only",
+        )
+        pre = read_table(spark, cw, "fact", version=2)
+        _require(DROP_COL in pre.columns, pre.columns)
+        out = read_table(spark, cw, "fact")
+        _require(
+            DROP_COL not in out.columns and RENAME_NEW in out.columns,
             out.columns,
         )
         return stable_checkpoint(out)
@@ -2065,6 +2154,7 @@ QUERIES = {
     "etl_compact": q_compact,
     "etl_schema_evolution": q_schema_evolution,
     "etl_schema_rename": q_schema_rename,
+    "etl_schema_drop": q_schema_drop,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_merge_cow": q_merge_cow,
@@ -2227,6 +2317,11 @@ SELECT 2 AS version,
     "etl_schema_rename": _fact.ORACLE["etl_fact_star"].replace(
         f"AS {RENAME_OLD}", f"AS {RENAME_NEW}"
     ),
+    # metadata-only drop composed with the rename: the star join minus
+    # the dropped column, renamed column aliased
+    "etl_schema_drop": _fact.ORACLE["etl_fact_star"]
+    .replace(f"AS {RENAME_OLD}", f"AS {RENAME_NEW}")
+    .replace(f"  dayofweek(e.ts) IN (0, 6) AS {DROP_COL},\n", ""),
     # the v1 snapshot is exactly the batch-1 universe: events at or
     # before the same integer-exact mid-span cut
     "etl_time_travel": _fact.ORACLE["etl_fact_star"]

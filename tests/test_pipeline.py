@@ -1016,3 +1016,41 @@ def test_delete_rebases_under_concurrent_append(spark, warehouse, monkeypatch):
     assert P._manifest(warehouse, "t") == ["p1", "px", "dg"]
     ids = {r.id for r in P.read_table(spark, warehouse, "t").collect()}
     assert ids == {1, 2, 3, 11, 12, 13, 100, 101, 102}
+
+
+def test_drop_column_metadata_only_and_versioned(spark, warehouse):
+    """DROP COLUMN writes one manifest, no part bytes; time travel shows
+    the column pre-drop; the mapping halves compose (drop a RENAMED
+    column by its logical name); re-drop and rename-of-dropped raise."""
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        drop_column,
+        read_table,
+        rename_column,
+    )
+
+    spark.createDataFrame(
+        [(1, "x", 2.0)], "id long, tag string, v double"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/p1")
+    _swing(warehouse, "t", ["p1"])
+    rename_column(warehouse, "t", "tag", "label")  # v2
+    files_before = set(os.listdir(f"{warehouse}/t/p1"))
+    drop_column(warehouse, "t", "label")  # v3: drop via LOGICAL name
+    assert set(os.listdir(f"{warehouse}/t/p1")) == files_before
+    assert read_table(spark, warehouse, "t").columns == ["id", "v"]
+    assert read_table(spark, warehouse, "t", version=2).columns == [
+        "id",
+        "label",
+        "v",
+    ]
+    assert read_table(spark, warehouse, "t", version=1).columns == [
+        "id",
+        "tag",
+        "v",
+    ]
+    with pytest.raises(RuntimeError, match="already dropped"):
+        drop_column(warehouse, "t", "tag")
+    with pytest.raises(RuntimeError, match="dropped column"):
+        rename_column(warehouse, "t", "tag", "zz")
