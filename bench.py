@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "stream_enrich_join",
     "stream_sliding_rollup",
     "stream_click_purchase",
+    "stream_click_attribution",
     "op_partitioned_prune",
     "ana_unpivot_metrics",
     "ana_value_histogram",

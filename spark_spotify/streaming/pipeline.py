@@ -520,6 +520,73 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, joined, "attrib")
 
 
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the other half of the
+    join surface after ``stream_click_purchase``'s inner variant, with
+    the distinct state-eviction semantics worth proving: an UNMATCHED
+    click is emitted with NULL purchase columns only when the global
+    watermark passes the point where a matching purchase could still
+    arrive (click_ts + attribution window), i.e. at state EVICTION — the
+    row was held exactly as long as a match was possible and not a
+    moment longer.
+
+    Emission rule (pinned empirically against two synthetic boundary
+    probes and encoded in the oracle): matched pairs emit as in the
+    inner join; an unmatched click emits iff
+
+        click_ts + 30 min  <  min(max click_ts, max purchase_ts) − delay
+
+    — STRICT inequality, global watermark = the MIN across both inputs
+    (Spark's default multipleWatermarkPolicy), each input's watermark =
+    its max event time − {WATERMARK_DELAY}.  Unmatched clicks YOUNGER
+    than that horizon are still live state when the bounded availableNow
+    run terminates and are correctly NOT emitted — the oracle encodes
+    the same cut, which is what makes this gate deterministic.
+
+    Scale: identical state posture to the inner join (watermark-horizon
+    state per side, sharded by user key); the only addition is the
+    null-emission walk of evicted-unmatched state, O(evicted)."""
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _run_to_memory(spark, joined, "attrib_lo")
+
+
 def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed restart/recovery — the contract that makes Structured
     Streaming exactly-once END TO END across process restarts: a query
@@ -861,6 +928,40 @@ JOIN events p
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
+    # left-outer variant: matched pairs as above, plus null-extended
+    # rows for unmatched clicks EVICTED by the final global watermark
+    # (min of both sides' max event time, minus the delay) — strictly
+    # older than watermark − attribution window; younger unmatched
+    # clicks are still live state at termination and must NOT appear
+    "stream_click_attribution": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id,
+         ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 10 MINUTE AS w
+), matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts,
+         p.purchase_ts, p.purchase_value
+  FROM c JOIN p
+    ON c.user_id = p.p_user_id
+   AND p.purchase_ts > c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+)
+SELECT * FROM matched
+UNION ALL
+SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+       c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+       CAST(NULL AS DOUBLE) AS purchase_value
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+""",
 }
 
 QUERIES = {
@@ -874,5 +975,6 @@ QUERIES = {
     "stream_enrich_join": q_stream_enrich_join,
     "stream_sliding_rollup": q_stream_sliding_rollup,
     "stream_click_purchase": q_stream_click_purchase,
+    "stream_click_attribution": q_stream_click_attribution,
     "stream_late_data": q_stream_late_data,
 }

@@ -1054,3 +1054,75 @@ def test_drop_column_metadata_only_and_versioned(spark, warehouse):
         drop_column(warehouse, "t", "tag")
     with pytest.raises(RuntimeError, match="dropped column"):
         rename_column(warehouse, "t", "tag", "zz")
+
+
+def test_stream_left_outer_null_emission_boundary(spark, tmp_path):
+    """Pins the left-outer stream-join eviction rule the oracle encodes:
+    an unmatched click emits a null row iff click_ts + window < global
+    watermark, where the global watermark is the MIN across both inputs
+    (click-side max 240 min, purchase-side max 180 min → wm 170, strict
+    boundary at click_ts 140)."""
+    import datetime as dt
+    import os
+
+    from spark_spotify.streaming.pipeline import (
+        WATERMARK_DELAY,
+        _run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def m(x):
+        return base + dt.timedelta(minutes=x)
+
+    rows = [
+        (100 + i, 1, "click", m(x), 1.0, None)
+        for i, x in enumerate(list(range(135, 146)) + list(range(195, 206)))
+    ]
+    rows += [
+        (900, 2, "purchase", m(180), 5.0, None),
+        (901, 3, "click", m(240), 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    )
+    src = os.path.join(str(tmp_path), "ev")
+    df.coalesce(1).write.parquet(src)
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+        src
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purch = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    )
+    out = _run_to_memory(spark, joined, "lob")
+    got = sorted(r.click_ts for r in out.collect() if r.user_id == 1)
+    # 135..139 evicted-and-emitted; 140 (== boundary, strict) and later
+    # — including everything past the 170 watermark — still live state
+    assert got == [m(x) for x in range(135, 140)]
