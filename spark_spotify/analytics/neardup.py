@@ -89,6 +89,15 @@ def _corpus_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("doc_id") % INCR_MOD != 0)
         ).write.mode("overwrite").parquet(path)
         _INDEX_CACHE[sf_dir] = path
+    try:
+        import os
+
+        # keep mtime fresh: a concurrent process's startup sweep
+        # (session.sweep_orphaned_tmp) reclaims idle spark_spotify_*
+        # dirs, and this cache can outlive its age gate
+        os.utime(_INDEX_CACHE[sf_dir])
+    except OSError:
+        pass
     return spark.read.parquet(_INDEX_CACHE[sf_dir])
 
 

@@ -562,7 +562,16 @@ def _shared_two_batch_warehouse(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, list[str]]:
     if sf_dir in _WAREHOUSE_CACHE:
-        return _WAREHOUSE_CACHE[sf_dir]
+        cached = _WAREHOUSE_CACHE[sf_dir]
+        try:
+            # keep the dir's mtime fresh: a CONCURRENT process's startup
+            # sweep (session.sweep_orphaned_tmp) reclaims spark_spotify_*
+            # dirs idle past its age gate, and this cache can outlive it
+            # in a long session
+            os.utime(cached[0])
+        except OSError:
+            pass
+        return cached
     import atexit
     import shutil
     import tempfile

@@ -1126,3 +1126,28 @@ def test_stream_left_outer_null_emission_boundary(spark, tmp_path):
     # 135..139 evicted-and-emitted; 140 (== boundary, strict) and later
     # — including everything past the 170 watermark — still live state
     assert got == [m(x) for x in range(135, 140)]
+
+
+def test_sweep_orphaned_tmp_age_gate(tmp_path, monkeypatch):
+    """The startup sweep removes only spark_spotify_* dirs older than
+    the age gate — a fresh dir (possibly a live concurrent session) and
+    foreign names are untouched."""
+    import os
+    import time
+
+    import spark_spotify.session as S
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    old = tmp_path / "spark_spotify_dead"
+    young = tmp_path / "spark_spotify_live"
+    foreign = tmp_path / "other_tool_scratch"
+    for d in (old, young, foreign):
+        d.mkdir()
+        (d / "f").write_text("x")
+    stale = time.time() - 7200
+    os.utime(old, (stale, stale))
+    removed = S.sweep_orphaned_tmp()
+    assert removed == [str(old)]
+    assert not old.exists() and young.exists() and foreign.exists()
