@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "etl_change_feed_rows",
     "etl_cdf_apply",
     "etl_agg_incremental",
+    "etl_cdc_merge_apply",
     "op_partition_overwrite",
     "src_csv_ingest_audit",
     "stream_resume",

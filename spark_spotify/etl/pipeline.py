@@ -1222,6 +1222,14 @@ def merge_rows(
             )
         else:
             merged = s.limit(0)
+        if parts:
+            # a CDC source may carry extra condition-only columns (e.g.
+            # _change_type) — INSERT * means the TARGET's schema, read
+            # from a footer, never the source's
+            tcols = _read_parts(
+                spark, warehouse, table, parts[:1], specs
+            ).columns
+            merged = merged.select(*tcols)
     merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
@@ -2119,6 +2127,58 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-with-tombstones — the composition the full MERGE
+    grammar exists for: a row-level change feed (insert /
+    update_postimage / delete, produced by :func:`change_feed` between
+    the stats table's v1 and live snapshots) is applied to a REPLICA of
+    v1 in ONE MERGE commit:
+
+    - ``WHEN MATCHED AND s._change_type = 'delete' THEN DELETE``
+    - ``WHEN MATCHED AND s._change_type = 'update_postimage' THEN
+      UPDATE SET *``
+    - ``WHEN NOT MATCHED AND s._change_type = 'insert' THEN INSERT *``
+
+    ``_change_type`` is a condition-only source column — it never lands
+    in the table (INSERT */SET * project the TARGET schema).  The
+    reconstructed replica must equal the live snapshot exactly, so the
+    oracle is the from-scratch daily-stats SQL — the same equality
+    :func:`q_cdf_apply` proves with set algebra, now proven through the
+    transactional MERGE verb a warehouse replica would actually use."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    s1 = read_table(spark, warehouse, "agg_daily_stats", version=1)
+    s2 = read_table(spark, warehouse, "agg_daily_stats")
+    feed = change_feed(s1, s2, "played_date")
+    cw = tempfile.mkdtemp(prefix="spark_spotify_cdc_")
+    try:
+        s1.coalesce(1).write.parquet(os.path.join(cw, "stats", "base"))
+        _swing(cw, "stats", ["base"])
+        src = feed.filter(F.col("_change_type") != "update_preimage")
+        merge_rows(
+            spark,
+            cw,
+            "stats",
+            src,
+            "played_date",
+            "1",
+            when_matched=[
+                matched_delete(F.col("s._change_type") == "delete"),
+                matched_update(
+                    F.col("s._change_type") == "update_postimage"
+                ),
+            ],
+            when_not_matched=[
+                not_matched_insert(F.col("s._change_type") == "insert")
+            ],
+        )
+        return stable_checkpoint(read_table(spark, cw, "stats"))
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the manifest log — every committed version
     of the fact table with its snapshot row count, read purely from the
@@ -2176,6 +2236,7 @@ QUERIES = {
     "etl_change_feed_rows": q_change_feed_rows,
     "etl_cdf_apply": q_cdf_apply,
     "etl_agg_incremental": q_agg_incremental,
+    "etl_cdc_merge_apply": q_cdc_merge_apply,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -2309,6 +2370,9 @@ WHERE e.user_id <> {DELETE_USER}
     # incremental refresh == from-scratch recompute, the MV-maintenance
     # contract: the oracle is the full daily-stats SQL
     "etl_agg_incremental": _stats.ORACLE["etl_daily_stats"],
+    # CDC apply through the full MERGE grammar reconstructs the live
+    # snapshot on the replica — same equality, transactional verb
+    "etl_cdc_merge_apply": _stats.ORACLE["etl_daily_stats"],
     # commit history: v1 = batch-1 universe, v2 = full corpus
     "etl_history": """
 WITH cut AS (

@@ -1151,3 +1151,53 @@ def test_sweep_orphaned_tmp_age_gate(tmp_path, monkeypatch):
     removed = S.sweep_orphaned_tmp()
     assert removed == [str(old)]
     assert not old.exists() and young.exists() and foreign.exists()
+
+
+def test_cdc_merge_apply_all_three_arms(spark, warehouse):
+    """CDC apply via the full MERGE grammar reconstructs s2 from s1 +
+    feed when the feed carries ALL change types (the fixture's gate feed
+    is insert-only at test SFs): delete tombstone, update postimage,
+    insert — and the condition-only _change_type column never lands in
+    the table."""
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        change_feed,
+        matched_delete,
+        matched_update,
+        merge_rows,
+        not_matched_insert,
+        read_table,
+    )
+
+    s1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    s2 = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0), (4, 40.0)], "id long, v double"
+    )  # 1 deleted, 2 updated, 3 unchanged, 4 inserted
+    s1.coalesce(1).write.parquet(f"{warehouse}/t/base")
+    _swing(warehouse, "t", ["base"])
+    feed = change_feed(s1, s2, "id")
+    src = feed.filter(F.col("_change_type") != "update_preimage")
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "1",
+        when_matched=[
+            matched_delete(F.col("s._change_type") == "delete"),
+            matched_update(F.col("s._change_type") == "update_postimage"),
+        ],
+        when_not_matched=[
+            not_matched_insert(F.col("s._change_type") == "insert")
+        ],
+    )
+    out = read_table(spark, warehouse, "t")
+    assert out.columns == ["id", "v"]  # _change_type never landed
+    assert {(r.id, r.v) for r in out.collect()} == {
+        (2, 99.0),
+        (3, 30.0),
+        (4, 40.0),
+    }
