@@ -655,30 +655,48 @@ def exact_order_stats(
     df: DataFrame, col: str, ranks: list[int]
 ) -> dict[int, float]:
     """EXACT k-th order statistics of a numeric column WITHOUT a global
+    sort — see :func:`exact_order_stats_multi` (this is its single-group
+    form).  Requested ranks must be nearby (e.g. the two median
+    straddlers); the narrowing keeps ONE interval covering all of
+    them."""
+    return exact_order_stats_multi(df, col, [list(ranks)])
+
+
+def exact_order_stats_multi(
+    df: DataFrame, col: str, rank_groups: list[list[int]]
+) -> dict[int, float]:
+    """EXACT k-th order statistics of a numeric column WITHOUT a global
     sort — the scalable exact-quantile dataflow (Spark's own
     ``percentile`` is a single-buffer TypedImperativeAggregate that
     collects every value into one executor: exact but O(N) memory on one
     node; ``approx_percentile`` is bounded-memory but approximate; this
-    is both exact AND bounded).  Iterative histogram narrowing:
+    is both exact AND bounded).  ``rank_groups`` is a list of NEARBY
+    rank sets (each group keeps one narrowing interval); spread
+    quantiles (p25/p75/p99) pass one group per quantile and every
+    group's histogram rides the SAME scan.  Iterative histogram
+    narrowing:
 
-    1. one aggregate for (n, min, max);
-    2. while the candidate set exceeds {MEDIAN_LOCAL_CAP}: bucket the
-       CURRENT candidate range into {MEDIAN_BUCKETS} equal-width cells
-       (one scan-side aggregate, predicate pushed down), walk the
-       metadata-sized cumulative histogram on the driver, and narrow to
-       the cell span containing the target ranks.  The next filter
-       reuses the SAME bucket expression (never recomputed float
-       bounds), so edge rows cannot leak between iterations;
-    3. resolve ranks from the survivors' per-VALUE counts (one slim
-       groupBy, bounded by the candidate distinct count — which a
+    1. ONE aggregate for (n, min, max) — shared by every group;
+    2. while any group's candidate set exceeds {MEDIAN_LOCAL_CAP}: each
+       active group buckets its CURRENT candidate range into
+       {MEDIAN_BUCKETS} equal-width cells, and ONE scan computes all
+       active groups' histograms at once (each row emits its (group,
+       bucket) memberships through an array + explode — groups'
+       intervals may overlap, so a row can feed several); the
+       metadata-sized cumulative histograms are walked on the driver and
+       each group narrows to the cell span containing its target ranks.
+       The next filter reuses the SAME bucket expression (never
+       recomputed float bounds), so edge rows cannot leak between
+       iterations;
+    3. resolve every group's ranks from its survivors' per-VALUE counts
+       — again ONE slim groupBy over the union of candidate sets,
+       bounded by the candidate distinct counts (which a
        duplicate-heavy stall only shrinks).
 
-    Each iteration shrinks the candidate set ~{MEDIAN_BUCKETS}x, so the
-    loop is O(log_B N) flat scan jobs — 3 scans for a trillion rows —
-    and driver memory is O(B + cap).  Requested ranks must be nearby
-    (e.g. the two median straddlers); the narrowing keeps ONE interval
-    covering all of them."""
-    targets = sorted(ranks)
+    Each iteration shrinks a group's candidate set ~{MEDIAN_BUCKETS}x,
+    so the loop is O(log_B N) flat scan jobs for ALL groups together —
+    the scan count is max over groups, not their sum — and driver
+    memory is O(groups × (B + cap))."""
     first = df.agg(
         # count(col), not count(*): ranks are over the NON-NULL
         # multiset — a null row is in no order statistic
@@ -686,81 +704,143 @@ def exact_order_stats(
         F.min(col).alias("mn"),
         F.max(col).alias("mx"),
     ).collect()[0]
-    n, lo, hi = first["n"], first["mn"], first["mx"]
+    n = first["n"]
     if n == 0:
         return {}
-    for r in targets:
-        if not 1 <= r <= n:
-            raise ValueError(f"rank {r} outside 1..{n}")
-    pred = F.col(col).isNotNull()
-    offset = 0  # rows excluded below the current candidate set
-    cnt = n
-    # each genuine narrowing shrinks the value interval >= 512x (the
-    # target span is <= 2 of {MEDIAN_BUCKETS} cells), so 8 iterations
-    # exhaust binary64's entire exponent+mantissa range; anything left
-    # after that is a duplicate mass a width-based histogram can never
-    # split, resolved below on per-VALUE counts
-    iters = 0
-    while cnt > MEDIAN_LOCAL_CAP and lo < hi and iters < 8:
-        iters += 1
-        width = hi - lo
-        # clamp BOTH sides: float rounding near a prior iteration's
-        # bucket boundary can push a surviving edge row to -1 or B,
-        # which would silently vanish from the histogram walk
-        bucket = F.greatest(
-            F.lit(0),
-            F.least(
-                F.floor(
-                    (F.col(col) - F.lit(lo))
-                    * MEDIAN_BUCKETS
-                    / F.lit(width)
+
+    class _G:
+        def __init__(self, targets):
+            self.targets = sorted(targets)
+            self.pred = F.col(col).isNotNull()
+            self.lo, self.hi = first["mn"], first["mx"]
+            self.offset = 0  # rows excluded below the candidate set
+            self.cnt = n
+            self.iters = 0
+
+        def active(self):
+            # each genuine narrowing shrinks the interval >= 512x (the
+            # target span is <= 2 of {MEDIAN_BUCKETS} cells), so 8
+            # iterations exhaust binary64's range; what remains is a
+            # duplicate mass no width-based histogram can split,
+            # resolved on per-VALUE counts
+            return (
+                self.cnt > MEDIAN_LOCAL_CAP
+                and self.lo < self.hi
+                and self.iters < 8
+            )
+
+        def bucket(self):
+            width = self.hi - self.lo
+            # clamp BOTH sides: float rounding near a prior iteration's
+            # bucket boundary can push a surviving edge row to -1 or B,
+            # which would silently vanish from the histogram walk
+            return F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(
+                        (F.col(col) - F.lit(self.lo))
+                        * MEDIAN_BUCKETS
+                        / F.lit(width)
+                    ),
+                    F.lit(MEDIAN_BUCKETS - 1),
                 ),
-                F.lit(MEDIAN_BUCKETS - 1),
-            ),
-        ).cast("int")
-        histo = {
-            r["b"]: r["c"]
-            for r in df.filter(pred)
-            .groupBy(bucket.alias("b"))
+            ).cast("int")
+
+    groups = [_G(t) for t in rank_groups]
+    for g in groups:
+        for r in g.targets:
+            if not 1 <= r <= n:
+                raise ValueError(f"rank {r} outside 1..{n}")
+    while any(g.active() for g in groups):
+        act = [(i, g) for i, g in enumerate(groups) if g.active()]
+        buckets = {i: g.bucket() for i, g in act}
+        # one scan, all active groups: a row emits (group, bucket) for
+        # every group whose candidate predicate it satisfies
+        entries = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        g.pred,
+                        F.struct(
+                            F.lit(i).alias("g"),
+                            buckets[i].alias("b"),
+                        ),
+                    )
+                    for i, g in act
+                ]
+            )
+        )
+        rows = (
+            df.select(F.explode(entries).alias("e"))
+            .groupBy("e.g", "e.b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
-        }
-        cum = 0
-        spans = []
-        for b in range(MEDIAN_BUCKETS):
-            c = histo.get(b, 0)
-            if any(cum < r - offset <= cum + c for r in targets):
-                spans.append((b, cum, c))
-            cum += c
-        b_first, cum_first, _ = spans[0]
-        b_last = spans[-1][0]
-        new_cnt = sum(
-            histo.get(b, 0) for b in range(b_first, b_last + 1)
         )
-        pred = pred & bucket.between(b_first, b_last)
-        offset += cum_first
-        new_lo = lo + b_first * width / MEDIAN_BUCKETS
-        new_hi = lo + (b_last + 1) * width / MEDIAN_BUCKETS
-        if new_cnt == cnt and (new_lo, new_hi) == (lo, hi):
-            break  # narrowing stalled — duplicate mass
-        cnt, lo, hi = new_cnt, min(max(new_lo, lo), hi), min(new_hi, hi)
-    # final resolution on per-VALUE counts (never raw rows): bounded by
-    # the candidate DISTINCT count — <= cnt <= cap after a clean narrow,
-    # and a handful of few-ulp-apart doubles after a duplicate stall
+        histos: dict[int, dict[int, int]] = {i: {} for i, _ in act}
+        for r in rows:
+            histos[r["g"]][r["b"]] = r["c"]
+        for i, g in act:
+            g.iters += 1
+            histo = histos[i]
+            width = g.hi - g.lo
+            cum = 0
+            spans = []
+            for b in range(MEDIAN_BUCKETS):
+                c = histo.get(b, 0)
+                if any(
+                    cum < r - g.offset <= cum + c for r in g.targets
+                ):
+                    spans.append((b, cum, c))
+                cum += c
+            b_first, cum_first, _ = spans[0]
+            b_last = spans[-1][0]
+            new_cnt = sum(
+                histo.get(b, 0) for b in range(b_first, b_last + 1)
+            )
+            g.pred = g.pred & buckets[i].between(b_first, b_last)
+            g.offset += cum_first
+            new_lo = g.lo + b_first * width / MEDIAN_BUCKETS
+            new_hi = g.lo + (b_last + 1) * width / MEDIAN_BUCKETS
+            if new_cnt == g.cnt and (new_lo, new_hi) == (g.lo, g.hi):
+                g.iters = 8  # narrowing stalled — duplicate mass
+            g.cnt = new_cnt
+            g.lo = min(max(new_lo, g.lo), g.hi)
+            g.hi = min(new_hi, g.hi)
+    # final resolution on per-VALUE counts (never raw rows), again ONE
+    # scan across groups: bounded by each candidate DISTINCT count —
+    # <= cnt <= cap after a clean narrow, a handful of few-ulp-apart
+    # doubles after a duplicate stall
+    entries = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    g.pred,
+                    F.struct(
+                        F.lit(i).alias("g"), F.col(col).alias("v")
+                    ),
+                )
+                for i, g in enumerate(groups)
+            ]
+        )
+    )
     pairs = (
-        df.filter(pred)
-        .groupBy(col)
+        df.select(F.explode(entries).alias("e"))
+        .groupBy("e.g", "e.v")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(col)
+        .orderBy("g", "v")
         .collect()
     )
     out: dict[int, float] = {}
-    cum = offset
+    by_group: dict[int, list] = {i: [] for i in range(len(groups))}
     for row in pairs:
-        for r in targets:
-            if cum < r <= cum + row["c"]:
-                out[r] = row[col]
-        cum += row["c"]
+        by_group[row["g"]].append(row)
+    for i, g in enumerate(groups):
+        cum = g.offset
+        for row in by_group[i]:
+            for r in g.targets:
+                if cum < r <= cum + row["c"]:
+                    out[r] = row["v"]
+            cum += row["c"]
     return out
 
 
@@ -788,22 +868,29 @@ QUARTILE_PCTS = (25, 75, 99)
 def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p25 / p75 / p99 EXACT order-statistic straddlers over
     ``events.value`` — the percentile surface a data platform actually
-    serves, each quantile resolved by its own sort-free narrowing (the
-    single-interval narrowing contract wants nearby ranks, so spread
-    quantiles compose as independent O(log N) passes sharing nothing
-    but the initial count — ~3 metadata-light scans per quantile, flat
-    in data size).  Straddlers, not interpolated midpoints, for
-    hash-exact engine portability (same rationale as
+    serves.  Each quantile keeps its own narrowing interval (the
+    single-interval contract wants nearby ranks), but all three ride
+    :func:`exact_order_stats_multi`'s SHARED scans: one (n, min, max)
+    aggregate, one histogram scan per narrowing round covering every
+    still-active quantile, one final per-value resolution — scan count
+    is the max over quantiles, not their sum (the round-4 shape ran
+    ~3 scans per quantile, ~9 total).  Straddlers, not interpolated
+    midpoints, for hash-exact engine portability (same rationale as
     ``agg_exact_median``)."""
     import math
 
     ev = load_table(spark, sf_dir, "events")
     n = ev.agg(F.count("value")).collect()[0][0]
-    vals = {}
+    rank_groups = []
     for p in QUARTILE_PCTS:
         x = (n - 1) * (p / 100.0)
-        r_lo, r_hi = math.floor(x) + 1, math.ceil(x) + 1
-        st = exact_order_stats(ev, "value", sorted({r_lo, r_hi}))
+        rank_groups.append(
+            sorted({math.floor(x) + 1, math.ceil(x) + 1})
+        )
+    st = exact_order_stats_multi(ev, "value", rank_groups)
+    vals = {}
+    for p, rg in zip(QUARTILE_PCTS, rank_groups):
+        r_lo, r_hi = rg[0], rg[-1]
         vals[f"p{p}_lo"], vals[f"p{p}_hi"] = st[r_lo], st[r_hi]
     cols = [f"p{p}_{s}" for p in QUARTILE_PCTS for s in ("lo", "hi")]
     return spark.createDataFrame(

@@ -1163,6 +1163,10 @@ def merge_rows(
             spark, warehouse, table, sorted(affected), specs
         )
         cols = tgt.columns
+        _require(
+            "_action" not in cols and "_action" not in source.columns,
+            "'_action' is reserved by MERGE row classification",
+        )
         joined = tgt.alias("t").join(
             source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
         )
