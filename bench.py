@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "agg_exact_median",
     "graph_triangle_count",
     "agg_exact_quartiles",
+    "op_asof_join",
     "etl_vacuum",
     "etl_schema_rename",
     "etl_wap_publish",

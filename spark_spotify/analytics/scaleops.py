@@ -1074,6 +1074,69 @@ GROUP BY COALESCE(c_mktsegment, 'UNKNOWN')
 """,
 }
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the temporal operator Spark's join grammar lacks
+    (DuckDB/kdb/Flink have it natively; the oracle IS DuckDB's ASOF
+    JOIN): every event is joined to the user's LATEST purchase at or
+    before it — the SCD2 / point-in-time-state / trade-to-quote shape a
+    training-data pipeline needs to attach "state as of event time"
+    features without leaking the future.
+
+    Implemented as the UNION + ordered-window trick, not a range join:
+    tag both relations, union them, and take ``last(state,
+    ignorenulls)`` over a (key, ts, side)-ordered running window.  ONE
+    shuffle on the join key; per-row work is a running carry-forward.
+    The naive alternative — an inequality join + per-event argmax —
+    builds every (event × earlier-purchase) pair first: O(events ×
+    purchases/user) blowup that a frequent-buyer key turns quadratic.
+    At 100 TB the union inherits the fact table's date partitioning and
+    the window sorts locally per key partition — the same plan a
+    dedicated as-of operator would produce.
+
+    Determinism: purchases are pre-aggregated to one state row per
+    (user, ts) (MAX(value) — concurrent same-microsecond purchases have
+    no inherent order), and a purchase AT the event's own timestamp
+    counts as preceding (``side`` orders state changes before reads at
+    ties), matching ASOF JOIN's ``e.ts >= p.ts`` convention."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    reads = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("state"),
+    )
+    state = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "state",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        reads.unionByName(state)
+        .withColumn(
+            "last_purchase_value",
+            F.last("state", ignorenulls=True).over(w),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    )
+    return out
+
+
 QUERIES = {
     "agg_rollup_revenue": q_rollup_revenue,
     "agg_grouping_sets_sales": q_grouping_sets_sales,
@@ -1092,4 +1155,20 @@ QUERIES = {
     "agg_heavy_hitters": q_heavy_hitters,
     "agg_exact_median": q_exact_median,
     "agg_exact_quartiles": q_exact_quartiles,
+    "op_asof_join": q_asof_join,
 }
+
+# the oracle IS DuckDB's native ASOF JOIN — engine-grade semantics to
+# match, not a hand-rolled correlated subquery
+ORACLE["op_asof_join"] = """
+WITH p AS (
+  SELECT user_id, ts, MAX(value) AS state
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.state AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""

@@ -396,3 +396,17 @@ def test_triangle_count_avoids_cartesian_wedges(spark, sf_dir):
     plan = _plan(wedges)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_union_window_not_pair_join(spark, sf_dir):
+    """The as-of join is the union + ordered-window rewrite: NO join
+    operator anywhere in the plan (the inequality-join alternative
+    materializes every event x earlier-purchase pair — quadratic on a
+    frequent-buyer key), and exactly two exchanges: the purchase
+    pre-aggregation on (user_id, ts) and the per-user window sort."""
+    import re
+
+    plan = _plan(QUERIES["op_asof_join"](spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Join" not in phys
+    assert len(re.findall(r"\(\d+\) Exchange\b", phys)) == 2
