@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "sim_ann_prefilter_topk",
     "etl_zorder_layout",
     "graph_pagerank_step",
+    "graph_pagerank_iter",
     "mm_media_release",
     "etl_change_feed_rows",
     "etl_cdf_apply",

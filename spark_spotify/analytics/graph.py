@@ -251,12 +251,141 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 5  # fixed power-iteration count (also unrolled in the oracle)
+
+
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PageRank — {PR_ITERS} exact power iterations to a converged
+    ranking over the undirected co-supply graph (each undirected edge
+    doubled into two directed edges), completing the propagation family:
+    ``graph_pagerank_step`` is the per-iteration cost, this is the LOOP —
+    the driver-orchestrated iterative-algorithm discipline every
+    distributed graph/ML workload on Spark needs:
+
+    - the edge list (with source out-degree attached) is built ONCE and
+      persisted; iterations never re-shuffle or re-derive it,
+    - per iteration the vertex-state relation joins the edges and
+      re-aggregates — vertex state here is supplier-sized (orders of
+      magnitude smaller than the edge list), so Catalyst broadcasts it
+      and the only shuffle per iteration is the map-side-combined
+      inflow sum,
+    - lineage is truncated every 2 iterations via ``stable_checkpoint``
+      (localCheckpoint, upgraded to reliable when the session has a
+      checkpoint dir) — without it the plan doubles per iteration and
+      optimizer time, not data, becomes the bottleneck (the classic
+      iterative-Spark failure mode).
+
+    Determinism: integer ppb arithmetic end-to-end exactly as the step
+    gate — init 10^9, contribution ``r div d`` (floor), update
+    ``150e6 + 85*inflow div 100`` — so the unrolled-CTE oracle is exact.
+
+    At 100 TB: the co-supply edge list is bucketed by ``src`` so the
+    per-iteration join co-locates; vertex state lives in the cluster
+    (broadcast here only because suppliers << edges), and the checkpoint
+    cadence bounds both lineage depth and recovery cost."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    e = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("r")
+    )
+    for i in range(PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["v"])
+            .select("dst", F.expr("r div d").alias("cb"))
+            .groupBy("dst")
+            .agg(F.sum("cb").alias("inflow"))
+            .select(
+                F.col("dst").alias("v"),
+                (F.lit(150_000_000) + F.expr("85 * inflow div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+        if (i + 1) % 2 == 0:
+            ranks = stable_checkpoint(ranks)
+    out = (
+        stable_checkpoint(
+            ranks.select(
+                F.col("v").alias("supp_key"), F.col("r").alias("rank_ppb")
+            )
+        )
+        .orderBy(F.desc("rank_ppb"), F.asc("supp_key"))
+        .limit(PR_TOP_K)
+    )
+    ed.unpersist()
+    return out
+
+
 QUERIES = {
     "graph_pagerank_step": q_pagerank_step,
+    "graph_pagerank_iter": q_pagerank_iter,
     "graph_triangle_count": q_triangle_count,
 }
 
+def _pagerank_iter_oracle() -> str:
+    """Unrolled-CTE replica of q_pagerank_iter: r0..r{PR_ITERS}, each
+    iteration one join+group — DuckDB's ``//`` floors positives exactly
+    like Spark's ``div``."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+)""",
+        """e AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT src AS v, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS v,
+         CAST(150000000 + (85 * SUM(r{i - 1}.r // deg.d)) // 100
+              AS BIGINT) AS r
+  FROM e
+  JOIN r{i - 1} ON e.src = r{i - 1}.v
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS supp_key, r AS rank_ppb FROM r{PR_ITERS}
+ORDER BY rank_ppb DESC, supp_key ASC
+LIMIT {PR_TOP_K}
+"""
+    )
+
+
 ORACLE = {
+    "graph_pagerank_iter": _pagerank_iter_oracle(),
     "graph_triangle_count": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 und0 AS (

@@ -410,3 +410,19 @@ def test_asof_join_is_union_window_not_pair_join(spark, sf_dir):
     phys = plan.split("== Physical Plan ==")[1]
     assert "Join" not in phys
     assert len(re.findall(r"\(\d+\) Exchange\b", phys)) == 2
+
+
+def test_pagerank_iter_lineage_truncated(spark, sf_dir):
+    """The iterative PageRank's returned plan must be the top-k over the
+    FINAL checkpoint — no per-iteration joins, exchanges, or scans may
+    survive into it.  Without the stable_checkpoint cadence the plan
+    grows a join+agg pair per iteration (optimizer time explodes with
+    iteration count — the classic iterative-Spark failure mode); with
+    it, the physical plan is a TakeOrderedAndProject over a
+    checkpointed RDD scan regardless of PR_ITERS."""
+    plan = _plan(QUERIES["graph_pagerank_iter"](spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Scan ExistingRDD" in phys
+    assert "TakeOrderedAndProject" in phys
+    assert "Join" not in phys
+    assert "HashAggregate" not in phys
