@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "op_partition_overwrite",
     "src_csv_ingest_audit",
     "stream_resume",
+    "etl_data_skipping",
 ]
 
 

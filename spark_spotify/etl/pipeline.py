@@ -99,6 +99,7 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("ts", None)  # pre-timestamp manifests
     m.setdefault("specs", {})  # {part: [hive partition cols]}
     m.setdefault("drops", [])  # physical column names dropped
+    m.setdefault("stats", {})  # {part: {col: {lo, hi, nulls, n}}}
     return m
 
 
@@ -125,6 +126,103 @@ def _renames(
     return _read_manifest_file(warehouse, table, v)["renames"]
 
 
+# Delta truncates string file-stats at 32 chars (prefix + increment); we
+# simply DROP bounds beyond this cap — a part with an unbounded column is
+# never pruned on it, so the cap only costs skipping power, never rows.
+_STATS_MAX_STR = 64
+
+
+def _enc_stat(v):
+    """JSON-safe, order-preserving encoding of a footer bound / predicate
+    literal.  Numbers pass through; strings pass through under the length
+    cap; timestamps become epoch MICROSECONDS and dates epoch DAYS (exact
+    integer arithmetic — isoformat strings were rejected because mixed
+    fractional-second renderings break lexicographic order at equality).
+    Returns None for unencodable values (=> that bound is unknown and the
+    part is never pruned on it)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode()
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, _dt.datetime):
+        import calendar
+
+        return calendar.timegm(v.timetuple()) * 10**6 + v.microsecond
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+def _part_stats(warehouse: str, table: str, part: str) -> dict:
+    """Per-column {lo, hi, nulls, n} for one part, from the parquet
+    FOOTERS alone (pyarrow metadata, no Spark job) — the file statistics
+    Delta denormalizes into its commit log so the planner can skip files
+    without touching them.  Only top-level primitive leaves are recorded
+    (nested paths like ``props.list.element`` are skipped); a column
+    whose min/max is unavailable in some row group that still holds
+    non-null rows is left UNBOUNDED (recorded with counts only), so
+    pruning can only ever err toward reading."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    acc: dict[str, dict] = {}
+    for f in _glob.glob(
+        os.path.join(warehouse, table, part, "**", "*.parquet"),
+        recursive=True,
+    ):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).path for i in range(len(md.schema))]
+        for i, name in enumerate(names):
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            e = acc.setdefault(
+                name,
+                {"n": 0, "nulls": 0, "_bounded": True, "_nk": True},
+            )
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                st = rgm.column(i).statistics
+                e["n"] += rgm.num_rows
+                nulls = (
+                    st.null_count
+                    if st is not None and st.has_null_count
+                    else None
+                )
+                if nulls is None:
+                    e["_nk"] = False
+                else:
+                    e["nulls"] += nulls
+                if st is not None and st.has_min_max:
+                    lo, hi = _enc_stat(st.min), _enc_stat(st.max)
+                    if lo is None or hi is None:
+                        e["_bounded"] = False
+                    else:
+                        e["lo"] = lo if "lo" not in e else min(e["lo"], lo)
+                        e["hi"] = hi if "hi" not in e else max(e["hi"], hi)
+                elif nulls is None or nulls < rgm.num_rows:
+                    # non-null rows with no min/max: bounds unknowable
+                    e["_bounded"] = False
+    out = {}
+    for name, e in acc.items():
+        rec = {"n": e["n"]}
+        if e.pop("_nk"):
+            rec["nulls"] = e["nulls"]
+        if e.pop("_bounded") and "lo" in e:
+            rec["lo"], rec["hi"] = e["lo"], e["hi"]
+        out[name] = rec
+    return out
+
+
 def _swing(
     warehouse: str,
     table: str,
@@ -133,6 +231,7 @@ def _swing(
     expected_version: int | None = None,
     specs: dict[str, list[str]] | None = None,
     drops: list[str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -173,6 +272,19 @@ def _swing(
         )
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
+    # file stats ride the manifest (the Delta-log data-skipping index):
+    # carried forward for surviving parts, footer-read ONCE for new parts
+    # — O(new parts) cheap metadata I/O per commit, never a data scan
+    if stats is None:
+        stats = (
+            _read_manifest_file(warehouse, table, cur)["stats"]
+            if cur
+            else {}
+        )
+    stats = {p: s for p, s in stats.items() if p in parts}
+    for p in parts:
+        if p not in stats:
+            stats[p] = _part_stats(warehouse, table, p)
     nxt = cur + 1
     path = os.path.join(tdir, f"{_MANIFEST_PREFIX}{nxt}")
     tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex[:12]}")
@@ -186,6 +298,7 @@ def _swing(
                 "ts": time.time(),
                 "specs": specs,
                 "drops": drops,
+                "stats": stats,
             },
             fh,
         )
@@ -380,6 +493,120 @@ def read_table(
     for phys, logical in m["renames"].items():
         df = df.withColumnRenamed(phys, logical)
     return df
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def prune_parts(
+    warehouse: str,
+    table: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], dict]:
+    """Manifest-stats file skipping — the scan-planning half of the Delta
+    log's data-skipping story: given conjunctive simple predicates
+    ``[(logical_col, op, literal), ...]`` with ops in {=, <, <=, >, >=},
+    return the parts of the snapshot that MIGHT contain matching rows,
+    plus the manifest.  Pure metadata (one manifest read, zero footer or
+    data I/O — the stats were denormalized into the manifest at commit
+    time by :func:`_swing`), so planning stays O(parts-in-manifest) at
+    100 TB instead of O(files) footer fetches.
+
+    A part is skipped only when its stats PROVE emptiness under a
+    predicate: empty part; all-null column (a comparison never matches
+    NULL under three-valued logic); or the literal falls outside the
+    [lo, hi] bound.  Unknown stats, unencodable literals, and type
+    mismatches all KEEP the part — pruning can only err toward reading.
+    Predicates name LOGICAL columns; the manifest's column mapping
+    translates to the physical names the footers carry."""
+    vs = _versions(warehouse, table)
+    _require(bool(vs), f"{table}: prune on an empty table")
+    m = _read_manifest_file(
+        warehouse, table, vs[-1] if version is None else version
+    )
+    to_phys = {logical: phys for phys, logical in m["renames"].items()}
+    resolved = []
+    for col, op, val in predicates:
+        _require(op in _PRUNE_OPS, f"unsupported prune op {op!r}")
+        phys = to_phys.get(col, col)
+        _require(
+            phys not in m["drops"], f"predicate on dropped column {col!r}"
+        )
+        resolved.append((phys, op, _enc_stat(val)))
+
+    def might_match(part: str) -> bool:
+        pstats = m["stats"].get(part)
+        if not pstats:
+            return True  # no stats recorded — cannot prove anything
+        for phys, op, v in resolved:
+            e = pstats.get(phys)
+            if e is None:
+                continue
+            if e["n"] == 0 or e.get("nulls") == e["n"]:
+                return False  # no non-null values: comparison is never true
+            if v is None or "lo" not in e:
+                continue
+            lo, hi = e["lo"], e["hi"]
+            # defensive: never compare across JSON type families
+            same = isinstance(v, str) == isinstance(lo, str)
+            if not same:
+                continue
+            if (
+                (op == "=" and (v < lo or v > hi))
+                or (op == "<" and lo >= v)
+                or (op == "<=" and lo > v)
+                or (op == ">" and hi <= v)
+                or (op == ">=" and hi < v)
+            ):
+                return False
+        return True
+
+    return [p for p in m["parts"] if might_match(p)], m
+
+
+def read_table_where(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-stats file skipping: parts whose stats
+    prove no row can match are never opened (not even their footers), the
+    survivors are scanned, and the FULL predicate is still applied to the
+    scan — correctness never depends on the pruning, exactly like Delta's
+    dataSkippingNumIndexedCols read path.  On a clustered/Z-ordered
+    layout this is what turns a point query over 100 TB into a few-file
+    read."""
+    kept, m = prune_parts(warehouse, table, predicates, version)
+
+    def residual(df: DataFrame) -> DataFrame:
+        for col, op, val in predicates:
+            c, v = F.col(col), F.lit(val)
+            df = df.filter(
+                {
+                    "=": c == v,
+                    "<": c < v,
+                    "<=": c <= v,
+                    ">": c > v,
+                    ">=": c >= v,
+                }[op]
+            )
+        return df
+
+    if not kept:
+        # provably-empty result: full schema, LocalRelation plan, no scan
+        full = read_table(spark, warehouse, table, version)
+        return residual(full).filter(F.lit(False))
+    df = _read_parts(
+        spark, warehouse, table, kept, {p: s for p, s in m["specs"].items()}
+    )
+    if m["drops"]:
+        df = df.drop(*m["drops"])
+    for phys, logical in m["renames"].items():
+        df = df.withColumnRenamed(phys, logical)
+    return residual(df)
 
 
 # Optimize-write file-count targets (the Delta optimizeWrite idea: bound
@@ -1939,6 +2166,74 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping, end to end — the read-path payoff of
+    the per-part column stats :func:`_swing` denormalizes into every
+    commit (Delta's ``dataSkippingNumIndexedCols`` story): events are
+    committed as FOUR appends clustered on epoch day (contiguous quarters
+    of the day span — the layout a date-ordered ingest produces
+    naturally), then the classic warehouse query — "aggregate the most
+    recent quarter of the history" — plans from the MANIFEST ALONE:
+    :func:`prune_parts` proves the earlier parts cannot satisfy
+    ``d >= cut`` with zero footer or data I/O, the scan opens exactly one
+    part (gate-required), and the predicate is still applied to the
+    survivors so correctness never rests on the pruning.  At 100 TB this
+    is the difference between a last-day rollup that reads the whole
+    history and one that reads yesterday's files.
+
+    Oracle: the same last-quarter aggregate stated directly over events
+    with identical integer epoch-day arithmetic."""
+    import shutil
+    import tempfile
+
+    from spark_spotify.functions.agg import lsum
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+    )
+    b = events.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = hi - lo + 1
+    bounds = [lo + span * k // 4 for k in range(4)] + [hi + 1]
+    cut = bounds[3]
+    w = tempfile.mkdtemp(prefix="spark_spotify_skip_")
+    try:
+        for k in range(4):
+            _commit_append(
+                events.filter(
+                    (F.col("d") >= bounds[k]) & (F.col("d") < bounds[k + 1])
+                ),
+                w,
+                "events",
+                k + 1,
+            )
+        kept, m = prune_parts(w, "events", [("d", ">=", cut)])
+        _require(
+            kept == ["p4"],
+            f"skipping failed: kept {kept} of {m['parts']}",
+        )
+        out = (
+            read_table_where(spark, w, "events", [("d", ">=", cut)])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                lsum(F.col("value")).alias("total_value"),
+            )
+        )
+        return out.transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level Change Data Feed — Delta CDF semantics over the
     versioned warehouse: the change rows BETWEEN two committed versions
@@ -2236,6 +2531,7 @@ QUERIES = {
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
+    "etl_data_skipping": q_data_skipping,
     "etl_history": q_history,
     "etl_change_feed_rows": q_change_feed_rows,
     "etl_cdf_apply": q_cdf_apply,
@@ -2360,6 +2656,25 @@ FROM events e""",
     "etl_wap_publish": _fact.ORACLE["etl_fact_star"],
     # Z-order is a rewrite: layout changes, logical rows do not
     "etl_zorder_layout": _fact.ORACLE["etl_fact_star"],
+    # file skipping changes WHICH files are opened, never which rows
+    # qualify — the oracle states the last-quarter aggregate directly,
+    # with the same integer epoch-day arithmetic as the gate's cut
+    "etl_data_skipping": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), b AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM e, b
+WHERE d >= lo + ((hi - lo + 1) * 3) // 4
+GROUP BY event_type
+""",
     # clustering is a rewrite (rows unchanged); the gate then point-
     # deletes the subject, so the result is the star join minus them
     "etl_cluster_layout": _fact.ORACLE["etl_fact_star"]

@@ -97,6 +97,12 @@ def get_spark(app_name: str = "spark_spotify") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # int64-micros timestamps, not the legacy INT96 default: INT96 is
+        # deprecated AND carries no parquet min/max statistics, which
+        # blinds the manifest data-skipping index (etl/pipeline.py
+        # _part_stats) on every timestamp column — the same setting
+        # Delta/Iceberg mandate for their file-skipping stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # reclaim reliable-checkpoint files once their DataFrames are GC'd
         # (stable_checkpoint uses checkpoint() when a checkpoint dir is set;
         # without this a long-lived cluster session's checkpoint dir grows

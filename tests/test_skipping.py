@@ -1,0 +1,196 @@
+"""Manifest-stats data skipping: commit-time footer stats, metadata-only
+pruning, and the read path whose correctness never rests on the pruning."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_spotify.etl import pipeline as P
+from spark_spotify.etl.pipeline import (
+    _commit_append,
+    _read_manifest_file,
+    prune_parts,
+    read_table,
+    read_table_where,
+    rename_column,
+)
+
+
+@pytest.fixture()
+def warehouse():
+    path = tempfile.mkdtemp(prefix="spark_spotify_test_skip_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _ranged_table(spark, warehouse, table="t"):
+    """Three appends with disjoint id ranges [0,10), [10,20), [20,30)."""
+    for k in range(3):
+        df = spark.range(k * 10, (k + 1) * 10).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("grp"),
+            F.concat(F.lit("u"), F.format_string("%03d", "id")).alias("tag"),
+        )
+        _commit_append(df, warehouse, table, k + 1)
+    return ["p1", "p2", "p3"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stats_recorded_at_commit(spark, warehouse):
+    _ranged_table(spark, warehouse)
+    m = _read_manifest_file(warehouse, "t", 3)
+    assert set(m["stats"]) == {"p1", "p2", "p3"}
+    s = m["stats"]["p2"]["id"]
+    assert (s["lo"], s["hi"], s["n"], s["nulls"]) == (10, 19, 10, 0)
+    assert m["stats"]["p1"]["tag"]["lo"] == "u000"
+
+
+def test_prune_point_and_range(spark, warehouse):
+    parts = _ranged_table(spark, warehouse)
+    kept, _ = prune_parts(warehouse, "t", [("id", "=", 15)])
+    assert kept == ["p2"]
+    kept, _ = prune_parts(warehouse, "t", [("id", ">=", 20)])
+    assert kept == ["p3"]
+    kept, _ = prune_parts(warehouse, "t", [("id", "<", 10)])
+    assert kept == ["p1"]
+    kept, _ = prune_parts(warehouse, "t", [("id", "<=", 10)])
+    assert kept == ["p1", "p2"]
+    kept, _ = prune_parts(warehouse, "t", [("id", ">", 29)])
+    assert kept == []
+    # conjunction narrows further than either predicate alone
+    kept, _ = prune_parts(
+        warehouse, "t", [("id", ">=", 10), ("id", "<", 20)]
+    )
+    assert kept == ["p2"]
+    # a column whose ranges overlap every part can never prune
+    kept, _ = prune_parts(warehouse, "t", [("grp", "=", 3)])
+    assert kept == parts
+
+
+def test_string_pruning(spark, warehouse):
+    _ranged_table(spark, warehouse)
+    kept, _ = prune_parts(warehouse, "t", [("tag", ">=", "u020")])
+    assert kept == ["p3"]
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", "u005")])
+    assert kept == ["p1"]
+
+
+def test_read_where_matches_full_filter(spark, warehouse):
+    _ranged_table(spark, warehouse)
+    for preds, col_expr in [
+        ([("id", ">=", 20)], F.col("id") >= 20),
+        ([("id", "=", 7)], F.col("id") == 7),
+        ([("grp", "=", 3)], F.col("grp") == 3),
+        ([("id", ">", 29)], F.col("id") > 29),  # provably empty
+    ]:
+        got = read_table_where(spark, warehouse, "t", preds)
+        want = read_table(spark, warehouse, "t").filter(col_expr)
+        assert _rows(got) == _rows(want)
+
+
+def test_empty_and_all_null_parts_skipped(spark, warehouse):
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
+    _commit_append(df, warehouse, "t", 1)
+    _commit_append(df.filter(F.lit(False)), warehouse, "t", 2)  # empty
+    _commit_append(  # all-null v
+        spark.range(5, 10).select(
+            F.col("id"), F.lit(None).cast("int").alias("v")
+        ),
+        warehouse,
+        "t",
+        3,
+    )
+    kept, _ = prune_parts(warehouse, "t", [("v", "=", 1)])
+    assert kept == ["p1"]
+    # the null part still answers id predicates (its id stats are real)
+    kept, _ = prune_parts(warehouse, "t", [("id", ">=", 5)])
+    assert kept == ["p3"]
+
+
+def test_long_string_bounds_dropped_conservatively(spark, warehouse):
+    long = "x" * 200
+    df = spark.range(3).select(
+        F.col("id"), F.lit(long).alias("body")
+    )
+    _commit_append(df, warehouse, "t", 1)
+    m = _read_manifest_file(warehouse, "t", 1)
+    assert "lo" not in m["stats"]["p1"]["body"]  # bound dropped, not lied
+    # unbounded column never prunes; the read is still correct
+    kept, _ = prune_parts(warehouse, "t", [("body", "=", "zzz")])
+    assert kept == ["p1"]
+    assert read_table_where(
+        spark, warehouse, "t", [("body", "=", "zzz")]
+    ).count() == 0
+
+
+def test_timestamp_pruning(spark, warehouse):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, dt.datetime(2024, 1, 2, 12, 0, 0)),
+    ]
+    early = spark.createDataFrame(rows, "id int, ts timestamp")
+    late = spark.createDataFrame(
+        [(3, dt.datetime(2024, 2, 1)), (4, dt.datetime(2024, 2, 2))],
+        "id int, ts timestamp",
+    )
+    _commit_append(early, warehouse, "t", 1)
+    _commit_append(late, warehouse, "t", 2)
+    cut = dt.datetime(2024, 1, 15)
+    kept, _ = prune_parts(warehouse, "t", [("ts", ">=", cut)])
+    assert kept == ["p2"]
+    # equality at an exact stored bound must keep the part (the
+    # epoch-micros encoding has no renderer ambiguity at equality)
+    kept, _ = prune_parts(
+        warehouse, "t", [("ts", "=", dt.datetime(2024, 1, 2, 12, 0, 0))]
+    )
+    assert kept == ["p1"]
+    got = read_table_where(spark, warehouse, "t", [("ts", ">=", cut)])
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
+
+
+def test_stats_carried_forward_without_rereading(
+    spark, warehouse, monkeypatch
+):
+    _ranged_table(spark, warehouse)
+    before = _read_manifest_file(warehouse, "t", 3)["stats"]
+
+    def boom(*a, **k):
+        raise AssertionError("metadata-only commit re-read footers")
+
+    monkeypatch.setattr(P, "_part_stats", boom)
+    rename_column(warehouse, "t", "tag", "label")
+    after = _read_manifest_file(warehouse, "t", 4)
+    assert after["stats"] == before  # carried, keyed by PHYSICAL names
+    # predicates on the LOGICAL name prune via the physical stats
+    kept, _ = prune_parts(warehouse, "t", [("label", "=", "u005")])
+    assert kept == ["p1"]
+    got = read_table_where(
+        spark, warehouse, "t", [("label", "=", "u005")]
+    )
+    assert got.count() == 1 and got.columns.count("label") == 1
+
+
+def test_dropped_stats_pruned_with_parts(spark, warehouse):
+    from spark_spotify.etl.pipeline import _swing
+
+    _ranged_table(spark, warehouse)
+    _swing(warehouse, "t", ["p1", "p3"])
+    m = _read_manifest_file(warehouse, "t", 4)
+    assert set(m["stats"]) == {"p1", "p3"}
+
+
+def test_prune_on_dropped_column_rejected(spark, warehouse):
+    from spark_spotify.etl.pipeline import drop_column
+
+    _ranged_table(spark, warehouse)
+    drop_column(warehouse, "t", "grp")
+    with pytest.raises(RuntimeError, match="dropped column"):
+        prune_parts(warehouse, "t", [("grp", "=", 1)])
