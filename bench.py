@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "src_csv_ingest_audit",
     "stream_resume",
     "etl_data_skipping",
+    "etl_restore",
 ]
 
 

@@ -973,6 +973,80 @@ def vacuum_table(
     return sorted(removed)
 
 
+def restore_table(warehouse: str, table: str, to_version: int) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` — Delta's undo verb: commit
+    a NEW head whose entire content (part list, partition specs, column
+    mapping, drops, file stats) is exactly the target version's.
+    Metadata-only — zero part bytes move at any table size — and
+    history-preserving: the restore is itself a commit, so the undone
+    versions stay travel-able and a restore can itself be restored.  The
+    re-referenced parts are vacuum-safe again because vacuum always
+    retains the live head.  Raises if the target's parts were already
+    vacuumed away (Delta fails identically once data files are gone)."""
+    vs = _versions(warehouse, table)
+    _require(
+        to_version in vs, f"{table}: no committed version {to_version}"
+    )
+    m = _read_manifest_file(warehouse, table, to_version)
+    tdir = os.path.join(warehouse, table)
+    missing = [
+        p for p in m["parts"] if not os.path.isdir(os.path.join(tdir, p))
+    ]
+    _require(
+        not missing, f"{table}: restore target parts vacuumed: {missing}"
+    )
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        renames=m["renames"],
+        specs=m["specs"],
+        drops=m["drops"],
+        stats=m["stats"],
+    )
+
+
+def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE gate — the bad-deploy undo drill every versioned
+    warehouse runs eventually: v2 = the full two-batch fact table, v3 =
+    a destructive DELETE (the incident), v4 = ``restore_table`` back to
+    v2 (one manifest write, no data I/O), then VACUUM — which must
+    reclaim exactly the incident's rewrite parts (orphaned by the
+    restore) while the restored head keeps reading the original bytes.
+
+    Oracle: the unchanged single-shot star join — a restore after a
+    delete must be byte-equivalent to the delete never happening."""
+    import shutil
+    import tempfile
+
+    warehouse, v1 = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_res_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", list(v1))  # v1: batch-1 snapshot
+        _swing(cw, "fact", parts)  # v2: the full table
+        n_affected = delete_rows(  # v3: the incident
+            spark, cw, "fact", F.col("user_id") == DELETE_USER, "r1"
+        )
+        _require(n_affected > 0, "incident delete touched nothing")
+        v4 = restore_table(cw, "fact", 2)
+        _require(v4 == 4, f"restore committed v{v4}, expected v4")
+        _require(
+            _manifest(cw, "fact") == parts,
+            "restored head must reference exactly the v2 parts",
+        )
+        removed = vacuum_table(cw, "fact")
+        _require(
+            bool(removed)
+            and all(r not in set(parts) for r in removed),
+            f"vacuum must reclaim only the incident's rewrites: {removed}",
+        )
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def rename_column(warehouse: str, table: str, old: str, new: str) -> int:
     """Metadata-only column RENAME — Delta column-mapping semantics: the
     part files keep their physical column name forever; the manifest
@@ -2528,6 +2602,7 @@ QUERIES = {
     "etl_merge_cow": q_merge_cow,
     "etl_merge_full": q_merge_full,
     "etl_vacuum": q_vacuum,
+    "etl_restore": q_restore,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
@@ -2651,6 +2726,9 @@ FROM events e""",
     # vacuum changes the physical layout only (and only of UNRETAINED
     # snapshots) — the live table is the unmodified star join
     "etl_vacuum": _fact.ORACLE["etl_fact_star"],
+    # RESTORE undoes the incident delete completely — the live table is
+    # the unmodified star join, and vacuum reclaims only the rewrites
+    "etl_restore": _fact.ORACLE["etl_fact_star"],
     # WAP: the poisoned staging leaves no trace; the published end state
     # is the full two-batch table — the unmodified star join
     "etl_wap_publish": _fact.ORACLE["etl_fact_star"],

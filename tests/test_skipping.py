@@ -194,3 +194,34 @@ def test_prune_on_dropped_column_rejected(spark, warehouse):
     drop_column(warehouse, "t", "grp")
     with pytest.raises(RuntimeError, match="dropped column"):
         prune_parts(warehouse, "t", [("grp", "=", 1)])
+
+
+def test_restore_reinstates_schema_state(spark, warehouse):
+    from spark_spotify.etl.pipeline import restore_table
+
+    _ranged_table(spark, warehouse)  # v1..v3
+    rename_column(warehouse, "t", "tag", "label")  # v4
+    v = restore_table(warehouse, "t", 3)  # pre-rename head
+    assert v == 5
+    assert "tag" in read_table(spark, warehouse, "t").columns
+    v = restore_table(warehouse, "t", 4)  # a restore can be restored
+    assert v == 6
+    assert "label" in read_table(spark, warehouse, "t").columns
+    # stats travel with the restore: pruning still works at the new head
+    kept, _ = prune_parts(warehouse, "t", [("label", "=", "u015")])
+    assert kept == ["p2"]
+
+
+def test_restore_rejects_missing_parts(spark, warehouse):
+    import os
+
+    from spark_spotify.etl.pipeline import restore_table
+
+    _ranged_table(spark, warehouse)  # v1..v3 (p1, p1+p2, p1+p2+p3)
+    # simulate externally lost bytes (vacuum keeps retained manifests'
+    # parts, so the guard's real-life trigger is tampering/races)
+    shutil.rmtree(os.path.join(warehouse, "t", "p1"))
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        restore_table(warehouse, "t", 2)
+    with pytest.raises(RuntimeError, match="no committed version"):
+        restore_table(warehouse, "t", 99)
