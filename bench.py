@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "stream_resume",
     "etl_data_skipping",
     "etl_restore",
+    "etl_constraints",
 ]
 
 

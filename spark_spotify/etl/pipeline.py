@@ -61,6 +61,11 @@ class CommitConflictError(RuntimeError):
     committed the manifest version this writer was about to claim."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write (or ADD CONSTRAINT backfill check) found rows for which a
+    table CHECK constraint evaluates to FALSE."""
+
+
 def _require(cond: bool, msg: object) -> None:
     """Gate invariant (survives ``python -O``, unlike ``assert``)."""
     if not cond:
@@ -100,6 +105,7 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("specs", {})  # {part: [hive partition cols]}
     m.setdefault("drops", [])  # physical column names dropped
     m.setdefault("stats", {})  # {part: {col: {lo, hi, nulls, n}}}
+    m.setdefault("constraints", {})  # {name: CHECK sql expr (logical cols)}
     return m
 
 
@@ -232,6 +238,7 @@ def _swing(
     specs: dict[str, list[str]] | None = None,
     drops: list[str] | None = None,
     stats: dict[str, dict] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -270,6 +277,12 @@ def _swing(
             if cur
             else {}
         )
+    if constraints is None:
+        constraints = (
+            _read_manifest_file(warehouse, table, cur)["constraints"]
+            if cur
+            else {}
+        )
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
     # file stats ride the manifest (the Delta-log data-skipping index):
@@ -299,6 +312,7 @@ def _swing(
                 "specs": specs,
                 "drops": drops,
                 "stats": stats,
+                "constraints": constraints,
             },
             fh,
         )
@@ -627,6 +641,7 @@ def _commit(df: DataFrame, warehouse: str, table: str, version: int) -> None:
     dims, merged aggregates, anything a keyed merge rewrites anyway."""
     path = os.path.join(warehouse, table, f"v{version}")
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(path)
+    _enforce_constraints(df.sparkSession, warehouse, table, f"v{version}")
     _swing(warehouse, table, [f"v{version}"])
 
 
@@ -647,6 +662,7 @@ def _commit_append(
     delta.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, part)
     )
+    _enforce_constraints(delta.sparkSession, warehouse, table, part)
     # append ∥ anything-disjoint auto-rebases: a concurrent commit
     # landing between the base read and the swing is replayed under,
     # never silently dropped (the lost-update hazard of an absolute
@@ -1003,6 +1019,98 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
         specs=m["specs"],
         drops=m["drops"],
         stats=m["stats"],
+        constraints=m["constraints"],
+    )
+
+
+def _violation_filter(constraints: dict[str, str]) -> F.Column:
+    """Rows for which ANY constraint evaluates to FALSE — SQL CHECK
+    three-valued logic: TRUE and UNKNOWN (NULL) both satisfy, so a
+    constraint on a nullable column rejects only provably-bad rows."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a | b,
+        [~F.coalesce(F.expr(e), F.lit(True)) for e in constraints.values()],
+    )
+
+
+def _enforce_constraints(
+    spark: SparkSession, warehouse: str, table: str, part: str
+) -> None:
+    """CHECK enforcement at commit time: validate the just-written delta
+    part against the table's constraints BEFORE the manifest swings — on
+    violation the staged part directory is removed and
+    :class:`ConstraintViolationError` raised, so a failed write leaves
+    no trace (the WAP shape, fused into every commit).  Cost is one
+    O(delta) scan, and ONLY when the table declares constraints;
+    constraint expressions name LOGICAL columns, so the check applies
+    the manifest's drops/renames to the raw part first.  DELETE commits
+    skip enforcement by construction: removing rows cannot create a
+    CHECK violation."""
+    cur = _current_version(warehouse, table)
+    if not cur:
+        return
+    m = _read_manifest_file(warehouse, table, cur)
+    if not m["constraints"]:
+        return
+    df = spark.read.parquet(os.path.join(warehouse, table, part))
+    if m["drops"]:
+        df = df.drop(*m["drops"])
+    for phys, logical in m["renames"].items():
+        df = df.withColumnRenamed(phys, logical)
+    bad = df.filter(_violation_filter(m["constraints"])).count()
+    if bad:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(warehouse, table, part), ignore_errors=True
+        )
+        raise ConstraintViolationError(
+            f"{table}/{part}: {bad} row(s) violate CHECK constraints "
+            f"{sorted(m['constraints'])}"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, warehouse: str, table: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` — Delta
+    semantics: every EXISTING row must already satisfy the constraint
+    (one full-table validation scan, the same price Delta pays), then
+    one metadata commit registers it; from that commit on, every
+    append/COW-merge validates its delta before swinging the manifest.
+    On violation the table is left untouched."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: add constraint on an uncommitted table")
+    m = _read_manifest_file(warehouse, table, cur)
+    _require(
+        name not in m["constraints"], f"constraint {name!r} already exists"
+    )
+    df = read_table(spark, warehouse, table)
+    if df is not None:
+        bad = df.filter(_violation_filter({name: expr})).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"{table}: {bad} existing row(s) violate {name!r} ({expr})"
+            )
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        expected_version=cur,
+        constraints={**m["constraints"], name: expr},
+    )
+
+
+def drop_constraint(warehouse: str, table: str, name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT`` — one metadata commit."""
+    cur = _current_version(warehouse, table)
+    m = _read_manifest_file(warehouse, table, cur)
+    _require(name in m["constraints"], f"no constraint {name!r}")
+    cons = {k: v for k, v in m["constraints"].items() if k != name}
+    return _swing(
+        warehouse, table, m["parts"], expected_version=cur, constraints=cons
     )
 
 
@@ -1045,6 +1153,76 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_table(spark, cw, "fact").transform(stable_checkpoint)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end to end — the write-time data contract every
+    warehouse ingest needs: batch 1 commits, ``ADD CONSTRAINT`` validates
+    ALL existing rows before registering (an impossible constraint is
+    rejected by the backfill scan, table untouched), a poisoned batch
+    (negative values + a NULL key) is rejected AT COMMIT — manifest
+    version unchanged, staged part directory removed, no trace — and the
+    clean batch 2 then commits under the same constraints.  Enforcement
+    is one O(delta) scan per constrained commit; unconstrained tables
+    pay nothing.
+
+    Oracle: the per-event-type rollup of the full corpus — exactly the
+    two admitted batches, the rejected one invisible."""
+    import shutil
+    import tempfile
+
+    from spark_spotify.functions.agg import lsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_con_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        add_constraint(spark, w, "t", "pk_not_null", "event_id IS NOT NULL")
+        add_constraint(spark, w, "t", "value_floor", "value >= 0")
+        try:
+            add_constraint(spark, w, "t", "impossible", "value < 0")
+            _require(False, "backfill check must reject a false constraint")
+        except ConstraintViolationError:
+            pass
+        v_before = _current_version(w, "t")
+        poison = (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .limit(100)
+            .withColumn("value", F.lit(-1.0))
+            .unionByName(
+                ev.limit(1).withColumn(
+                    "event_id", F.lit(None).cast("long")
+                )
+            )
+        )
+        try:
+            _commit_append(poison, w, "t", 98)
+            _require(False, "poisoned append must be rejected")
+        except ConstraintViolationError:
+            pass
+        _require(
+            _current_version(w, "t") == v_before,
+            "failed write must not move the table",
+        )
+        _require(
+            not os.path.exists(os.path.join(w, "t", "p98")),
+            "rejected staging must be removed",
+        )
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        out = (
+            read_table(spark, w, "t")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                lsum(F.col("value")).alias("total_value"),
+            )
+        )
+        return out.transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 def rename_column(warehouse: str, table: str, old: str, new: str) -> int:
@@ -1538,6 +1716,9 @@ def merge_rows(
     merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
+    # arms can assign arbitrary values, so MERGE output is CHECKed like
+    # any other delta before the commit
+    _enforce_constraints(spark, warehouse, table, new_part)
     # delta commit: disjoint concurrent commits rebase, overlapping
     # rewrites of the same parts raise (WriteSerializable)
     swing_rebase(warehouse, table, base, [new_part], affected)
@@ -2603,6 +2784,7 @@ QUERIES = {
     "etl_merge_full": q_merge_full,
     "etl_vacuum": q_vacuum,
     "etl_restore": q_restore,
+    "etl_constraints": q_constraints,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
@@ -2729,6 +2911,16 @@ FROM events e""",
     # RESTORE undoes the incident delete completely — the live table is
     # the unmodified star join, and vacuum reclaims only the rewrites
     "etl_restore": _fact.ORACLE["etl_fact_star"],
+    # the rejected batch leaves zero trace: the table is exactly the two
+    # admitted halves = the full corpus, rolled up per event type
+    "etl_constraints": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
     # WAP: the poisoned staging leaves no trace; the published end state
     # is the full two-batch table — the unmodified star join
     "etl_wap_publish": _fact.ORACLE["etl_fact_star"],

@@ -225,3 +225,86 @@ def test_restore_rejects_missing_parts(spark, warehouse):
         restore_table(warehouse, "t", 2)
     with pytest.raises(RuntimeError, match="no committed version"):
         restore_table(warehouse, "t", 99)
+
+
+def test_constraints_null_is_not_a_violation(spark, warehouse):
+    from spark_spotify.etl.pipeline import add_constraint
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None)], "id int, v int"
+    )
+    _commit_append(df, warehouse, "t", 1)
+    # UNKNOWN satisfies CHECK (SQL three-valued logic): the NULL row
+    # neither blocks the backfill validation nor future appends
+    add_constraint(spark, warehouse, "t", "v_pos", "v > 0")
+    _commit_append(
+        spark.createDataFrame([(3, None)], "id int, v int"),
+        warehouse,
+        "t",
+        2,
+    )
+    assert read_table(spark, warehouse, "t").count() == 3
+
+
+def test_constraints_enforced_on_merge(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        ConstraintViolationError,
+        add_constraint,
+        merge_rows,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "id int, v int")
+    _commit_append(df, warehouse, "t", 1)
+    add_constraint(spark, warehouse, "t", "v_pos", "v > 0")
+    bad = spark.createDataFrame([(1, -7)], "id int, v int")
+    with pytest.raises(ConstraintViolationError):
+        merge_rows(spark, warehouse, "t", bad, "id", "x1")
+    assert read_table(spark, warehouse, "t").filter("v < 0").count() == 0
+    ok = spark.createDataFrame([(1, 7), (9, 9)], "id int, v int")
+    merge_rows(spark, warehouse, "t", ok, "id", "x2")
+    assert read_table(spark, warehouse, "t").count() == 3
+
+
+def test_constraints_on_logical_names_after_rename(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        ConstraintViolationError,
+        add_constraint,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "id int, v int")
+    _commit_append(df, warehouse, "t", 1)
+    rename_column(warehouse, "t", "v", "score")
+    add_constraint(spark, warehouse, "t", "score_pos", "score > 0")
+    with pytest.raises(ConstraintViolationError):
+        _commit_append(
+            spark.createDataFrame([(2, -1)], "id int, v int"),
+            warehouse,
+            "t",
+            2,
+        )
+    _commit_append(
+        spark.createDataFrame([(2, 1)], "id int, v int"),
+        warehouse,
+        "t",
+        3,
+    )
+    assert read_table(spark, warehouse, "t").count() == 2
+
+
+def test_drop_constraint_and_restore_carries(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        ConstraintViolationError,
+        add_constraint,
+        drop_constraint,
+        restore_table,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "id int, v int")
+    _commit_append(df, warehouse, "t", 1)  # v1
+    add_constraint(spark, warehouse, "t", "v_pos", "v > 0")  # v2
+    drop_constraint(warehouse, "t", "v_pos")  # v3
+    bad = spark.createDataFrame([(2, -1)], "id int, v int")
+    _commit_append(bad, warehouse, "t", 2)  # v4: admitted, no constraint
+    restore_table(warehouse, "t", 2)  # v5: constraint is BACK
+    with pytest.raises(ConstraintViolationError):
+        _commit_append(bad, warehouse, "t", 3)
