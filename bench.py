@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "etl_data_skipping",
     "etl_restore",
     "etl_constraints",
+    "agg_kmv_set_ops",
 ]
 
 

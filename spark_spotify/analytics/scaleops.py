@@ -549,6 +549,170 @@ HH_TOPK = 20  # heavy hitters returned
 HH_SUMMARY = 256  # Misra-Gries counters per partition
 
 
+# --- KMV / Theta sketch set operations ------------------------------------
+# Distinct-count INTERSECTION is the operation HLL cannot do (HLL unions
+# only; inclusion-exclusion explodes its error).  A K-minimum-values /
+# Theta sketch keeps the K smallest hash values per set; any two sketches
+# combine under min(theta) for union AND intersection estimates.  The hash
+# here is deliberately a PORTABLE integer mix (Degski's invertible 32-bit
+# hash: two rounds of xor-shift-multiply mod 2^32) expressible identically
+# in Spark SQL and DuckDB SQL, so the ORACLE replays the sketch bit-exactly
+# — the estimate itself is hash-gated, not tolerance-gated.  The mix is a
+# BIJECTION on [0, 2^32), so distinct user_ids (< 2^32 by fixture
+# contract; beyond that, wrap-collisions just add ordinary hash-collision
+# noise) map to distinct ranks with full avalanche.
+_KMV_M = 1 << 32
+# three xor-shift-multiply rounds; constants < 2^31 keep every product
+# inside int64 in both engines.  Chosen empirically: two-round Degski
+# left a +20% low-range density on small sequential id domains (3 sigma
+# at K=256); this mix estimates within ~1 sigma at n = 1.5e3..1.5e5.
+_KMV_ROUNDS = ((15, 0x2C1B3C6D), (13, 0x297A2D39), (16, 0x45D9F3B))
+KMV_K = 256
+
+
+def _kmv_hash_sql(col: str, duck: bool) -> str:
+    """The mix as a SQL expression in either dialect (Spark: ``^`` /
+    ``shiftright``; DuckDB: ``xor()`` / ``>>``)."""
+    if duck:
+        x = "xor({a}, ({a} >> {s}))"
+    else:
+        x = "({a} ^ shiftright({a}, {s}))"
+    h = f"(CAST({col} AS BIGINT) % {_KMV_M})"
+    for s, c in _KMV_ROUNDS:
+        h = f"(({x.format(a=h, s=s)}) * {c}) % {_KMV_M}"
+    return x.format(a=f"({h})", s=_KMV_ROUNDS[-1][0])
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over user audiences — for every pair
+    of event types, estimate the DISTINCT-user intersection and union
+    from {KMV_K}-minimum-values sketches, never from the raw sets.  At
+    100 TB the per-type audiences are billions of users; the sketches
+    are {KMV_K} longs each, mergeable across days/partitions, and every
+    pairwise overlap question (campaign reach, audience similarity) is
+    answered from kilobytes.  Dataflow: one distinct shuffle
+    (event_type, user), a bijective portable hash, per-type bottom-K
+    (window rank over the distinct-user relation), then all pair math on
+    the K-sized sketches with theta = min(theta_a, theta_b) — below-theta
+    common hashes scaled by 2^32/theta (Theta-sketch estimator,
+    integer-exact arithmetic).  Sketches smaller than K are EXACT
+    (theta = 2^32), so small scale factors return true counts.
+
+    Oracle: the identical sketch replayed in DuckDB — same hash, same
+    ranks, same integer estimator — hash-exact by construction."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    uh = ev.select(
+        "event_type",
+        F.expr(_kmv_hash_sql("user_id", duck=False)).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = uh.withColumn("rn", F.row_number().over(w))
+    sk = ranked.filter(F.col("rn") <= KMV_K).persist()
+    th = sk.groupBy("event_type").agg(
+        F.max("rn").alias("topr"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+    ).select(
+        "event_type",
+        F.when(F.col("topr") >= KMV_K, F.col("kth"))
+        .otherwise(F.lit(_KMV_M))
+        .alias("theta"),
+    )
+    ta = th.select(
+        F.col("event_type").alias("ta"), F.col("theta").alias("theta_a")
+    )
+    tb = th.select(
+        F.col("event_type").alias("tb"), F.col("theta").alias("theta_b")
+    )
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "ta", "tb", F.least("theta_a", "theta_b").alias("theta")
+        )
+    )
+    side_a = pairs.join(sk, sk.event_type == pairs.ta).select(
+        "ta", "tb", "theta", "h", F.lit(1).alias("side")
+    )
+    side_b = pairs.join(sk, sk.event_type == pairs.tb).select(
+        "ta", "tb", "theta", "h", F.lit(2).alias("side")
+    )
+    hh = (
+        side_a.unionByName(side_b)
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb", "theta", "h")
+        .agg(F.countDistinct("side").alias("s"))
+    )
+    out = (
+        hh.groupBy("ta", "tb", "theta")
+        .agg(
+            F.count(F.when(F.col("s") == 2, 1)).alias("m"),
+            F.count(F.lit(1)).alias("nu"),
+        )
+        .select(
+            "ta",
+            "tb",
+            F.col("m").cast("long").alias("sketch_common"),
+            F.expr(f"CAST((m * {_KMV_M}) div theta AS BIGINT)").alias(
+                "est_common_users"
+            ),
+            F.expr(f"CAST((nu * {_KMV_M}) div theta AS BIGINT)").alias(
+                "est_union_users"
+            ),
+        )
+    )
+    sk.unpersist()
+    return out
+
+
+KMV_ORACLE = f"""
+WITH uh AS (
+  SELECT event_type, {_kmv_hash_sql("user_id", duck=True)} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM uh
+),
+sk AS (SELECT * FROM ranked WHERE rn <= {KMV_K}),
+th AS (
+  SELECT event_type,
+         CASE WHEN max(rn) >= {KMV_K}
+              THEN max(CASE WHEN rn = {KMV_K} THEN h END)
+              ELSE {_KMV_M} END AS theta
+  FROM sk GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CASE WHEN a.theta < b.theta THEN a.theta ELSE b.theta END AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+memb AS (
+  SELECT p.ta, p.tb, p.theta, s.h, 1 AS side
+  FROM pairs p JOIN sk s ON s.event_type = p.ta
+  UNION ALL
+  SELECT p.ta, p.tb, p.theta, s.h, 2 AS side
+  FROM pairs p JOIN sk s ON s.event_type = p.tb
+),
+hh AS (
+  SELECT ta, tb, theta, h, COUNT(DISTINCT side) AS s
+  FROM memb WHERE h < theta GROUP BY ta, tb, theta, h
+)
+SELECT ta, tb,
+       CAST(COUNT(CASE WHEN s = 2 THEN 1 END) AS BIGINT) AS sketch_common,
+       CAST((COUNT(CASE WHEN s = 2 THEN 1 END) * {_KMV_M}) // theta
+            AS BIGINT) AS est_common_users,
+       CAST((COUNT(*) * {_KMV_M}) // theta AS BIGINT) AS est_union_users
+FROM hh GROUP BY ta, tb, theta
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT top-{HH_TOPK} most frequent tokens via the sketch-then-verify
     dataflow — the heavy-hitter shape that avoids a full-vocabulary
@@ -1156,7 +1320,10 @@ QUERIES = {
     "agg_exact_median": q_exact_median,
     "agg_exact_quartiles": q_exact_quartiles,
     "op_asof_join": q_asof_join,
+    "agg_kmv_set_ops": q_kmv_set_ops,
 }
+
+ORACLE["agg_kmv_set_ops"] = KMV_ORACLE
 
 # the oracle IS DuckDB's native ASOF JOIN — engine-grade semantics to
 # match, not a hand-rolled correlated subquery

@@ -308,3 +308,47 @@ def test_drop_constraint_and_restore_carries(spark, warehouse):
     restore_table(warehouse, "t", 2)  # v5: constraint is BACK
     with pytest.raises(ConstraintViolationError):
         _commit_append(bad, warehouse, "t", 3)
+
+
+def test_kmv_estimates_near_exact(spark, sf_dir):
+    """The sketch is hash-gated by the oracle; this gates its STATISTICAL
+    quality: every pair estimate within 8/sqrt(K) relative error of the
+    exact intersection/union (KMV rsd ~ 1/sqrt(K); 8 sigma never flakes,
+    a broken estimator blows past it)."""
+    from spark_spotify.analytics.scaleops import KMV_K, q_kmv_set_ops
+    from spark_spotify.sources.tables import load_table
+
+    est = {
+        (r["ta"], r["tb"]): r
+        for r in q_kmv_set_ops(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    exact = {
+        (r["ta"], r["tb"]): r
+        for r in (
+            a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+            .filter(F.col("a.event_type") < F.col("b.event_type"))
+            .select(
+                F.col("a.event_type").alias("ta"),
+                F.col("b.event_type").alias("tb"),
+                "a.user_id",
+            )
+            .distinct()
+            .groupBy("ta", "tb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    tol = 8.0 / (KMV_K ** 0.5)
+    assert set(est) == set(exact)
+    for pair, r in est.items():
+        n = exact[pair]["n"]
+        assert abs(r["est_common_users"] - n) <= max(tol * n, 2), (
+            pair,
+            r["est_common_users"],
+            n,
+        )
