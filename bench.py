@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "etl_restore",
     "etl_constraints",
     "agg_kmv_set_ops",
+    "dedup_paragraph",
 ]
 
 

@@ -195,6 +195,64 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_TOKENS = 20  # segment width for sub-document dedup
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) exact dedup with reassembly — C4's
+    "deduplicate at the span level, not the document level" pass: whole-
+    doc dedup misses boilerplate repeated INSIDE otherwise-distinct
+    pages.  Each document is split into consecutive {SEG_TOKENS}-token
+    segments (this corpus is single-line, so fixed token windows stand
+    in for paragraph breaks); a segment survives only at its FIRST
+    corpus occurrence in (doc_id, position) order; surviving segments
+    reassemble into the cleaned document.  Dataflow: ONE explode
+    (corpus tokens / {SEG_TOKENS} rows), one hash shuffle on the
+    segment for global keep-first (mostly singleton groups — no skew),
+    one shuffle back on doc_id for reassembly; no joins against the
+    corpus, no collect.  Fully-duplicated documents vanish (their every
+    segment lost keep-first), exactly like C4.
+
+    Oracle: the same split/keep-first/reassemble stated in SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), " ")
+    nseg = F.ceil(F.size(toks) / SEG_TOKENS).cast("int")
+    seg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = (
+        seg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seg"))
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return out.join(tot, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_kept",
+        (F.col("n_seg") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
 FP_K = 8  # char k-gram width
 FP_W = 4  # winnowing window (hashes per window)
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,6 +1225,40 @@ SELECT lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources
 FROM t GROUP BY lang
 """,
+    "dedup_paragraph": """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, CAST(ceil(len(toks)/20.0) AS BIGINT) - 1)) AS i
+  FROM t
+),
+seg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(
+           toks[(CAST(i AS INT)*20+1):(CAST(i AS INT)*20+20)], ' ') AS seg
+  FROM seg0
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM seg
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg FROM seg GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT r.doc_id, r.clean_text, r.n_kept,
+       tot.n_seg - r.n_kept AS n_dropped
+FROM r JOIN tot USING (doc_id)
+""",
     "text_dedup_exact": """
 SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,
@@ -1276,6 +1368,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
+    "dedup_paragraph": q_dedup_paragraph,
     "text_fingerprint": q_text_fingerprint,
     "text_token_regex": q_text_token_regex,
     "text_pii_scan": q_pii_scan,
