@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "etl_constraints",
     "agg_kmv_set_ops",
     "dedup_paragraph",
+    "text_bpe_train",
 ]
 
 

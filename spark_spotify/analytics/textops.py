@@ -1363,8 +1363,128 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 8  # iterations of the full training loop
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al.) — the
+    sequential merge LOOP that text_bpe_merge_step takes one step of:
+    {BPE_TRAIN_MERGES} rounds of (count adjacent symbol pairs corpus-wide
+    → take the argmax → merge every greedy left-to-right occurrence),
+    emitting the learned merge table.
+
+    Scale shape: the corpus is scanned ONCE into the distinct-token
+    frequency table; every training round then runs on that vocab-sized
+    relation (the subword-nmt trick), so 100 TB of text costs one
+    map-side-combined token count and the loop costs O(vocab) per round.
+    Per round: one pair-count aggregate + a 1-row argmax collect (the
+    merge decision is inherently sequential) + one narrow column rewrite.
+
+    Symbol sequences are DOUBLE-SPACE-delimited strings ("␣␣a␣␣b␣␣"),
+    so applying a merge is a literal ``replace(' a  b ', ' ab ')`` —
+    left-to-right non-overlapping in both engines, which IS greedy BPE
+    merge order, and consecutive occurrences share no delimiter chars so
+    none are skipped.  That portability makes the whole training loop
+    hash-oracle-able: the oracle replays all {BPE_TRAIN_MERGES} rounds
+    as chained SQL stages, bit-identically."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        fan_out(d)
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    cur = tok.select(
+        "freq",
+        F.concat(
+            F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")
+        ).alias("s"),
+    ).persist()
+    cur.count()  # materialize the one corpus-derived relation
+    # adjacent symbol pairs of the spaced form: split -> ['', s1.., '']
+    pair_expr = F.expr(
+        "CASE WHEN size(split(s, '  ')) >= 4 THEN "
+        " transform(sequence(2, size(split(s, '  ')) - 2),"
+        "  j -> struct(element_at(split(s, '  '), j) AS a,"
+        "              element_at(split(s, '  '), j + 1) AS b)) "
+        "ELSE array() END"
+    )
+    merges = []
+    for it in range(1, BPE_TRAIN_MERGES + 1):
+        top = (
+            cur.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocabulary exhausted (never at these corpus sizes)
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((it, a, b, a + b, cnt))
+        nxt = cur.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " new_symbol string, pair_count bigint",
+    )
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """The training loop unrolled into chained SQL stages — same pair
+    extraction, same (cnt DESC, a, b) argmax, same literal replace."""
+    sql = r"""
+WITH tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token HAVING length(token) >= 2
+),
+s0 AS (
+  SELECT freq, '  ' || regexp_replace(token, '(.)', '\1  ', 'g') AS s
+  FROM tok
+)"""
+    for i in range(1, n + 1):
+        sql += f""",
+x{i} AS (
+  SELECT freq, string_split(s, '  ') AS parts,
+         unnest(generate_series(2, len(string_split(s, '  ')) - 2)) AS j
+  FROM s{i - 1}
+),
+m{i} AS (
+  SELECT parts[CAST(j AS INT)] AS a, parts[CAST(j AS INT) + 1] AS b,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM x{i} GROUP BY a, b
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+s{i} AS (
+  SELECT freq,
+         replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')
+           AS s
+  FROM s{i - 1}, m{i}
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS new_symbol, cnt AS pair_count FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return sql + "\n" + unions
+
+
 QUERIES = {
     "text_bpe_merge_step": q_bpe_merge_step,
+    "text_bpe_train": q_bpe_train,
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
@@ -1383,3 +1503,5 @@ QUERIES = {
     "text_bm25_topk": q_bm25_topk,
     "text_quality_lr": q_quality_lr,
 }
+
+ORACLE["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
