@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "agg_kmv_set_ops",
     "dedup_paragraph",
     "text_bpe_train",
+    "text_bpe_tokenize",
 ]
 
 

@@ -1387,6 +1387,19 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     none are skipped.  That portability makes the whole training loop
     hash-oracle-able: the oracle replays all {BPE_TRAIN_MERGES} rounds
     as chained SQL stages, bit-identically."""
+    merges, vocab = _bpe_fit(spark, sf_dir)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " new_symbol string, pair_count bigint",
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Run the training loop; return (merge list, PERSISTED final vocab
+    relation (token, freq, s) with all merges applied — the caller
+    unpersists)."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         fan_out(d)
@@ -1396,6 +1409,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") >= 2)
     )
     cur = tok.select(
+        "token",
         "freq",
         F.concat(
             F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")
@@ -1425,6 +1439,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((it, a, b, a + b, cnt))
         nxt = cur.select(
+            "token",
             "freq",
             F.replace(
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
@@ -1433,17 +1448,53 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.count()
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string,"
-        " new_symbol string, pair_count bigint",
+    return merges, cur
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus WITH the learned BPE merges — the apply half
+    of the tokenizer story (train on the vocab, then encode 100 TB of
+    text): per document, word count, BPE piece count, and longest piece.
+
+    Scale shape is the dictionary-apply trick: the {BPE_TRAIN_MERGES}
+    merges are applied ONCE to the distinct-token vocabulary (O(vocab)
+    column rewrites, from :func:`_bpe_fit`), the per-token piece stats
+    are derived from the merged symbol strings, and the corpus is
+    encoded by a BROADCAST hash join of the token stream against that
+    mapping — no per-document merge work, no shuffle on the corpus
+    beyond the final doc_id aggregation.  Single-character tokens (never
+    in the length>=2 training vocab) are their own piece.
+
+    Oracle: the training chain replayed in SQL with ``token`` carried
+    through, joined back to the exploded corpus."""
+    merges, vocab = _bpe_fit(spark, sf_dir)
+    parts = F.split(F.col("s"), "  ")
+    pieces = F.slice(parts, 2, F.size(parts) - 2)
+    mapping = vocab.select(
+        "token",
+        F.size(pieces).alias("pc"),
+        F.array_max(F.transform(pieces, F.length)).alias("ml"),
     )
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    enc = toks.join(F.broadcast(mapping), "token", "left")
+    out = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("pc"), F.lit(1))).alias("n_pieces"),
+        F.max(F.coalesce(F.col("ml"), F.length("token")))
+        .cast("bigint")
+        .alias("max_piece_len"),
+    )
+    vocab.unpersist()
+    return out
 
 
-def _bpe_train_oracle(n: int) -> str:
+def _bpe_chain_sql(n: int) -> str:
     """The training loop unrolled into chained SQL stages — same pair
-    extraction, same (cnt DESC, a, b) argmax, same literal replace."""
+    extraction, same (cnt DESC, a, b) argmax, same literal replace;
+    s{n} is the fully merged vocabulary with ``token`` carried through."""
     sql = r"""
 WITH tok AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1452,7 +1503,8 @@ WITH tok AS (
   GROUP BY token HAVING length(token) >= 2
 ),
 s0 AS (
-  SELECT freq, '  ' || regexp_replace(token, '(.)', '\1  ', 'g') AS s
+  SELECT token, freq,
+         '  ' || regexp_replace(token, '(.)', '\1  ', 'g') AS s
   FROM tok
 )"""
     for i in range(1, n + 1):
@@ -1469,22 +1521,56 @@ m{i} AS (
   ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ),
 s{i} AS (
-  SELECT freq,
+  SELECT token, freq,
          replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')
            AS s
   FROM s{i - 1}, m{i}
 )"""
+    return sql
+
+
+def _bpe_train_oracle(n: int) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
         f" a || b AS new_symbol, cnt AS pair_count FROM m{i}"
         for i in range(1, n + 1)
     )
-    return sql + "\n" + unions
+    return _bpe_chain_sql(n) + "\n" + unions
+
+
+def _bpe_tokenize_oracle(n: int) -> str:
+    return (
+        _bpe_chain_sql(n)
+        + f""",
+map AS (
+  SELECT token,
+         CAST(len(string_split(s, '  ')) - 2 AS BIGINT) AS pc,
+         CAST(list_aggregate(
+           list_transform(
+             string_split(s, '  ')[2:len(string_split(s, '  ')) - 1],
+             x -> length(x)),
+           'max') AS BIGINT) AS ml
+  FROM s{n}
+),
+dt AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(map.pc, 1)) AS BIGINT) AS n_pieces,
+       CAST(MAX(COALESCE(map.ml, length(dt.token))) AS BIGINT)
+         AS max_piece_len
+FROM dt LEFT JOIN map USING (token)
+GROUP BY doc_id
+"""
+    )
 
 
 QUERIES = {
     "text_bpe_merge_step": q_bpe_merge_step,
     "text_bpe_train": q_bpe_train,
+    "text_bpe_tokenize": q_bpe_tokenize,
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
@@ -1505,3 +1591,4 @@ QUERIES = {
 }
 
 ORACLE["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
+ORACLE["text_bpe_tokenize"] = _bpe_tokenize_oracle(BPE_TRAIN_MERGES)
