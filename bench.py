@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "dedup_paragraph",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "stream_cdf_follow",
 ]
 
 

@@ -779,6 +779,98 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.unionByName(dlq)
 
 
+def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse as a STREAMING SOURCE — Delta's ``readChangeFeed``
+    pattern: a downstream replica follows the gold table's row-level
+    change feed instead of rescanning it.  The daily-stats table's commit
+    history (v1 after batch 1, live after batch 2) is materialized as an
+    ordered change-feed file stream (batch 1 = the v1 snapshot as
+    ``insert`` rows; batch 2 = the row-level CDF between v1 and live);
+    a CHECKPOINTED consumer (``maxFilesPerTrigger=1``) foreachBatch-
+    applies each change batch transactionally onto the replica
+    (``apply_change_feed`` + versioned COW commit).  Run 1 consumes
+    batch 1, batch 2 then lands, run 2 RESTARTS from the checkpoint and
+    must apply exactly the new feed rows (asserted) — replication cost
+    is O(changes) per batch, never O(replica), at any table size.
+
+    Oracle: the replayed replica must equal the live gold table — the
+    full daily-stats SQL."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _commit,
+        _require,
+        _shared_two_batch_warehouse,
+        apply_change_feed,
+        change_feed,
+        read_table,
+    )
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    s1 = read_table(spark, warehouse, "agg_daily_stats", version=1)
+    live = read_table(spark, warehouse, "agg_daily_stats")
+    feed1 = s1.select(
+        F.lit("insert").alias("_change_type"), *s1.columns
+    )
+    feed2 = change_feed(s1, live, "played_date").select(*feed1.columns)
+
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_cdf_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "feed")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    land(feed1, "b1")
+    applied: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        replica = read_table(ss, base, "rep")
+        if replica is None:
+            replica = batch_df.drop("_change_type").limit(0)
+        applied[batch_id] = batch_df.count()
+        _commit(
+            apply_change_feed(replica, batch_df, "played_date"),
+            base,
+            "rep",
+            batch_id + 1,
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(feed1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    n2 = feed2.count()
+    land(feed2, "b2")
+    run()
+    _require(
+        applied.get(1, 0) == n2,
+        f"restart must apply exactly the new feed ({applied} vs {n2})",
+    )
+    return read_table(spark, base, "rep")
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
@@ -977,4 +1069,11 @@ QUERIES = {
     "stream_click_purchase": q_stream_click_purchase,
     "stream_click_attribution": q_stream_click_attribution,
     "stream_late_data": q_stream_late_data,
+    "stream_cdf_follow": q_stream_cdf_follow,
 }
+
+# the replica reconstructed purely from the change feed must equal the
+# live gold table — the full daily-stats SQL
+from spark_spotify.etl import stats as _stats  # noqa: E402
+
+ORACLE["stream_cdf_follow"] = _stats.ORACLE["etl_daily_stats"]
