@@ -666,6 +666,12 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    # materialize the pair-count result BEFORE unpersisting the sketch —
+    # sk has three lazy consumers (th, side_a, side_b), and unpersisting
+    # first would recompute the distinct+window build for each of them
+    out = stable_checkpoint(out)
     sk.unpersist()
     return out
 

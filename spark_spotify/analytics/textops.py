@@ -1487,6 +1487,12 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_piece_len"),
     )
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    # materialize before dropping the vocab cache: the mapping's lineage
+    # is the whole 8-round merge chain, which an unpersisted lazy plan
+    # would otherwise recompute at consumption time
+    out = stable_checkpoint(out)
     vocab.unpersist()
     return out
 

@@ -612,6 +612,9 @@ def read_table_where(
     if not kept:
         # provably-empty result: full schema, LocalRelation plan, no scan
         full = read_table(spark, warehouse, table, version)
+        _require(
+            full is not None, f"{table}: pruning read on an empty snapshot"
+        )
         return residual(full).filter(F.lit(False))
     df = _read_parts(
         spark, warehouse, table, kept, {p: s for p, s in m["specs"].items()}
@@ -2128,6 +2131,24 @@ def wap_publish(
             > 0
         ):
             return False
+        # table CHECK constraints are part of the audit: WAP is the one
+        # commit path that doesn't go through _enforce_constraints, and
+        # an un-audited constraint violation must fail the publish (the
+        # staging stays intact for inspection, like any failed audit)
+        m_cur = _read_manifest_file(warehouse, table, ver) if ver else None
+        if m_cur and m_cur["constraints"]:
+            chk = staged
+            if m_cur["drops"]:
+                chk = chk.drop(*m_cur["drops"])
+            for phys, logical in m_cur["renames"].items():
+                chk = chk.withColumnRenamed(phys, logical)
+            if (
+                chk.filter(_violation_filter(m_cur["constraints"]))
+                .limit(1)
+                .count()
+                > 0
+            ):
+                return False
         published = read_table(spark, warehouse, table, version=ver or None)
         if (
             published is not None

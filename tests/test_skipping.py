@@ -352,3 +352,30 @@ def test_kmv_estimates_near_exact(spark, sf_dir):
             r["est_common_users"],
             n,
         )
+
+
+def test_wap_audit_enforces_constraints(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        _manifest,
+        add_constraint,
+        wap_publish,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "id int, v int")
+    _commit_append(df, warehouse, "t", 1)
+    add_constraint(spark, warehouse, "t", "v_pos", "v > 0")
+    v_before = _manifest(warehouse, "t")
+    import os
+
+    bad = spark.createDataFrame([(3, -1)], "id int, v int")
+    bad.coalesce(1).write.parquet(
+        os.path.join(warehouse, "t", "_stage_bad")
+    )
+    assert not wap_publish(spark, warehouse, "t", ["_stage_bad"], key="id")
+    assert _manifest(warehouse, "t") == v_before  # audit left no trace
+    ok = spark.createDataFrame([(3, 1)], "id int, v int")
+    ok.coalesce(1).write.parquet(
+        os.path.join(warehouse, "t", "_stage_ok")
+    )
+    assert wap_publish(spark, warehouse, "t", ["_stage_ok"], key="id")
+    assert read_table(spark, warehouse, "t").count() == 3
