@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "text_bpe_train",
     "text_bpe_tokenize",
     "stream_cdf_follow",
+    "rel_nation_trade_flows",
 ]
 
 

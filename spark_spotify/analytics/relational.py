@@ -487,6 +487,20 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
 """,
+    "rel_nation_trade_flows": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+""",
     "rel_star_revenue": f"""
 SELECT r.r_name, n.n_name,
   CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue,
@@ -583,8 +597,63 @@ LIMIT 15
 """,
 }
 
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    every DISTINCT (supplier nation, customer nation) pair per ship
+    year — the 6-relation join Catalyst has to order well, plus the
+    self-joined dimension (nation appears on both sides of the flow).
+
+    100 TB shape: supplier⋈nation is folded into a 2-column broadcast
+    dim and attached to lineitem AT SCAN GRAIN, then lineitem is
+    pre-aggregated to (orderkey, supp_nation, year) BEFORE touching
+    orders/customer — the fact shrinks ~4x ahead of the join graph and
+    the orderkey shuffle the pre-agg pays is exactly the partitioning
+    the orders join needs.  The asymmetric-pair filter runs on two
+    broadcast-joined name columns; money stays an exact scale-4 long
+    through the whole graph (lmoney/lsum_scaled)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    s_n = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner"
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li2 = li.join(
+        dim_broadcast(s_n, sf_dir, "supplier", 2_000_000),
+        li["l_suppkey"] == s_n["s_suppkey"],
+        "inner",
+    )
+    part = li2.groupBy(
+        "l_orderkey",
+        "supp_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.sum(
+            lmoney(F.col("l_extendedprice"), F.col("l_discount"))
+        ).alias("vol_s4"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        part.join(o, part["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(c, o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"), "inner")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.sum("n_li").alias("n_lineitems"),
+            lsum_scaled(F.col("vol_s4"), 4).alias("volume"),
+        )
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
+    "rel_nation_trade_flows": q_nation_trade_flows,
     "rel_star_revenue": q_star_revenue,
     "rel_local_supplier_volume": q_local_supplier_volume,
     "rel_small_qty_revenue": q_small_qty_revenue,
