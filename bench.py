@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "text_bpe_tokenize",
     "stream_cdf_follow",
     "rel_nation_trade_flows",
+    "etl_generated_columns",
 ]
 
 

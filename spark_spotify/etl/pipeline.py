@@ -106,6 +106,7 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("drops", [])  # physical column names dropped
     m.setdefault("stats", {})  # {part: {col: {lo, hi, nulls, n}}}
     m.setdefault("constraints", {})  # {name: CHECK sql expr (logical cols)}
+    m.setdefault("generated", {})  # {logical col: generation sql expr}
     return m
 
 
@@ -239,6 +240,7 @@ def _swing(
     drops: list[str] | None = None,
     stats: dict[str, dict] | None = None,
     constraints: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -283,6 +285,12 @@ def _swing(
             if cur
             else {}
         )
+    if generated is None:
+        generated = (
+            _read_manifest_file(warehouse, table, cur)["generated"]
+            if cur
+            else {}
+        )
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
     # file stats ride the manifest (the Delta-log data-skipping index):
@@ -313,6 +321,7 @@ def _swing(
                 "drops": drops,
                 "stats": stats,
                 "constraints": constraints,
+                "generated": generated,
             },
             fh,
         )
@@ -643,6 +652,7 @@ def _commit(df: DataFrame, warehouse: str, table: str, version: int) -> None:
     manifest names only fully-written directories).  For SMALL relations —
     dims, merged aggregates, anything a keyed merge rewrites anyway."""
     path = os.path.join(warehouse, table, f"v{version}")
+    df = _apply_generated(df, warehouse, table)
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(path)
     _enforce_constraints(df.sparkSession, warehouse, table, f"v{version}")
     _swing(warehouse, table, [f"v{version}"])
@@ -662,6 +672,7 @@ def _commit_append(
     whichever part list it opened with."""
     part = f"p{version}"
     base = _current_version(warehouse, table)
+    delta = _apply_generated(delta, warehouse, table)
     delta.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, part)
     )
@@ -1023,6 +1034,7 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
         drops=m["drops"],
         stats=m["stats"],
         constraints=m["constraints"],
+        generated=m["generated"],
     )
 
 
@@ -1035,6 +1047,61 @@ def _violation_filter(constraints: dict[str, str]) -> F.Column:
     return reduce(
         lambda a, b: a | b,
         [~F.coalesce(F.expr(e), F.lit(True)) for e in constraints.values()],
+    )
+
+
+def _apply_generated(
+    delta: DataFrame, warehouse: str, table: str
+) -> DataFrame:
+    """Materialize the table's GENERATED columns on an incoming delta
+    (Delta generated-column write semantics): a declared column the
+    writer did not supply is computed from its expression; a supplied
+    one is left as-is and VALIDATED against the expression by the same
+    post-write scan that enforces CHECK constraints.  Expressions name
+    logical columns."""
+    cur = _current_version(warehouse, table)
+    if not cur:
+        return delta
+    gen = _read_manifest_file(warehouse, table, cur)["generated"]
+    for col, expr in gen.items():
+        if col not in delta.columns:
+            delta = delta.withColumn(col, F.expr(expr))
+    return delta
+
+
+def add_generated_column(
+    spark: SparkSession, warehouse: str, table: str, name: str, expr: str
+) -> int:
+    """Declare ``name`` as a GENERATED column (``name = expr``) — the
+    last piece of the Delta schema feature set next to CHECK constraints
+    and column mapping.  If the column already exists physically, every
+    existing row is validated against the expression first (the same
+    backfill contract as ADD CONSTRAINT); if it does not, earlier
+    snapshots read it as NULL (ADD COLUMN semantics) and every write
+    from this commit on materializes it.  One metadata commit."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: declare generated on an uncommitted table")
+    m = _read_manifest_file(warehouse, table, cur)
+    _require(
+        name not in m["generated"],
+        f"generated column {name!r} already declared",
+    )
+    df = read_table(spark, warehouse, table)
+    if df is not None and name in df.columns:
+        bad = df.filter(
+            ~F.col(name).eqNullSafe(F.expr(expr))
+        ).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"{table}: {bad} existing row(s) contradict generated "
+                f"column {name!r} = ({expr})"
+            )
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        expected_version=cur,
+        generated={**m["generated"], name: expr},
     )
 
 
@@ -1055,14 +1122,24 @@ def _enforce_constraints(
     if not cur:
         return
     m = _read_manifest_file(warehouse, table, cur)
-    if not m["constraints"]:
+    if not m["constraints"] and not m["generated"]:
         return
     df = spark.read.parquet(os.path.join(warehouse, table, part))
     if m["drops"]:
         df = df.drop(*m["drops"])
     for phys, logical in m["renames"].items():
         df = df.withColumnRenamed(phys, logical)
-    bad = df.filter(_violation_filter(m["constraints"])).count()
+    # generated columns validate in the SAME scan: a writer-supplied
+    # value must null-safe-equal its expression (Delta rejects the write
+    # otherwise); `<=>` never yields UNKNOWN, so the CHECK three-valued
+    # wrapper passes through exactly the contradictions
+    checks = dict(m["constraints"])
+    for col, e in m["generated"].items():
+        if col in df.columns:
+            checks[f"generated:{col}"] = f"{col} <=> ({e})"
+    if not checks:
+        return
+    bad = df.filter(_violation_filter(checks)).count()
     if bad:
         import shutil
 
@@ -1070,8 +1147,8 @@ def _enforce_constraints(
             os.path.join(warehouse, table, part), ignore_errors=True
         )
         raise ConstraintViolationError(
-            f"{table}/{part}: {bad} row(s) violate CHECK constraints "
-            f"{sorted(m['constraints'])}"
+            f"{table}/{part}: {bad} row(s) violate CHECK/generated "
+            f"contracts {sorted(checks)}"
         )
 
 
@@ -1224,6 +1301,67 @@ def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns end to end — the derived-partition-key verb
+    (Delta ``GENERATED ALWAYS AS``): batch 1 commits WITH ``event_date``
+    computed by the writer, the column is then DECLARED generated (the
+    declaration backfill-validates every existing row; a contradictory
+    declaration is rejected with the table untouched), batch 2 appends
+    WITHOUT the column and the write materializes it, and a poisoned
+    batch that supplies WRONG values for the generated column is
+    rejected at commit with no trace.  The generated values feed the
+    same manifest stats as any column, so date pruning works on a
+    column no writer ever has to compute again.
+
+    Oracle: the full corpus with event_date stated as CAST(ts AS DATE)
+    — exactly what every admitted path must have materialized."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_gen_")
+    try:
+        b1 = ev.filter(F.col("event_id") % 2 == 0)
+        _commit_append(
+            b1.withColumn("event_date", F.to_date("ts")), w, "t", 1
+        )
+        try:
+            add_generated_column(
+                spark, w, "t", "event_date", "date_add(to_date(ts), 1)"
+            )
+            _require(False, "contradictory declaration must be rejected")
+        except ConstraintViolationError:
+            pass
+        add_generated_column(spark, w, "t", "event_date", "to_date(ts)")
+        v_before = _current_version(w, "t")
+        poison = (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .limit(50)
+            .withColumn("event_date", F.to_date(F.lit("1999-01-01")))
+        )
+        try:
+            _commit_append(poison, w, "t", 98)
+            _require(False, "wrong generated values must be rejected")
+        except ConstraintViolationError:
+            pass
+        _require(
+            _current_version(w, "t") == v_before
+            and not os.path.exists(os.path.join(w, "t", "p98")),
+            "rejected write must leave no trace",
+        )
+        # batch 2 omits the column entirely — the write materializes it
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        out = read_table(spark, w, "t")
+        _require("event_date" in out.columns, "generated column missing")
+        return out.select(
+            "event_id", "user_id", "value", "event_date"
+        ).transform(stable_checkpoint)
     finally:
         shutil.rmtree(w, ignore_errors=True)
 
@@ -2806,6 +2944,7 @@ QUERIES = {
     "etl_vacuum": q_vacuum,
     "etl_restore": q_restore,
     "etl_constraints": q_constraints,
+    "etl_generated_columns": q_generated_columns,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
@@ -2941,6 +3080,12 @@ SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
+""",
+    # the rejected batch leaves no trace; every admitted row carries the
+    # materialized generated column = CAST(ts AS DATE)
+    "etl_generated_columns": """
+SELECT event_id, user_id, value, CAST(ts AS DATE) AS event_date
+FROM events
 """,
     # WAP: the poisoned staging leaves no trace; the published end state
     # is the full two-batch table — the unmodified star join

@@ -379,3 +379,40 @@ def test_wap_audit_enforces_constraints(spark, warehouse):
     )
     assert wap_publish(spark, warehouse, "t", ["_stage_ok"], key="id")
     assert read_table(spark, warehouse, "t").count() == 3
+
+
+def test_generated_columns_materialize_and_validate(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        ConstraintViolationError,
+        add_generated_column,
+        merge_rows,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    _commit_append(df.withColumn("v2", F.col("v") * 2), warehouse, "t", 1)
+    add_generated_column(spark, warehouse, "t", "v2", "v * 2")
+    # omitted -> materialized
+    _commit_append(
+        spark.createDataFrame([(3, 30)], "id int, v int"), warehouse, "t", 2
+    )
+    got = {r["id"]: r["v2"] for r in read_table(spark, warehouse, "t").collect()}
+    assert got == {1: 20, 2: 40, 3: 60}
+    # supplied-but-wrong -> rejected, no trace
+    with pytest.raises(ConstraintViolationError):
+        _commit_append(
+            spark.createDataFrame([(4, 40, 99)], "id int, v int, v2 int"),
+            warehouse,
+            "t",
+            3,
+        )
+    assert read_table(spark, warehouse, "t").count() == 3
+    # MERGE output is validated too: an update arm breaking v2 rejects
+    bad = spark.createDataFrame([(1, 10, 21)], "id int, v int, v2 int")
+    with pytest.raises(ConstraintViolationError):
+        merge_rows(spark, warehouse, "t", bad, "id", "g1")
+    ok = spark.createDataFrame([(1, 11, 22)], "id int, v int, v2 int")
+    merge_rows(spark, warehouse, "t", ok, "id", "g2")
+    assert {
+        r["id"]: (r["v"], r["v2"])
+        for r in read_table(spark, warehouse, "t").collect()
+    }[1] == (11, 22)
