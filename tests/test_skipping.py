@@ -416,3 +416,14 @@ def test_generated_columns_materialize_and_validate(spark, warehouse):
         r["id"]: (r["v"], r["v2"])
         for r in read_table(spark, warehouse, "t").collect()
     }[1] == (11, 22)
+
+
+def test_read_where_scans_only_surviving_parts(spark, warehouse):
+    """The pruning is PHYSICAL: the executed scan's input files all come
+    from the one part the stats admit — not filtered-after-read."""
+    _ranged_table(spark, warehouse)
+    got = read_table_where(spark, warehouse, "t", [("id", ">=", 20)])
+    files = {
+        r[0] for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all("/p3/" in f for f in files), files
