@@ -364,3 +364,113 @@ def test_delete_rows_matches_filter_model(spark, rows, n_parts, cut):
             assert live[-1] == "dx" and len(live) == len(parts) - n_aff + 1
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+SYMS = st.lists(
+    st.sampled_from(["a", "b", "c", "ab", "bc", "x"]),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(
+    seqs=st.lists(SYMS, min_size=1, max_size=6),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab"]),
+        st.sampled_from(["a", "b", "c", "bc"]),
+    ),
+)
+@settings(**_SETTINGS)
+def test_spaced_replace_is_greedy_bpe_merge(spark, seqs, pair):
+    """The double-space-delimited replace trick (text_bpe_train) IS the
+    greedy left-to-right BPE merge: Spark's literal replace on the
+    spaced encoding must equal a symbol-list fold model — including
+    overlapping runs (a,a on [a,a,a] -> [aa,a]) and symbols that are
+    concatenations of other symbols."""
+    a, b = pair
+
+    def model(syms):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    spaced = ["  " + "  ".join(s) + "  " if s else "    " for s in seqs]
+    df = spark.createDataFrame([(x,) for x in spaced], "s string")
+    got = [
+        r["m"]
+        for r in df.select(
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("m")
+        ).collect()
+    ]
+    want = [
+        "  " + "  ".join(model(s)) + "  " if model(s) else "    "
+        for s in seqs
+    ]
+    assert got == want
+
+
+PRUNE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(
+    rows=PRUNE_ROWS,
+    splits=st.lists(st.integers(0, 2), min_size=1, max_size=15),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+    col=st.sampled_from(["id", "v"]),
+    lit=st.integers(min_value=-55, max_value=55),
+)
+@settings(**_SETTINGS)
+def test_prune_read_equals_full_filter(spark, rows, splits, op, col, lit):
+    """Pruning soundness on randomized tables: arbitrary rows (with
+    NULLs) dealt into up to 3 append commits, arbitrary simple
+    predicate — read_table_where must equal the unpruned filtered read
+    row-for-row."""
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _commit_append,
+        read_table,
+        read_table_where,
+    )
+
+    w = tempfile.mkdtemp(prefix="spark_spotify_test_prp_")
+    try:
+        dealt = {0: [], 1: [], 2: []}
+        for i, r in enumerate(rows):
+            dealt[splits[i % len(splits)]].append((i, *r))
+        for k in range(3):
+            df = spark.createDataFrame(
+                dealt[k] or [], schema="rid int, id int, v int"
+            )
+            _commit_append(df, w, "t", k + 1)
+        got = read_table_where(spark, w, "t", [(col, op, lit)])
+        ops = {
+            "=": F.col(col) == lit,
+            "<": F.col(col) < lit,
+            "<=": F.col(col) <= lit,
+            ">": F.col(col) > lit,
+            ">=": F.col(col) >= lit,
+        }
+        want = read_table(spark, w, "t").filter(ops[op])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
