@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "stream_cdf_follow",
     "rel_nation_trade_flows",
     "etl_generated_columns",
+    "etl_optimize_small_files",
 ]
 
 

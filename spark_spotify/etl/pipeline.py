@@ -962,6 +962,121 @@ def compact_table(
     _swing(warehouse, table, [new_part])
 
 
+def optimize_table(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    target_bytes: int,
+    tag: str = "opt",
+) -> int:
+    """INCREMENTAL small-file compaction — the real ``OPTIMIZE`` /
+    ``rewrite_data_files`` semantics that :func:`compact_table`'s
+    whole-table rewrite approximates: only parts SMALLER than
+    ``target_bytes`` are bin-packed into ~target-sized replacement
+    files; right-sized parts keep their bytes untouched.  Cost is
+    O(undersized data), so a daily optimize over a 100 TB table touches
+    only the trickle of small append parts, never the compacted bulk.
+    Commits through :func:`swing_rebase`, so a concurrent disjoint
+    append lands cleanly while a concurrent rewrite of the same parts
+    conflicts (exactly-one-winner).  Spec'd (hive-partitioned) small
+    parts fold into the plain replacement — the same spec-forwarding
+    compaction contract as compact_table.  Returns the number of parts
+    folded (0 = nothing to do)."""
+    import math
+
+    base = _current_version(warehouse, table)
+    parts = _manifest(warehouse, table, base) or []
+    m = _read_manifest_file(warehouse, table, base)
+    tdir = os.path.join(warehouse, table)
+
+    def psize(p: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(tdir, p)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    sizes = {p: psize(p) for p in parts}
+    small = [p for p in parts if sizes[p] < target_bytes]
+    if len(small) < 2:
+        return 0
+    new_part = f"o{tag}"
+    _require(
+        new_part not in parts
+        and not os.path.exists(os.path.join(tdir, new_part)),
+        f"optimize tag {tag!r} collides with {new_part}",
+    )
+    df = _read_parts(spark, warehouse, table, small, m["specs"])
+    n_files = max(
+        1,
+        min(len(small), math.ceil(sum(sizes[p] for p in small)
+                                  / target_bytes)),
+    )
+    df.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(tdir, new_part)
+    )
+    swing_rebase(warehouse, table, base, [new_part], set(small))
+    return len(small)
+
+
+def q_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE gate: one right-sized part plus four
+    small-append parts; ``optimize_table`` must fold exactly the four
+    small ones (gate-required) while the big part's bytes are untouched
+    (same inode — proven, not assumed), and the table is row-identical
+    before and after.
+
+    Oracle: a plain projection of the events corpus — OPTIMIZE is a
+    physical-layout verb and must never change a logical row."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_opt_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        for k in range(4):
+            _commit_append(
+                ev.filter(F.col("event_id") % 8 == 2 * k + 1), w, "t", k + 2
+            )
+        tdir = os.path.join(w, "t")
+        big_file = next(
+            f
+            for f in sorted(os.listdir(os.path.join(tdir, "p1")))
+            if f.endswith(".parquet")
+        )
+        big_ino = os.stat(os.path.join(tdir, "p1", big_file)).st_ino
+        big_bytes = sum(
+            os.path.getsize(os.path.join(tdir, "p1", f))
+            for f in os.listdir(os.path.join(tdir, "p1"))
+            if f.endswith(".parquet")
+        )
+        n_folded = optimize_table(spark, w, "t", big_bytes, tag="g1")
+        _require(n_folded == 4, f"folded {n_folded} parts, expected 4")
+        parts = _manifest(w, "t") or []
+        _require(
+            sorted(parts) == ["og1", "p1"],
+            f"optimize left wrong part list: {parts}",
+        )
+        _require(
+            os.stat(os.path.join(tdir, "p1", big_file)).st_ino == big_ino,
+            "right-sized part must keep its bytes",
+        )
+        # a second optimize at the same target is a no-op
+        _require(
+            optimize_table(spark, w, "t", big_bytes, tag="g2") in (0, 2),
+            "re-optimize regressed",
+        )
+        return read_table(spark, w, "t").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 def vacuum_table(
     warehouse: str, table: str, retain_versions: set[int] | None = None
 ) -> list[str]:
@@ -2934,6 +3049,7 @@ QUERIES = {
     "etl_time_travel": q_time_travel,
     "etl_time_travel_ts": q_time_travel_ts,
     "etl_compact": q_compact,
+    "etl_optimize_small_files": q_optimize_small_files,
     "etl_schema_evolution": q_schema_evolution,
     "etl_schema_rename": q_schema_rename,
     "etl_schema_drop": q_schema_drop,
@@ -3014,6 +3130,10 @@ WHERE e.ts > (SELECT make_timestamp(
     # compaction changes the physical layout only — the oracle is the
     # unmodified single-shot star join
     "etl_compact": _fact.ORACLE["etl_fact_star"],
+    # incremental OPTIMIZE is a physical-layout verb: rows unchanged
+    "etl_optimize_small_files": """
+SELECT event_id, user_id, event_type, value FROM events
+""",
     # copy-on-write delete: the star join minus the erased subject
     "etl_row_delete": _fact.ORACLE["etl_fact_star"]
     + f"""
