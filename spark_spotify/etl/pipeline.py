@@ -2616,8 +2616,6 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import pyarrow.parquet as pq
-
     warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
     parts = _manifest(warehouse, "fact") or []
     cw = tempfile.mkdtemp(prefix="spark_spotify_zo_")
@@ -2651,44 +2649,39 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(f, os.path.join(pdir, os.path.basename(f)))
             new_parts.append(f"z{i}")
         _swing(cw, "fact", new_parts)
-
-        def col_ranges(col: str) -> list[tuple]:
-            out = []
-            for p in new_parts:
-                for f in _glob.glob(
-                    os.path.join(cw, "fact", p, "*.parquet")
-                ):
-                    md = pq.ParquetFile(f).metadata
-                    if md.num_rows == 0:
-                        continue
-                    idx = {
-                        md.schema.column(i).name: i
-                        for i in range(len(md.schema))
-                    }[col]
-                    st = [
-                        md.row_group(rg).column(idx).statistics
-                        for rg in range(md.num_row_groups)
-                    ]
-                    _require(all(s is not None for s in st), f)
-                    out.append(
-                        (min(s.min for s in st), max(s.max for s in st))
-                    )
-            return out
-
-        ur, dr = col_ranges("user_id"), col_ranges("date_key")
-        n = len(ur)
+        # the pruning proof now runs through the engine's own planner:
+        # _swing denormalized the footer stats into the manifest, so
+        # prune_parts answers every probe with ZERO file I/O — the same
+        # metadata path a 100 TB point query plans through
+        pstats = _read_manifest_file(
+            cw, "fact", _current_version(cw, "fact")
+        )["stats"]
+        nonempty = [
+            p for p in new_parts if pstats[p]["user_id"]["n"] > 0
+        ]
+        n = len(nonempty)
         # a mid date_key that some part contains — index the DISTINCT
         # minima list by its own length (parts may share minima)
-        day_minima = sorted({lo for lo, _ in dr})
+        day_minima = sorted(
+            {pstats[p]["date_key"]["lo"] for p in nonempty}
+        )
         probe_day = int(day_minima[len(day_minima) // 2])
-        u_skip = [not (lo <= DELETE_USER <= hi) for lo, hi in ur]
-        d_skip = [not (lo <= probe_day <= hi) for lo, hi in dr]
-        both = sum(1 for a, b in zip(u_skip, d_skip) if a or b)
-        _require(any(u_skip), "no part is user-prunable")
-        _require(any(d_skip), "no part is day-prunable")
+        kept_u, _ = prune_parts(
+            cw, "fact", [("user_id", "=", DELETE_USER)]
+        )
+        kept_d, _ = prune_parts(
+            cw, "fact", [("date_key", "=", probe_day)]
+        )
+        kept_both, _ = prune_parts(
+            cw,
+            "fact",
+            [("user_id", "=", DELETE_USER), ("date_key", "=", probe_day)],
+        )
+        _require(len(kept_u) < n, "no part is user-prunable")
+        _require(len(kept_d) < n, "no part is day-prunable")
         _require(
-            both >= n * 0.5,
-            f"two-predicate pruning too weak: {both}/{n}",
+            n - len(kept_both) >= n * 0.5,
+            f"two-predicate pruning too weak: kept {len(kept_both)}/{n}",
         )
         return read_table(spark, cw, "fact").transform(stable_checkpoint)
     finally:
