@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "rel_nation_trade_flows",
     "etl_generated_columns",
     "etl_optimize_small_files",
+    "etl_txn_multi_table",
 ]
 
 

@@ -407,6 +407,90 @@ def swing_rebase(
     )
 
 
+_TXN_DIR = "_txn"
+
+
+def multi_commit(
+    warehouse: str,
+    plan: dict[str, tuple[list[str], set[str]]],
+    tag: str,
+) -> None:
+    """ALL-OR-NOTHING commit across multiple tables — the cross-table
+    transaction a medallion batch needs (fact + dims + gold must move
+    together; a crash after some swings would leave the warehouse torn).
+    Two-phase: (1) a durable INTENT record (O_EXCL-linked under
+    ``_txn/``, same put-if-absent as the manifest CAS) captures every
+    table's base version and part delta — the staged part DIRECTORIES
+    must already be fully written, exactly like WAP; (2) the per-table
+    swings apply in sorted order through :func:`swing_rebase`; (3) the
+    intent is retired.  A crash anywhere after (1) is repaired by
+    :func:`recover_transactions`, which ROLLS the intent FORWARD —
+    already-applied tables are detected idempotently, the rest commit —
+    so the transaction is atomic under crash-recovery.  (Isolation is
+    per-table snapshot, as in Delta: a reader between two swings can
+    observe table A's new version before table B's — the recovery
+    guarantee is about DURABLE states, which is the contract that
+    matters for pipeline reruns.)  ``plan`` maps table ->
+    (parts_added, parts_removed)."""
+    import json
+    import uuid
+
+    tx = {}
+    for table in sorted(plan):
+        added, removed = plan[table]
+        tx[table] = {
+            "base": _current_version(warehouse, table),
+            "added": list(added),
+            "removed": sorted(removed),
+        }
+    tdir = os.path.join(warehouse, _TXN_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"{tag}.json")
+    tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump(tx, fh)
+    try:
+        os.link(tmp, path)  # intent is durable BEFORE any table moves
+    except FileExistsError:
+        raise CommitConflictError(
+            f"transaction tag {tag!r} already exists"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    _txn_apply(warehouse, path, tx)
+
+
+def _txn_apply(warehouse: str, intent_path: str, tx: dict) -> None:
+    for table in sorted(tx):
+        e = tx[table]
+        cur = set(_manifest(warehouse, table) or [])
+        if set(e["added"]) <= cur and not (set(e["removed"]) & cur):
+            continue  # this table's swing already landed (roll-forward)
+        swing_rebase(
+            warehouse, table, e["base"], e["added"], set(e["removed"])
+        )
+    os.unlink(intent_path)
+
+
+def recover_transactions(warehouse: str) -> list[str]:
+    """Roll every incomplete multi-table transaction FORWARD (the
+    intent is durable, so the decision to commit was made; recovery
+    finishes it).  Run at session/pipeline start, like Delta log
+    recovery.  Returns the recovered transaction tags."""
+    import glob as _glob
+    import json
+
+    done = []
+    for path in sorted(
+        _glob.glob(os.path.join(warehouse, _TXN_DIR, "*.json"))
+    ):
+        with open(path) as fh:
+            tx = json.load(fh)
+        _txn_apply(warehouse, path, tx)
+        done.append(os.path.splitext(os.path.basename(path))[0])
+    return done
+
+
 def _read_parts(
     spark: SparkSession,
     warehouse: str,
@@ -1416,6 +1500,76 @@ def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transaction gate — the torn-batch drill: batch 2
+    must move the fact table (append) AND its gold rollup (COW replace)
+    together.  The staged parts land, the durable intent is recorded,
+    the fact swing applies — and the process "crashes" before the gold
+    swing.  ``recover_transactions`` must roll the intent FORWARD:
+    detect the fact table's already-applied swing idempotently, commit
+    the gold replacement, retire the intent — leaving the warehouse
+    exactly as if the crash never happened.
+
+    Oracle: the gold rollup over the FULL corpus — a torn state (batch-2
+    facts with batch-1 gold) would fail the hash."""
+    import json
+    import shutil
+    import tempfile
+
+    from spark_spotify.functions.agg import lsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            lsum(F.col("value")).alias("total_value"),
+        )
+
+    w = tempfile.mkdtemp(prefix="spark_spotify_txn_")
+    try:
+        even = ev.filter(F.col("event_id") % 2 == 0)
+        _commit_append(even, w, "f", 1)
+        _commit(rollup(even), w, "s", 1)
+        # stage batch 2: fact delta part + replacement gold snapshot
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(
+            APPEND_WRITE_FILES
+        ).write.parquet(os.path.join(w, "f", "p2"))
+        rollup(ev).coalesce(COW_WRITE_FILES).write.parquet(
+            os.path.join(w, "s", "v2")
+        )
+        # durable intent, then CRASH after only the fact swing applied
+        tx = {
+            "f": {"base": 1, "added": ["p2"], "removed": []},
+            "s": {"base": 1, "added": ["v2"], "removed": ["v1"]},
+        }
+        os.makedirs(os.path.join(w, _TXN_DIR))
+        with open(os.path.join(w, _TXN_DIR, "b2.json"), "w") as fh:
+            json.dump(tx, fh)
+        swing_rebase(w, "f", 1, ["p2"], set())
+        _require(
+            _manifest(w, "s") == ["v1"],
+            "gold must still be torn before recovery",
+        )
+        done = recover_transactions(w)
+        _require(done == ["b2"], f"recovered {done}, expected ['b2']")
+        _require(
+            _manifest(w, "f") == ["p1", "p2"]
+            and _manifest(w, "s") == ["v2"],
+            "roll-forward must complete both tables",
+        )
+        _require(
+            recover_transactions(w) == [],
+            "retired intents must not replay",
+        )
+        return read_table(spark, w, "s").transform(stable_checkpoint)
     finally:
         shutil.rmtree(w, ignore_errors=True)
 
@@ -3054,6 +3208,7 @@ QUERIES = {
     "etl_restore": q_restore,
     "etl_constraints": q_constraints,
     "etl_generated_columns": q_generated_columns,
+    "etl_txn_multi_table": q_txn_multi_table,
     "etl_wap_publish": q_wap_publish,
     "etl_cluster_layout": q_cluster_layout,
     "etl_zorder_layout": q_zorder_layout,
@@ -3187,6 +3342,16 @@ FROM events e""",
     # the rejected batch leaves zero trace: the table is exactly the two
     # admitted halves = the full corpus, rolled up per event type
     "etl_constraints": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    # recovery rolls the crashed transaction forward: the gold table is
+    # the rollup over the FULL corpus, never a torn batch-1 snapshot
+    "etl_txn_multi_table": """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

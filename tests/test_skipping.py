@@ -427,3 +427,39 @@ def test_read_where_scans_only_surviving_parts(spark, warehouse):
         r[0] for r in got.select(F.input_file_name()).distinct().collect()
     }
     assert files and all("/p3/" in f for f in files), files
+
+
+def test_multi_commit_and_recovery(spark, warehouse):
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        CommitConflictError,
+        multi_commit,
+        recover_transactions,
+        _manifest,
+    )
+
+    a = spark.createDataFrame([(1,)], "id int")
+    b = spark.createDataFrame([(2,)], "id int")
+    _commit_append(a, warehouse, "x", 1)
+    _commit_append(a, warehouse, "y", 1)
+    # stage deltas, commit both atomically
+    b.write.parquet(os.path.join(warehouse, "x", "p2"))
+    b.write.parquet(os.path.join(warehouse, "y", "p2"))
+    multi_commit(
+        warehouse, {"x": (["p2"], set()), "y": (["p2"], set())}, "t1"
+    )
+    assert _manifest(warehouse, "x") == ["p1", "p2"]
+    assert _manifest(warehouse, "y") == ["p1", "p2"]
+    assert recover_transactions(warehouse) == []  # nothing pending
+    # a tag collides only with an IN-FLIGHT intent (retired tags free
+    # their name); simulate one mid-transaction
+    import json
+
+    from spark_spotify.etl.pipeline import _TXN_DIR
+
+    with open(os.path.join(warehouse, _TXN_DIR, "t2.json"), "w") as fh:
+        json.dump({}, fh)
+    b.write.parquet(os.path.join(warehouse, "x", "p3"))
+    with pytest.raises(CommitConflictError):
+        multi_commit(warehouse, {"x": (["p3"], set())}, "t2")
