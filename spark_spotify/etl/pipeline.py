@@ -1162,13 +1162,20 @@ def q_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vacuum_table(
-    warehouse: str, table: str, retain_versions: set[int] | None = None
+    warehouse: str,
+    table: str,
+    retain_versions: set[int] | None = None,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """Retention garbage collection — Delta ``VACUUM`` / Iceberg
     ``expire_snapshots`` on the manifest-versioned warehouse: drop every
-    manifest version outside ``retain_versions`` (the live version is
+    manifest version outside the retention set (the live version is
     always retained), then delete every part directory referenced by NO
-    surviving manifest.  Time travel to any retained version keeps
+    surviving manifest.  Retention is ``retain_versions`` (explicit
+    pins) ∪ versions committed within the last ``retain_hours`` (Delta's
+    ``RETAIN n HOURS``, resolved against each manifest's commit
+    wall-clock; pre-timestamp manifests cannot prove their age and are
+    conservatively RETAINED).  Time travel to any retained version keeps
     working because its part list survives intact; only parts that no
     retained snapshot can ever read are reclaimed.  Pure metadata + local
     FS work — no Spark job (at 100 TB: an object-store listing + delete
@@ -1181,6 +1188,12 @@ def vacuum_table(
     if not vs:
         return []
     retained = set(retain_versions or ()) | {vs[-1]}
+    if retain_hours is not None:
+        horizon = time.time() - retain_hours * 3600.0
+        for v in vs:
+            ts = _read_manifest_file(warehouse, table, v)["ts"]
+            if ts is None or ts >= horizon:
+                retained.add(v)
     tdir = os.path.join(warehouse, table)
     for v in vs:
         if v not in retained:

@@ -463,3 +463,38 @@ def test_multi_commit_and_recovery(spark, warehouse):
     b.write.parquet(os.path.join(warehouse, "x", "p3"))
     with pytest.raises(CommitConflictError):
         multi_commit(warehouse, {"x": (["p3"], set())}, "t2")
+
+
+def test_vacuum_by_retention_age(spark, warehouse):
+    import json
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _MANIFEST_PREFIX,
+        _read_manifest_file,
+        read_table,
+        vacuum_table,
+    )
+
+    _ranged_table(spark, warehouse)  # v1..v3, all just now
+    # age v1 artificially: rewrite its commit wall-clock 10 h back
+    p1 = os.path.join(warehouse, "t", f"{_MANIFEST_PREFIX}1")
+    m = json.load(open(p1))
+    m["ts"] -= 36000
+    json.dump(m, open(p1, "w"))
+    removed = vacuum_table(warehouse, "t", retain_hours=1.0)
+    # v2/v3 are younger than 1 h -> retained; v1 expired, but every part
+    # it references is still referenced by v2/v3, so no DATA is reclaimed
+    assert removed == []
+    assert read_table(spark, warehouse, "t", version=2) is not None
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        _read_manifest_file(warehouse, "t", 1)
+    # a pre-timestamp manifest cannot prove its age -> retained
+    p2 = os.path.join(warehouse, "t", f"{_MANIFEST_PREFIX}2")
+    m = json.load(open(p2))
+    del m["ts"]
+    json.dump(m, open(p2, "w"))
+    vacuum_table(warehouse, "t", retain_hours=0.0)
+    assert _read_manifest_file(warehouse, "t", 2)["parts"]
