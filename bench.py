@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "etl_generated_columns",
     "etl_optimize_small_files",
     "etl_txn_multi_table",
+    "op_dpp_join",
 ]
 
 

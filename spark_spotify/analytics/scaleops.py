@@ -224,6 +224,63 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the planner feature 100 TB star joins
+    live on: the fact side is partitioned by the join key, the dimension
+    side carries a selective filter that is only known at RUNTIME, and
+    Catalyst injects the dim's key set into the fact scan's
+    PartitionFilters (reusing the join's broadcast), so the fact reads
+    ONLY the partitions the filtered dim can match — static pruning
+    can't do this because the predicate is on the dim, not the fact.
+    The gate asserts the injected subquery is in the executed plan
+    (``dynamicpruning`` in PartitionFilters; see also
+    test_plans.test_dpp_join_prunes_fact_scan).
+
+    Oracle: the same join stated statically."""
+    import shutil
+    import tempfile
+
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+    from spark_spotify.sources.warehouse import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_spotify_dpp_")
+    try:
+        write_partitioned(
+            ev.select("event_id", "user_id", "value", "event_type"),
+            path,
+            ["event_type"],
+        )
+        fact = read_partitioned(spark, path)
+        # dim with a runtime-selective filter: event types whose name
+        # sorts in the upper half — the fact side cannot know this
+        # statically, only the dim filter + DPP can prune for it
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .withColumn("flag", F.length("event_type") % 2)
+            .filter(F.col("flag") == 0)
+        )
+        joined = fact.join(dim, "event_type", "inner")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        from spark_spotify.etl.pipeline import _require
+
+        _require(
+            "dynamicpruning" in plan,
+            "fact scan must carry a dynamic-pruning partition filter",
+        )
+        out = joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            lsum(F.col("value")).alias("total_value"),
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long UNPIVOT (melt): the per-event-type metric block computed
     wide (one shuffle), then unpivoted to (event_type, metric, metric_value)
@@ -1312,6 +1369,7 @@ QUERIES = {
     "agg_grouping_sets_sales": q_grouping_sets_sales,
     "agg_cube_sales": q_cube_sales,
     "op_partitioned_prune": q_partitioned_prune,
+    "op_dpp_join": q_dpp_join,
     "ana_unpivot_metrics": q_unpivot_metrics,
     "op_bucketed_join": q_bucketed_join,
     "op_salted_segment_value": q_salted_segment_value,
@@ -1330,6 +1388,18 @@ QUERIES = {
 }
 
 ORACLE["agg_kmv_set_ops"] = KMV_ORACLE
+
+# DPP changes WHICH partitions are read, never which rows qualify
+ORACLE["op_dpp_join"] = """
+WITH dim AS (
+  SELECT DISTINCT event_type FROM events WHERE length(event_type) % 2 = 0
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
 
 # the oracle IS DuckDB's native ASOF JOIN — engine-grade semantics to
 # match, not a hand-rolled correlated subquery

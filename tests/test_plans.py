@@ -426,3 +426,30 @@ def test_pagerank_iter_lineage_truncated(spark, sf_dir):
     assert "TakeOrderedAndProject" in phys
     assert "Join" not in phys
     assert "HashAggregate" not in phys
+
+
+def test_dpp_join_prunes_fact_scan(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: the fact scan's PartitionFilters carry
+    the runtime dim-derived subquery, and only the dim-matching
+    partitions' rows come back."""
+    from spark_spotify.sources.warehouse import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_dpp")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(
+        ev.select("event_id", "value", "event_type"), path, ["event_type"]
+    )
+    fact = read_partitioned(spark, path)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.length("event_type") % 2 == 0)
+    )
+    joined = fact.join(dim, "event_type", "inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    want = ev.join(dim, "event_type", "inner").count()
+    assert joined.count() == want
