@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "etl_optimize_small_files",
     "etl_txn_multi_table",
     "op_dpp_join",
+    "etl_clone",
 ]
 
 

@@ -1406,6 +1406,94 @@ def drop_constraint(warehouse: str, table: str, name: str) -> int:
     )
 
 
+def clone_table(
+    warehouse: str,
+    src: str,
+    dst_warehouse: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE — Delta ``CREATE TABLE ... CLONE``: a new table
+    whose v1 references the SOURCE's bytes with zero data copy (hard
+    links per file here; path references in an object store), carrying
+    the full schema state (column mapping, drops, specs, stats,
+    constraints, generated columns) of the cloned version.  The clone
+    is immediately independent: its writes land in its own directory
+    (COW rewrites replace whole parts, appends add new ones), its
+    VACUUM unlinks only its own links — the dev/test staging pattern
+    that lets a pipeline rehearse a migration against production bytes
+    without copying or endangering them."""
+    import shutil
+
+    vs = _versions(warehouse, src)
+    _require(bool(vs), f"{src}: clone of an uncommitted table")
+    v = vs[-1] if version is None else version
+    m = _read_manifest_file(warehouse, src, v)
+    sdir = os.path.join(warehouse, src)
+    ddir = os.path.join(dst_warehouse, dst)
+    _require(
+        not _versions(dst_warehouse, dst),
+        f"{dst}: clone target already has commits",
+    )
+    for p in m["parts"]:
+        dst_p = os.path.join(ddir, p)
+        _require(not os.path.exists(dst_p), f"clone target part {p}")
+        shutil.copytree(
+            os.path.join(sdir, p),
+            dst_p,
+            copy_function=os.link,  # zero-copy: hard links, not bytes
+        )
+    return _swing(
+        dst_warehouse,
+        dst,
+        m["parts"],
+        renames=m["renames"],
+        specs=m["specs"],
+        drops=m["drops"],
+        stats=m["stats"],
+        constraints=m["constraints"],
+        generated=m["generated"],
+    )
+
+
+def q_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone gate — the rehearsal drill: clone the fact table
+    (zero data copy — the clone's files share inodes with the source,
+    gate-proven), run the destructive GDPR delete against the CLONE,
+    and require the SOURCE's bytes and row count untouched.  Returns
+    the mutated clone; oracle = the star join minus the deleted
+    subject, identical to a delete on a real table — a clone must be
+    indistinguishable from a copy, just free."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_clo_")
+    try:
+        clone_table(warehouse, "fact", cw, "fact")
+        # zero-copy proof: same inode, no bytes duplicated
+        src_f = sorted(
+            f
+            for f in os.listdir(os.path.join(warehouse, "fact", parts[0]))
+            if f.endswith(".parquet")
+        )[0]
+        a = os.stat(os.path.join(warehouse, "fact", parts[0], src_f))
+        b = os.stat(os.path.join(cw, "fact", parts[0], src_f))
+        _require(a.st_ino == b.st_ino, "clone must share source inodes")
+        n_src = read_table(spark, warehouse, "fact").count()
+        delete_rows(
+            spark, cw, "fact", F.col("user_id") == DELETE_USER, "cl1"
+        )
+        _require(
+            read_table(spark, warehouse, "fact").count() == n_src,
+            "mutating the clone must not touch the source",
+        )
+        return read_table(spark, cw, "fact").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE gate — the bad-deploy undo drill every versioned
     warehouse runs eventually: v2 = the full two-batch fact table, v3 =
@@ -3219,6 +3307,7 @@ QUERIES = {
     "etl_merge_full": q_merge_full,
     "etl_vacuum": q_vacuum,
     "etl_restore": q_restore,
+    "etl_clone": q_clone,
     "etl_constraints": q_constraints,
     "etl_generated_columns": q_generated_columns,
     "etl_txn_multi_table": q_txn_multi_table,
@@ -3352,6 +3441,12 @@ FROM events e""",
     # RESTORE undoes the incident delete completely — the live table is
     # the unmodified star join, and vacuum reclaims only the rewrites
     "etl_restore": _fact.ORACLE["etl_fact_star"],
+    # a delete on the CLONE behaves exactly like a delete on a table
+    # (the source's untouchedness is gate-asserted)
+    "etl_clone": _fact.ORACLE["etl_fact_star"]
+    + f"""
+WHERE e.user_id <> {DELETE_USER}
+""",
     # the rejected batch leaves zero trace: the table is exactly the two
     # admitted halves = the full corpus, rolled up per event type
     "etl_constraints": """
