@@ -163,6 +163,11 @@ def _enc_stat(v):
     if isinstance(v, _dt.datetime):
         import calendar
 
+        if v.tzinfo is not None:
+            # pyarrow returns tz-aware bounds for Spark's UTC-adjusted
+            # timestamps; normalize any zone to UTC wall components so
+            # aware and naive (session-UTC) values share one encoding
+            v = v.astimezone(_dt.timezone.utc)
         return calendar.timegm(v.timetuple()) * 10**6 + v.microsecond
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days

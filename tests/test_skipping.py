@@ -498,3 +498,14 @@ def test_vacuum_by_retention_age(spark, warehouse):
     json.dump(m, open(p2, "w"))
     vacuum_table(warehouse, "t", retain_hours=0.0)
     assert _read_manifest_file(warehouse, "t", 2)["parts"]
+
+
+def test_enc_stat_normalizes_timezones():
+    from spark_spotify.etl.pipeline import _enc_stat
+
+    utc = dt.timezone.utc
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    naive = dt.datetime(2024, 1, 1, 12, 0, 0)
+    aware_utc = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=utc)
+    aware_p2 = dt.datetime(2024, 1, 1, 14, 0, 0, tzinfo=plus2)  # same instant
+    assert _enc_stat(naive) == _enc_stat(aware_utc) == _enc_stat(aware_p2)
