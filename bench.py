@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "etl_txn_multi_table",
     "op_dpp_join",
     "etl_clone",
+    "curate_pack_bpe",
 ]
 
 

@@ -1497,6 +1497,88 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+BPE_PACK_BUDGET = 512  # pieces per packed training sequence
+
+
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-TRUE sequence packing — curate_pack_bins costs bins by
+    whitespace tokens, but a training run pays for BPE PIECES, and the
+    two disagree per document.  This composes the learned tokenizer into
+    the packer: per-doc piece counts from the trained merge table
+    (dictionary-apply + broadcast join, same shape as
+    text_bpe_tokenize), then the deterministic running-sum pack
+    (bin = floor(pieces_before / {BPE_PACK_BUDGET}) per language in
+    doc_id order).  At 100 TB the added cost over whitespace packing is
+    one broadcast join against the vocab mapping — the window is
+    unchanged.
+
+    Oracle: the full training chain replayed in SQL, joined to the
+    exploded corpus, packed with the same window arithmetic."""
+    merges, vocab = _bpe_fit(spark, sf_dir)
+    parts = F.split(F.col("s"), "  ")
+    mapping = vocab.select(
+        "token", (F.size(parts) - 2).cast("long").alias("pc")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    per_doc = (
+        toks.join(F.broadcast(mapping), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.coalesce(F.col("pc"), F.lit(1))).alias("n_pieces"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_pieces").over(w)
+    out = per_doc.withColumn(
+        "bin_id",
+        F.floor(
+            (cum - F.col("n_pieces")) / F.lit(float(BPE_PACK_BUDGET))
+        ),
+    ).withColumn("cum_pieces", cum)
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    out = stable_checkpoint(out)
+    vocab.unpersist()
+    return out
+
+
+def _bpe_pack_oracle(n: int) -> str:
+    return (
+        _bpe_chain_sql(n)
+        + f""",
+map AS (
+  SELECT token,
+         CAST(len(string_split(s, '  ')) - 2 AS BIGINT) AS pc
+  FROM s{n}
+),
+dt AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+),
+pd AS (
+  SELECT doc_id, lang, CAST(SUM(COALESCE(pc, 1)) AS BIGINT) AS n_pieces
+  FROM dt LEFT JOIN map USING (token)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_pieces,
+       CAST(floor((SUM(n_pieces)
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - n_pieces) / {float(BPE_PACK_BUDGET)}) AS BIGINT)
+         AS bin_id,
+       CAST(SUM(n_pieces)
+         OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_pieces
+FROM pd
+"""
+    )
+
+
 def _bpe_chain_sql(n: int) -> str:
     """The training loop unrolled into chained SQL stages — same pair
     extraction, same (cnt DESC, a, b) argmax, same literal replace;
@@ -1577,6 +1659,7 @@ QUERIES = {
     "text_bpe_merge_step": q_bpe_merge_step,
     "text_bpe_train": q_bpe_train,
     "text_bpe_tokenize": q_bpe_tokenize,
+    "curate_pack_bpe": q_pack_bpe,
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
@@ -1598,3 +1681,4 @@ QUERIES = {
 
 ORACLE["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 ORACLE["text_bpe_tokenize"] = _bpe_tokenize_oracle(BPE_TRAIN_MERGES)
+ORACLE["curate_pack_bpe"] = _bpe_pack_oracle(BPE_TRAIN_MERGES)
