@@ -509,3 +509,46 @@ def test_enc_stat_normalizes_timezones():
     aware_utc = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=utc)
     aware_p2 = dt.datetime(2024, 1, 1, 14, 0, 0, tzinfo=plus2)  # same instant
     assert _enc_stat(naive) == _enc_stat(aware_utc) == _enc_stat(aware_p2)
+
+
+def test_swing_rebase_multiprocess_stress(warehouse):
+    """REAL cross-process contention on the commit protocol: four
+    independent Python processes each land six rebased appends on the
+    same table concurrently.  The os.link CAS plus rebase-replay must
+    admit every commit exactly once — 24 parts, 24 versions, no losses,
+    no duplicates — which mocked single-process interleavings cannot
+    prove."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import os, sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from spark_spotify.etl.pipeline import (swing_rebase,\n"
+        "    _current_version)\n"
+        "wh, wid, k = sys.argv[1], sys.argv[2], int(sys.argv[3])\n"
+        "for i in range(k):\n"
+        "    part = f'w{wid}_{i}'\n"
+        "    os.makedirs(os.path.join(wh, 't', part))\n"
+        "    base = _current_version(wh, 't')\n"
+        "    swing_rebase(wh, 't', base, [part], max_retries=500)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, warehouse, str(w), "6"],
+            stderr=subprocess.PIPE,
+        )
+        for w in range(4)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-800:]
+
+    from spark_spotify.etl.pipeline import _manifest, _versions
+
+    parts = sorted(_manifest(warehouse, "t") or [])
+    want = sorted(f"w{w}_{i}" for w in range(4) for i in range(6))
+    assert parts == want
+    assert len(_versions(warehouse, "t")) == 24
