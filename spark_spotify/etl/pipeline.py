@@ -270,43 +270,27 @@ def _swing(
         raise CommitConflictError(
             f"{table}: expected version {expected_version}, found {cur}"
         )
+    # ONE read of the current manifest serves every carried-forward
+    # default (manifests now carry per-part stats, so re-parsing per
+    # field would be repeated O(manifest) JSON work on every commit)
+    cur_m = _read_manifest_file(warehouse, table, cur) if cur else None
     if renames is None:
-        renames = _renames(warehouse, table) if cur else {}
+        renames = cur_m["renames"] if cur_m else {}
     if drops is None:
-        drops = (
-            _read_manifest_file(warehouse, table, cur)["drops"]
-            if cur
-            else []
-        )
+        drops = cur_m["drops"] if cur_m else []
     if specs is None:
-        specs = (
-            _read_manifest_file(warehouse, table, cur)["specs"]
-            if cur
-            else {}
-        )
+        specs = cur_m["specs"] if cur_m else {}
     if constraints is None:
-        constraints = (
-            _read_manifest_file(warehouse, table, cur)["constraints"]
-            if cur
-            else {}
-        )
+        constraints = cur_m["constraints"] if cur_m else {}
     if generated is None:
-        generated = (
-            _read_manifest_file(warehouse, table, cur)["generated"]
-            if cur
-            else {}
-        )
+        generated = cur_m["generated"] if cur_m else {}
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
     # file stats ride the manifest (the Delta-log data-skipping index):
     # carried forward for surviving parts, footer-read ONCE for new parts
     # — O(new parts) cheap metadata I/O per commit, never a data scan
     if stats is None:
-        stats = (
-            _read_manifest_file(warehouse, table, cur)["stats"]
-            if cur
-            else {}
-        )
+        stats = cur_m["stats"] if cur_m else {}
     stats = {p: s for p, s in stats.items() if p in parts}
     for p in parts:
         if p not in stats:
@@ -481,18 +465,36 @@ def recover_transactions(warehouse: str) -> list[str]:
     """Roll every incomplete multi-table transaction FORWARD (the
     intent is durable, so the decision to commit was made; recovery
     finishes it).  Run at session/pipeline start, like Delta log
-    recovery.  Returns the recovered transaction tags."""
+    recovery.  An intent that can no longer apply (a concurrent commit
+    rewrote one of its parts — a TRUE overlap swing_rebase must refuse)
+    is QUARANTINED as ``<tag>.json.conflict`` so it stops blocking
+    recovery of later intents and keeps its evidence for the operator,
+    and the conflict is raised AFTER every other intent has been
+    recovered — one poisoned transaction must never brick the
+    warehouse's recovery loop forever.  Returns the recovered tags."""
     import glob as _glob
     import json
 
     done = []
+    conflicts = []
     for path in sorted(
         _glob.glob(os.path.join(warehouse, _TXN_DIR, "*.json"))
     ):
         with open(path) as fh:
             tx = json.load(fh)
-        _txn_apply(warehouse, path, tx)
-        done.append(os.path.splitext(os.path.basename(path))[0])
+        tag = os.path.splitext(os.path.basename(path))[0]
+        try:
+            _txn_apply(warehouse, path, tx)
+        except CommitConflictError as e:
+            os.rename(path, path + ".conflict")
+            conflicts.append(f"{tag}: {e}")
+            continue
+        done.append(tag)
+    if conflicts:
+        raise CommitConflictError(
+            "unrecoverable transaction(s) quarantined: "
+            + "; ".join(conflicts)
+        )
     return done
 
 
@@ -694,7 +696,17 @@ def read_table_where(
     kept, m = prune_parts(warehouse, table, predicates, version)
 
     def residual(df: DataFrame) -> DataFrame:
+        import datetime as _dt
+
         for col, op, val in predicates:
+            # naive datetimes were ENCODED as UTC by _enc_stat, but
+            # PySpark converts a naive literal via the HOST's local
+            # timezone (TimestampType.toInternal uses time.mktime) —
+            # on a non-UTC host the residual filter and the pruning
+            # would disagree by the UTC offset and silently drop rows.
+            # Pin the literal to UTC so both halves speak one clock.
+            if isinstance(val, _dt.datetime) and val.tzinfo is None:
+                val = val.replace(tzinfo=_dt.timezone.utc)
             c, v = F.col(col), F.lit(val)
             df = df.filter(
                 {
@@ -1291,11 +1303,15 @@ def add_generated_column(
 ) -> int:
     """Declare ``name`` as a GENERATED column (``name = expr``) — the
     last piece of the Delta schema feature set next to CHECK constraints
-    and column mapping.  If the column already exists physically, every
+    and column mapping.  The column must already exist PHYSICALLY in
+    every committed row (Delta likewise only allows generated columns
+    from table creation): declaring an absent column would leave mixed
+    parts whose multi-path scan resolves the schema from an arbitrary
+    footer, making the column's presence read-nondeterministic.  Every
     existing row is validated against the expression first (the same
-    backfill contract as ADD CONSTRAINT); if it does not, earlier
-    snapshots read it as NULL (ADD COLUMN semantics) and every write
-    from this commit on materializes it.  One metadata commit."""
+    backfill contract as ADD CONSTRAINT); from this commit on, writes
+    materialize the column when omitted and validate it when supplied.
+    One metadata commit."""
     cur = _current_version(warehouse, table)
     _require(cur > 0, f"{table}: declare generated on an uncommitted table")
     m = _read_manifest_file(warehouse, table, cur)
@@ -1304,15 +1320,17 @@ def add_generated_column(
         f"generated column {name!r} already declared",
     )
     df = read_table(spark, warehouse, table)
-    if df is not None and name in df.columns:
-        bad = df.filter(
-            ~F.col(name).eqNullSafe(F.expr(expr))
-        ).count()
-        if bad:
-            raise ConstraintViolationError(
-                f"{table}: {bad} existing row(s) contradict generated "
-                f"column {name!r} = ({expr})"
-            )
+    _require(
+        df is not None and name in df.columns,
+        f"{table}: generated column {name!r} must exist physically "
+        f"(write it in the creating commit)",
+    )
+    bad = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).count()
+    if bad:
+        raise ConstraintViolationError(
+            f"{table}: {bad} existing row(s) contradict generated "
+            f"column {name!r} = ({expr})"
+        )
     return _swing(
         warehouse,
         table,
@@ -2649,14 +2667,23 @@ def wap_publish(
         # an un-audited constraint violation must fail the publish (the
         # staging stays intact for inspection, like any failed audit)
         m_cur = _read_manifest_file(warehouse, table, ver) if ver else None
-        if m_cur and m_cur["constraints"]:
+        if m_cur and (m_cur["constraints"] or m_cur["generated"]):
             chk = staged
             if m_cur["drops"]:
                 chk = chk.drop(*m_cur["drops"])
             for phys, logical in m_cur["renames"].items():
                 chk = chk.withColumnRenamed(phys, logical)
+            checks = dict(m_cur["constraints"])
+            for gcol, gexpr in m_cur["generated"].items():
+                # a staged part MISSING a generated column fails the
+                # audit: the bytes are already written, so it cannot be
+                # materialized post-hoc the way _commit_append does
+                if gcol not in chk.columns:
+                    return False
+                checks[f"generated:{gcol}"] = f"{gcol} <=> ({gexpr})"
             if (
-                chk.filter(_violation_filter(m_cur["constraints"]))
+                checks
+                and chk.filter(_violation_filter(checks))
                 .limit(1)
                 .count()
                 > 0

@@ -832,8 +832,18 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     land(feed1, "b1")
     applied: dict = {}
 
+    from spark_spotify.etl.pipeline import _current_version
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
+        # foreachBatch is at-least-once: a crash between the replica
+        # commit and the stream's offset commit re-delivers the batch.
+        # The replica's manifest version doubles as the txnVersion
+        # guard Delta's idempotent sinks use — replica version
+        # batch_id+1 already committed means this batch already
+        # applied, and re-applying would duplicate its insert rows.
+        if _current_version(base, "rep") >= batch_id + 1:
+            return
         replica = read_table(ss, base, "rep")
         if replica is None:
             replica = batch_df.drop("_change_type").limit(0)

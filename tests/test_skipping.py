@@ -552,3 +552,69 @@ def test_swing_rebase_multiprocess_stress(warehouse):
     want = sorted(f"w{w}_{i}" for w in range(4) for i in range(6))
     assert parts == want
     assert len(_versions(warehouse, "t")) == 24
+
+
+def test_wap_audit_enforces_generated_columns(spark, warehouse):
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _manifest,
+        add_generated_column,
+        wap_publish,
+    )
+
+    df = spark.createDataFrame([(1, 5, 10)], "id int, v int, v2 int")
+    _commit_append(df, warehouse, "t", 1)
+    add_generated_column(spark, warehouse, "t", "v2", "v * 2")
+    before = _manifest(warehouse, "t")
+    # wrong generated values -> audit fails, staging intact
+    spark.createDataFrame(
+        [(2, 6, 99)], "id int, v int, v2 int"
+    ).coalesce(1).write.parquet(os.path.join(warehouse, "t", "_stage_w"))
+    assert not wap_publish(spark, warehouse, "t", ["_stage_w"], key="id")
+    # column absent entirely -> audit fails (cannot materialize post-hoc)
+    spark.createDataFrame([(3, 7)], "id int, v int").coalesce(
+        1
+    ).write.parquet(os.path.join(warehouse, "t", "_stage_m"))
+    assert not wap_publish(spark, warehouse, "t", ["_stage_m"], key="id")
+    assert _manifest(warehouse, "t") == before
+    spark.createDataFrame(
+        [(4, 8, 16)], "id int, v int, v2 int"
+    ).coalesce(1).write.parquet(os.path.join(warehouse, "t", "_stage_ok"))
+    assert wap_publish(spark, warehouse, "t", ["_stage_ok"], key="id")
+
+
+def test_recovery_quarantines_conflicted_intent(spark, warehouse):
+    import json
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _TXN_DIR,
+        CommitConflictError,
+        _manifest,
+        _swing,
+        recover_transactions,
+    )
+
+    a = spark.createDataFrame([(1,)], "id int")
+    _commit_append(a, warehouse, "x", 1)
+    _commit_append(a, warehouse, "y", 1)
+    # intent that removes x/p1 — then a concurrent commit removes it
+    # first (true overlap: the intent can never apply)
+    os.makedirs(os.path.join(warehouse, _TXN_DIR))
+    a.write.parquet(os.path.join(warehouse, "x", "p9"))
+    with open(os.path.join(warehouse, _TXN_DIR, "bad.json"), "w") as fh:
+        json.dump({"x": {"base": 1, "added": ["p9"], "removed": ["p1"]}}, fh)
+    a.write.parquet(os.path.join(warehouse, "x", "p2"))
+    _swing(warehouse, "x", ["p2"])  # the winner removed p1 too
+    # a later healthy intent must still recover despite the poisoned one
+    a.write.parquet(os.path.join(warehouse, "y", "p2"))
+    with open(os.path.join(warehouse, _TXN_DIR, "ok.json"), "w") as fh:
+        json.dump({"y": {"base": 1, "added": ["p2"], "removed": []}}, fh)
+    with pytest.raises(CommitConflictError, match="quarantined"):
+        recover_transactions(warehouse)
+    assert _manifest(warehouse, "y") == ["p1", "p2"]  # healthy applied
+    assert os.path.exists(
+        os.path.join(warehouse, _TXN_DIR, "bad.json.conflict")
+    )
+    assert recover_transactions(warehouse) == []  # loop unbricked
