@@ -174,6 +174,28 @@ def _enc_stat(v):
     return None
 
 
+def _stat_kind(v) -> str | None:
+    """Type FAMILY of a bound / predicate literal, recorded alongside the
+    encoded stats so pruning never compares across encodings: dates
+    encode as epoch-DAYS and datetimes as epoch-MICROS — both plain ints
+    — so without the tag a datetime predicate on a DATE column would
+    compare micros against days and could prune parts that match
+    (breaking the 'pruning only errs toward reading' invariant)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "n"
+    if isinstance(v, (int, float)):
+        return "n"
+    if isinstance(v, (str, bytes)):
+        return "s"
+    if isinstance(v, _dt.datetime):
+        return "t"
+    if isinstance(v, _dt.date):
+        return "d"
+    return None
+
+
 def _part_stats(warehouse: str, table: str, part: str) -> dict:
     """Per-column {lo, hi, nulls, n} for one part, from the parquet
     FOOTERS alone (pyarrow metadata, no Spark job) — the file statistics
@@ -216,9 +238,16 @@ def _part_stats(warehouse: str, table: str, part: str) -> dict:
                     e["nulls"] += nulls
                 if st is not None and st.has_min_max:
                     lo, hi = _enc_stat(st.min), _enc_stat(st.max)
-                    if lo is None or hi is None:
+                    kind = _stat_kind(st.min)
+                    if lo is None or hi is None or kind is None:
+                        e["_bounded"] = False
+                    elif e.get("k", kind) != kind:
+                        # mixed type families across row groups (should
+                        # be impossible for one parquet column) — bounds
+                        # are not comparable, leave unbounded
                         e["_bounded"] = False
                     else:
+                        e["k"] = kind
                         e["lo"] = lo if "lo" not in e else min(e["lo"], lo)
                         e["hi"] = hi if "hi" not in e else max(e["hi"], hi)
                 elif nulls is None or nulls < rgm.num_rows:
@@ -230,7 +259,7 @@ def _part_stats(warehouse: str, table: str, part: str) -> dict:
         if e.pop("_nk"):
             rec["nulls"] = e["nulls"]
         if e.pop("_bounded") and "lo" in e:
-            rec["lo"], rec["hi"] = e["lo"], e["hi"]
+            rec["lo"], rec["hi"], rec["k"] = e["lo"], e["hi"], e["k"]
         out[name] = rec
     return out
 
@@ -647,13 +676,13 @@ def prune_parts(
         _require(
             phys not in m["drops"], f"predicate on dropped column {col!r}"
         )
-        resolved.append((phys, op, _enc_stat(val)))
+        resolved.append((phys, op, _enc_stat(val), _stat_kind(val)))
 
     def might_match(part: str) -> bool:
         pstats = m["stats"].get(part)
         if not pstats:
             return True  # no stats recorded — cannot prove anything
-        for phys, op, v in resolved:
+        for phys, op, v, vk in resolved:
             e = pstats.get(phys)
             if e is None:
                 continue
@@ -662,9 +691,12 @@ def prune_parts(
             if v is None or "lo" not in e:
                 continue
             lo, hi = e["lo"], e["hi"]
-            # defensive: never compare across JSON type families
-            same = isinstance(v, str) == isinstance(lo, str)
-            if not same:
+            # compare ONLY within one type family: dates encode as
+            # epoch-days and datetimes as epoch-micros (both ints), so a
+            # raw numeric comparison across families would mis-prune.
+            # Entries written before the kind tag existed carry no "k"
+            # and are never compared (kept) — conservative by design.
+            if vk is None or e.get("k") != vk:
                 continue
             if (
                 (op == "=" and (v < lo or v > hi))

@@ -156,6 +156,29 @@ def test_timestamp_pruning(spark, warehouse):
     assert sorted(r["id"] for r in got.collect()) == [3, 4]
 
 
+def test_cross_family_temporal_predicate_never_prunes(spark, warehouse):
+    """Dates encode as epoch-DAYS and datetimes as epoch-MICROS — both
+    plain ints.  A datetime predicate on a DATE column must therefore
+    never be compared against the day-encoded bounds (it would prune
+    parts that match); the part is kept and the residual filter (Spark
+    casts date -> timestamp) decides."""
+    rows = [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2))]
+    df = spark.createDataFrame(rows, "id int, d date")
+    _commit_append(df, warehouse, "t", 1)
+    m = _read_manifest_file(warehouse, "t", 1)
+    assert m["stats"]["p1"]["d"]["k"] == "d"  # family recorded
+    cut = dt.datetime(2024, 1, 2, 0, 0, 0)
+    kept, _ = prune_parts(warehouse, "t", [("d", ">=", cut)])
+    assert kept == ["p1"]  # cross-family: kept, not mis-pruned
+    got = read_table_where(spark, warehouse, "t", [("d", ">=", cut)])
+    assert sorted(r["id"] for r in got.collect()) == [2]
+    # same-family date predicates still prune
+    kept, _ = prune_parts(
+        warehouse, "t", [("d", ">=", dt.date(2024, 1, 3))]
+    )
+    assert kept == []
+
+
 def test_stats_carried_forward_without_rereading(
     spark, warehouse, monkeypatch
 ):
