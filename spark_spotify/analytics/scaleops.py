@@ -150,13 +150,21 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint-then-cleaned like op_partitioned_prune: the zero-shuffle
     # plan over the bucketed scans IS the asserted deliverable.)
     sfx = f"pid{_os.getpid()}"
-    base = f"/tmp/spark_spotify_warehouse/{sfx}"
+    root = "/tmp/spark_spotify_warehouse"
+    base = f"{root}/{sfx}"
     # reclaim this process's bucketed copies at exit — without this every
     # sweep/bench/pytest process leaves its pid dir behind forever
     import atexit as _atexit
     import shutil as _shutil
 
     _atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    # the startup sweep (session.sweep_orphaned_tmp) reclaims any
+    # spark_spotify_* dir idle >1h by the PARENT's mtime — but writes
+    # land in pid subdirs and never touch the parent, so a long session
+    # would look idle to a CONCURRENT process's sweep.  Refresh the
+    # root's mtime on every invocation, like the other session caches.
+    _os.makedirs(root, exist_ok=True)
+    _os.utime(root)
     write_bucketed(
         o.select("o_orderkey", "o_custkey", "o_totalprice"),
         f"orders_b_{sfx}",

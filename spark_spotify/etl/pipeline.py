@@ -453,7 +453,12 @@ def multi_commit(
     import json
     import uuid
 
-    tx = {}
+    # creation sequence rides the record ("_"-prefixed keys are metadata,
+    # not tables): recovery replays intents in CREATION order — two
+    # in-flight intents touching the same table must roll forward in the
+    # order they were cut, or a later intent whose base predates an
+    # earlier one's removal hits a spurious overlap conflict
+    tx = {"_ts": time.time()}
     for table in sorted(plan):
         added, removed = plan[table]
         tx[table] = {
@@ -480,6 +485,8 @@ def multi_commit(
 
 def _txn_apply(warehouse: str, intent_path: str, tx: dict) -> None:
     for table in sorted(tx):
+        if table.startswith("_"):
+            continue  # record metadata (creation ts), not a table
         e = tx[table]
         cur = set(_manifest(warehouse, table) or [])
         if set(e["added"]) <= cur and not (set(e["removed"]) & cur):
@@ -506,11 +513,18 @@ def recover_transactions(warehouse: str) -> list[str]:
 
     done = []
     conflicts = []
-    for path in sorted(
-        _glob.glob(os.path.join(warehouse, _TXN_DIR, "*.json"))
-    ):
+    pending = []
+    for path in _glob.glob(os.path.join(warehouse, _TXN_DIR, "*.json")):
         with open(path) as fh:
             tx = json.load(fh)
+        # replay in intent-CREATION order, not lexicographic tag order:
+        # a later-created intent whose base predates an earlier one's
+        # removal would hit a spurious overlap conflict if recovered
+        # first.  Creation ts is embedded in the record; legacy intents
+        # fall back to file mtime; ties break on the tag name.
+        seq = tx.get("_ts", os.path.getmtime(path))
+        pending.append((seq, os.path.basename(path), path, tx))
+    for _seq, _name, path, tx in sorted(pending, key=lambda t: t[:2]):
         tag = os.path.splitext(os.path.basename(path))[0]
         try:
             _txn_apply(warehouse, path, tx)
@@ -2661,25 +2675,28 @@ def wap_publish(
         p: (p[len("_stage_"):] if p.startswith("_stage_") else p)
         for p in staged_parts
     }
-    # validate EVERY promotion target up front: colliding with a live dir
-    # or any retained manifest's part (time travel) mid-loop would leave
-    # some parts promoted and some staged — unpublishable and unretryable
-    retained = {
-        p
-        for v in _versions(warehouse, table)
-        for p in (_manifest(warehouse, table, v) or [])
-    }
-    for p, name in final_of.items():
-        _require(
-            name == p
-            or (
-                name not in retained
-                and not os.path.exists(os.path.join(tdir, name))
-            ),
-            f"promotion target {name!r} collides with an existing part",
-        )
     for _ in range(max_retries):
         ver = _current_version(warehouse, table)
+        # validate EVERY promotion target at the top of EACH attempt —
+        # not just once before the loop: after a lost CAS race the
+        # winner may have committed a part under a colliding name, and
+        # a mid-loop os.rename onto an existing directory would strand
+        # a half-promoted staging.  Raising here is clean: all parts
+        # are still staged (the previous attempt un-promoted on loss).
+        retained = {
+            p
+            for v in _versions(warehouse, table)
+            for p in (_manifest(warehouse, table, v) or [])
+        }
+        for p, name in final_of.items():
+            _require(
+                name == p
+                or (
+                    name not in retained
+                    and not os.path.exists(os.path.join(tdir, name))
+                ),
+                f"promotion target {name!r} collides with an existing part",
+            )
         staged = spark.read.parquet(
             *[os.path.join(tdir, p) for p in staged_parts]
         )

@@ -1201,3 +1201,40 @@ def test_cdc_merge_apply_all_three_arms(spark, warehouse):
         (3, 30.0),
         (4, 40.0),
     }
+
+
+def test_wap_revalidates_collisions_on_each_retry(
+    spark, warehouse, monkeypatch
+):
+    """After a lost CAS race the WINNER may have published a part under
+    one of our promotion-target names.  The retry must re-run the
+    collision validation (not just the pre-loop check) and raise cleanly
+    with every part still staged — never os.rename onto the winner's
+    directory mid-loop."""
+    import os
+
+    import pytest
+
+    from spark_spotify.etl import pipeline as P
+
+    spark.createDataFrame(
+        [(1, "x")], "event_id long, t string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/_stage_s1")
+    P._swing(warehouse, "t", [])
+
+    real_swing = P._swing
+    calls = {"n": 0}
+
+    def flaky_swing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the winner lands a manifest claiming the name "s1", then
+            # our swing loses the race
+            real_swing(warehouse, "t", ["s1"])
+            raise P.CommitConflictError("simulated lost race")
+        return real_swing(*a, **kw)
+
+    monkeypatch.setattr(P, "_swing", flaky_swing)
+    with pytest.raises(RuntimeError, match="collides"):
+        P.wap_publish(spark, warehouse, "t", ["_stage_s1"])
+    assert os.path.exists(f"{warehouse}/t/_stage_s1")  # fully staged

@@ -641,3 +641,48 @@ def test_recovery_quarantines_conflicted_intent(spark, warehouse):
         os.path.join(warehouse, _TXN_DIR, "bad.json.conflict")
     )
     assert recover_transactions(warehouse) == []  # loop unbricked
+
+def test_recovery_replays_in_creation_order(spark, warehouse):
+    """Two pending intents whose CREATION order is the reverse of their
+    lexicographic tag order: 'b' (created first) already swung the table
+    and crashed before retiring; 'a' (created second) was cut against
+    the post-'b' state.  Lexicographic replay would apply 'a' first and
+    then quarantine 'b' on a spurious overlap conflict; creation-order
+    replay detects 'b' as already-applied, retires it, and applies 'a'
+    cleanly."""
+    import json
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _TXN_DIR,
+        _manifest,
+        _swing,
+        recover_transactions,
+    )
+
+    df = spark.createDataFrame([(1,)], "id int")
+    _commit_append(df, warehouse, "t", 1)  # v1 = [p1]
+    os.makedirs(os.path.join(warehouse, _TXN_DIR))
+    # intent "b": created FIRST, applied (v2 = [p2]), crash before retire
+    df.write.parquet(os.path.join(warehouse, "t", "p2"))
+    with open(os.path.join(warehouse, _TXN_DIR, "b.json"), "w") as fh:
+        json.dump(
+            {
+                "_ts": 100.0,
+                "t": {"base": 1, "added": ["p2"], "removed": ["p1"]},
+            },
+            fh,
+        )
+    _swing(warehouse, "t", ["p2"])  # b's swing landed
+    # intent "a": created SECOND against the post-b state, never applied
+    df.write.parquet(os.path.join(warehouse, "t", "p3"))
+    with open(os.path.join(warehouse, _TXN_DIR, "a.json"), "w") as fh:
+        json.dump(
+            {
+                "_ts": 200.0,
+                "t": {"base": 2, "added": ["p3"], "removed": ["p2"]},
+            },
+            fh,
+        )
+    assert recover_transactions(warehouse) == ["b", "a"]
+    assert _manifest(warehouse, "t") == ["p3"]
