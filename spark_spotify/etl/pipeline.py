@@ -74,6 +74,9 @@ def _require(cond: bool, msg: object) -> None:
 
 _MANIFEST_PREFIX = "_latest.v"
 
+# carry-forward sentinel for manifest fields where None is a real value
+_CARRY = object()
+
 
 def _versions(warehouse: str, table: str) -> list[int]:
     """All committed manifest versions for ``table``, ascending."""
@@ -107,6 +110,8 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("stats", {})  # {part: {col: {lo, hi, nulls, n}}}
     m.setdefault("constraints", {})  # {name: CHECK sql expr (logical cols)}
     m.setdefault("generated", {})  # {logical col: generation sql expr}
+    m.setdefault("dv", {})  # {part: [deletion-vector sidecar names]}
+    m.setdefault("schema", None)  # table-owned physical schema (JSON)
     return m
 
 
@@ -275,6 +280,8 @@ def _swing(
     stats: dict[str, dict] | None = None,
     constraints: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
+    dv: dict[str, list[str]] | None = None,
+    schema: object = _CARRY,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -313,8 +320,19 @@ def _swing(
         constraints = cur_m["constraints"] if cur_m else {}
     if generated is None:
         generated = cur_m["generated"] if cur_m else {}
+    if dv is None:
+        dv = cur_m["dv"] if cur_m else {}
+    if schema is _CARRY:
+        # None is a VALID value here (no table-owned schema) — e.g. a
+        # RESTORE to a pre-evolution version must clear it — so the
+        # carry-forward default is a sentinel, not None
+        schema = cur_m["schema"] if cur_m else None
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
+    # likewise a deletion vector for a dropped part: a rewrite of the
+    # part MATERIALIZED its deletions, so the sidecar reference dies
+    # with the part entry (the sidecar bytes stay for older manifests)
+    dv = {p: list(names) for p, names in dv.items() if p in parts and names}
     # file stats ride the manifest (the Delta-log data-skipping index):
     # carried forward for surviving parts, footer-read ONCE for new parts
     # — O(new parts) cheap metadata I/O per commit, never a data scan
@@ -340,6 +358,8 @@ def _swing(
                 "stats": stats,
                 "constraints": constraints,
                 "generated": generated,
+                "dv": dv,
+                "schema": schema,
             },
             fh,
         )
@@ -361,6 +381,8 @@ def swing_rebase(
     added: list[str],
     removed: set[str] | None = None,
     max_retries: int = 5,
+    dv_add: dict[str, list[str]] | None = None,
+    schema: str | None = None,
 ) -> int:
     """Optimistic-concurrency commit with AUTOMATIC REBASE — the Delta
     conflict-resolution protocol on top of :func:`_swing`'s CAS.  The
@@ -384,40 +406,89 @@ def swing_rebase(
     would require re-running discovery, which the CALLER can do by
     catching the conflict and re-deriving the commit.
 
+    ``dv_add`` extends the delta with ROW-level deletes: deletion-vector
+    sidecars to attach per part (``{part: [dv names]}``, merge-on-read
+    DELETE commits).  DV commits rebase at row granularity — two writers
+    deleting rows of the SAME part both land (the read path applies the
+    UNION of the part's vectors, consistent with either serial order
+    because deletion is monotone), which part-level COW can never give.
+    True conflicts remain: the winner REWROTE a part we vectorize (our
+    row positions are dead), we rewrite a part the winner vectorized
+    (our COW output would resurrect its deletions), or a DV sidecar
+    name collides.
+
     Each retry is O(manifest) metadata only — no Spark job, no part
     rewrite; the loser of a CAS race re-reads and replays until it wins
     or finds a true overlap."""
     added = list(added)
     removed = set(removed or ())
-    base_parts = set(
-        (_manifest(warehouse, table, base_version) or [])
+    dv_add = {p: list(ns) for p, ns in (dv_add or {}).items() if ns}
+    base_m = (
+        _read_manifest_file(warehouse, table, base_version)
         if base_version
-        else []
+        else None
     )
+    base_parts = set(base_m["parts"]) if base_m else set()
+    base_dv = base_m["dv"] if base_m else {}
     _require(
         removed <= base_parts,
         f"rebase removes parts not in base v{base_version}: "
         f"{sorted(removed - base_parts)}",
     )
+    _require(
+        set(dv_add) <= base_parts - removed,
+        f"dv_add targets parts not live in base v{base_version}: "
+        f"{sorted(set(dv_add) - (base_parts - removed))}",
+    )
     for _ in range(max_retries):
         cur = _current_version(warehouse, table)
-        cur_parts = (
-            (_manifest(warehouse, table, cur) or []) if cur else []
-        )
+        cur_m = _read_manifest_file(warehouse, table, cur) if cur else None
+        cur_parts = cur_m["parts"] if cur_m else []
+        cur_dv = cur_m["dv"] if cur_m else {}
         if cur != base_version:
             winner_removed = base_parts - set(cur_parts)
             winner_added = set(cur_parts) - base_parts
             overlap = removed & winner_removed
             collide = set(added) & winner_added
-            if overlap or collide:
+            # a part we vectorize that the winner rewrote: our row
+            # positions index files that no longer exist in the snapshot
+            dv_dead = set(dv_add) & winner_removed
+            # a part we REWRITE that the winner vectorized since base:
+            # our COW output was computed without those row deletes and
+            # would resurrect them
+            dv_stomped = {
+                p
+                for p in removed
+                if set(cur_dv.get(p, ())) - set(base_dv.get(p, ()))
+            }
+            # two DV commits reusing one sidecar name
+            dv_names = {n for ns in dv_add.values() for n in ns}
+            dv_collide = dv_names & {
+                n for ns in cur_dv.values() for n in ns
+            }
+            if overlap or collide or dv_dead or dv_stomped or dv_collide:
                 raise CommitConflictError(
                     f"{table}: concurrent commit overlaps "
-                    f"(both rewrote {sorted(overlap)}, "
-                    f"both added {sorted(collide)})"
+                    f"(both rewrote {sorted(overlap | dv_stomped)}, "
+                    f"both added {sorted(collide)}, "
+                    f"dv on rewritten parts {sorted(dv_dead)}, "
+                    f"dv name collisions {sorted(dv_collide)})"
                 )
         new_list = [p for p in cur_parts if p not in removed] + added
+        new_dv = None
+        if dv_add:
+            new_dv = {p: list(ns) for p, ns in cur_dv.items()}
+            for p, ns in dv_add.items():
+                new_dv[p] = new_dv.get(p, []) + ns
         try:
-            return _swing(warehouse, table, new_list, expected_version=cur)
+            return _swing(
+                warehouse,
+                table,
+                new_list,
+                expected_version=cur,
+                dv=new_dv,
+                schema=_CARRY if schema is None else schema,
+            )
         except CommitConflictError:
             continue  # lost the CAS itself: re-read and replay
     raise CommitConflictError(
@@ -547,6 +618,7 @@ def _read_parts(
     table: str,
     parts: list[str],
     specs: dict[str, list[str]] | None = None,
+    schema: str | None = None,
 ) -> DataFrame | None:
     """Spec-aware snapshot scan: unpartitioned parts go through ONE
     multi-path parquet read; each hive-partitioned part (partition spec
@@ -559,7 +631,7 @@ def _read_parts(
     low by COMPACTING evolved commits (compact_table rewrites any mix
     into one plain part), exactly as Iceberg compaction folds old-spec
     files forward."""
-    branches = _part_branches(spark, warehouse, table, parts, specs)
+    branches = _part_branches(spark, warehouse, table, parts, specs, schema)
     out = None
     for df in branches:
         out = df if out is None else out.unionByName(df)
@@ -572,27 +644,117 @@ def _part_branches(
     table: str,
     parts: list[str],
     specs: dict[str, list[str]] | None = None,
+    schema: str | None = None,
 ) -> list[DataFrame]:
     """The per-spec scan branches behind :func:`_read_parts` — exposed so
     per-branch work (e.g. ``input_file_name()`` discovery, which is
     single-source-only and must not sit above the union) can map each
-    branch before combining."""
+    branch before combining.
+
+    ``schema`` is the manifest's TABLE-OWNED physical schema (JSON, set
+    by schema-evolving commits).  When present the scan is planned from
+    it — parquet fills columns a file lacks with NULL — which is how
+    Delta/Iceberg read mixed-schema part sets: zero footer-merging I/O
+    at plan time (``mergeSchema`` would read every footer of a 100 TB
+    table), and the schema is versioned with the snapshot."""
     if not parts:
         return []
     specs = specs or {}
     tdir = os.path.join(warehouse, table)
     plain = [p for p in parts if p not in specs]
+    reader = spark.read
+    if schema is not None:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(
+            StructType.fromJson(_json.loads(schema))
+        )
     branches = []
     if plain:
         branches.append(
-            spark.read.parquet(*[os.path.join(tdir, p) for p in plain])
+            reader.parquet(*[os.path.join(tdir, p) for p in plain])
         )
     branches.extend(
-        spark.read.parquet(os.path.join(tdir, p))
+        reader.parquet(os.path.join(tdir, p))
         for p in parts
         if p in specs
     )
     return branches
+
+
+# Reserved scan-side names for the deletion-vector anti-join keys —
+# rejected as user columns by the MOR delete path.
+_DV_FILE = "_dv_f"
+_DV_IDX = "_dv_i"
+
+
+def _rel_file_expr(tdir: str) -> F.Column:
+    """Scan-side file identity: the open file's path RELATIVE to the
+    table dir (``part/.../file.parquet``), from the ``_metadata``
+    pseudo-column — matching byte-for-byte what the MOR delete writes
+    into its sidecar, so the anti-join key is exact on both flat and
+    hive-partitioned parts."""
+    _require("'" not in tdir, f"table dir {tdir!r} contains a quote")
+    return F.expr(
+        f"substring(_metadata.file_path, "
+        f"locate('{tdir}/', _metadata.file_path) + {len(tdir) + 1})"
+    )
+
+
+def _read_parts_live(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    parts: list[str],
+    specs: dict[str, list[str]] | None = None,
+    dv: dict[str, list[str]] | None = None,
+    schema: str | None = None,
+) -> DataFrame | None:
+    """DV-aware snapshot scan — :func:`_read_parts` plus the
+    merge-on-read half of the Delta deletion-vector protocol: when any
+    scanned part carries deletion vectors, every row is keyed by
+    (relative file path, ``_metadata.row_index``) and anti-joined
+    against the UNION of the referenced sidecars.  ``row_index`` is the
+    physical position Spark maintains through row-group skipping (the
+    same identity Delta's DV reader uses), so the filter is exact under
+    predicate pushdown.  Sidecars are O(deleted rows) by construction
+    and BROADCAST — the anti-join is a build-side hash lookup per row,
+    no shuffle, and tables with no vectors take the plain scan with
+    zero overhead."""
+    live = {
+        p: ns for p, ns in (dv or {}).items() if p in set(parts) and ns
+    }
+    if not live:
+        return _read_parts(spark, warehouse, table, parts, specs, schema)
+    tdir = os.path.join(warehouse, table)
+    names = sorted({n for ns in live.values() for n in ns})
+    dvdf = spark.read.parquet(*[os.path.join(tdir, n) for n in names])
+    rel = _rel_file_expr(tdir)
+    out = None
+    for br in _part_branches(
+        spark, warehouse, table, parts, specs, schema
+    ):
+        _require(
+            _DV_FILE not in br.columns and _DV_IDX not in br.columns,
+            f"{_DV_FILE}/{_DV_IDX} are reserved by deletion vectors",
+        )
+        b = br.withColumn(_DV_FILE, rel).withColumn(
+            _DV_IDX, F.col("_metadata.row_index")
+        )
+        out = b if out is None else out.unionByName(b)
+    cols = [c for c in out.columns if c not in (_DV_FILE, _DV_IDX)]
+    out = out.join(
+        F.broadcast(
+            dvdf.withColumnRenamed("f", _DV_FILE).withColumnRenamed(
+                "i", _DV_IDX
+            )
+        ),
+        [_DV_FILE, _DV_IDX],
+        "left_anti",
+    )
+    return out.select(*cols)
 
 
 def version_as_of(warehouse: str, table: str, ts: float) -> int:
@@ -641,7 +803,10 @@ def read_table(
     )
     if not m["parts"]:
         return None
-    df = _read_parts(spark, warehouse, table, m["parts"], m["specs"])
+    df = _read_parts_live(
+        spark, warehouse, table, m["parts"], m["specs"], m["dv"],
+        m["schema"],
+    )
     if m["drops"]:
         # drops are PHYSICAL names, applied before the rename mapping;
         # the part bytes still carry the column (Delta column-mapping
@@ -772,8 +937,14 @@ def read_table_where(
             full is not None, f"{table}: pruning read on an empty snapshot"
         )
         return residual(full).filter(F.lit(False))
-    df = _read_parts(
-        spark, warehouse, table, kept, {p: s for p, s in m["specs"].items()}
+    df = _read_parts_live(
+        spark,
+        warehouse,
+        table,
+        kept,
+        {p: s for p, s in m["specs"].items()},
+        m["dv"],
+        m["schema"],
     )
     if m["drops"]:
         df = df.drop(*m["drops"])
@@ -1097,11 +1268,16 @@ def compact_table(
     files become garbage collectable once unreferenced.  At 100 TB the
     rewrite targets ~128 MB files per partition instead of 1 global file;
     the manifest mechanics are identical."""
-    parts = _manifest(warehouse, table) or []
-    specs = _read_manifest_file(
+    m = _read_manifest_file(
         warehouse, table, _current_version(warehouse, table)
-    )["specs"]
-    df = _read_parts(spark, warehouse, table, parts, specs)
+    )
+    parts = m["parts"]
+    # DV-aware read: compaction MATERIALIZES outstanding deletion
+    # vectors — the rewritten part carries only surviving rows and the
+    # new manifest references no sidecars (Delta's REORG ... PURGE)
+    df = _read_parts_live(
+        spark, warehouse, table, parts, m["specs"], m["dv"], m["schema"]
+    )
     new_part = f"c{tag}"
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, new_part)
@@ -1156,7 +1332,11 @@ def optimize_table(
         and not os.path.exists(os.path.join(tdir, new_part)),
         f"optimize tag {tag!r} collides with {new_part}",
     )
-    df = _read_parts(spark, warehouse, table, small, m["specs"])
+    # folding small parts MATERIALIZES their deletion vectors (the
+    # replacement part has no dv entry); untouched parts keep theirs
+    df = _read_parts_live(
+        spark, warehouse, table, small, m["specs"], m["dv"], m["schema"]
+    )
     n_files = max(
         1,
         min(len(small), math.ceil(sum(sizes[p] for p in small)
@@ -1263,7 +1443,12 @@ def vacuum_table(
             os.remove(os.path.join(tdir, f"{_MANIFEST_PREFIX}{v}"))
     referenced: set[str] = set()
     for v in sorted(retained & set(vs)):
-        referenced.update(_read_manifest_file(warehouse, table, v)["parts"])
+        mv = _read_manifest_file(warehouse, table, v)
+        referenced.update(mv["parts"])
+        # deletion-vector sidecars referenced by a retained snapshot are
+        # as load-bearing as its parts — reclaiming one would resurrect
+        # deleted rows on that snapshot's reads
+        referenced.update(n for ns in mv["dv"].values() for n in ns)
     removed: list[str] = []
     for entry in os.listdir(tdir):
         # "_"-prefixed entries are metadata and in-flight stagings
@@ -1294,8 +1479,11 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
     )
     m = _read_manifest_file(warehouse, table, to_version)
     tdir = os.path.join(warehouse, table)
+    needed = list(m["parts"]) + [
+        n for ns in m["dv"].values() for n in ns
+    ]
     missing = [
-        p for p in m["parts"] if not os.path.isdir(os.path.join(tdir, p))
+        p for p in needed if not os.path.isdir(os.path.join(tdir, p))
     ]
     _require(
         not missing, f"{table}: restore target parts vacuumed: {missing}"
@@ -1310,6 +1498,8 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
         stats=m["stats"],
         constraints=m["constraints"],
         generated=m["generated"],
+        dv=m["dv"],
+        schema=m["schema"],
     )
 
 
@@ -1504,7 +1694,8 @@ def clone_table(
         not _versions(dst_warehouse, dst),
         f"{dst}: clone target already has commits",
     )
-    for p in m["parts"]:
+    dv_names = sorted({n for ns in m["dv"].values() for n in ns})
+    for p in list(m["parts"]) + dv_names:
         dst_p = os.path.join(ddir, p)
         _require(not os.path.exists(dst_p), f"clone target part {p}")
         shutil.copytree(
@@ -1522,6 +1713,8 @@ def clone_table(
         stats=m["stats"],
         constraints=m["constraints"],
         generated=m["generated"],
+        dv=m["dv"],
+        schema=m["schema"],
     )
 
 
@@ -1938,13 +2131,27 @@ def delete_rows(
     table: str,
     predicate,
     tag: str,
+    mode: str = "cow",
 ) -> int:
-    """Row-level DELETE — the Delta/Iceberg copy-on-write delete commit,
-    the GDPR / right-to-be-forgotten primitive a training-data store must
-    support: parts that contain matching rows are rewritten WITHOUT them
-    (new immutable parts), untouched parts keep their bytes, and the
-    manifest swings atomically to the mixed old/new list.  Write cost is
-    O(affected parts), never a table rewrite.
+    """Row-level DELETE — the Delta/Iceberg delete commit, the GDPR /
+    right-to-be-forgotten primitive a training-data store must support,
+    in both physical strategies:
+
+    - ``mode="cow"`` (copy-on-write, the default): parts that contain
+      matching rows are rewritten WITHOUT them (new immutable parts),
+      untouched parts keep their bytes, and the manifest swings
+      atomically to the mixed old/new list.  Write cost is O(affected
+      parts), never a table rewrite.
+    - ``mode="mor"`` (merge-on-read, Delta deletion vectors): NO part is
+      rewritten — the matching rows' physical positions (relative file
+      path, ``_metadata.row_index``) are written to an O(deleted rows)
+      sidecar and the manifest attaches it to the affected parts; the
+      read path anti-filters it.  A 1-row delete in a 1 GB part writes
+      bytes proportional to ONE ROW, and two writers deleting different
+      rows of the SAME part both commit (row-level rebase — deletion is
+      monotone, so the union of their vectors is consistent with either
+      serial order).  ``compact_table`` / ``optimize_table`` later
+      materialize vectors away (Delta ``REORG ... APPLY (PURGE)``).
 
     ``predicate`` is a Column selecting rows to DELETE.  Returns the
     number of affected parts.
@@ -1971,15 +2178,23 @@ def delete_rows(
     nullable column never silently erases NULL rows."""
     from urllib.parse import unquote, urlparse
 
+    _require(mode in ("cow", "mor"), f"unknown delete mode {mode!r}")
     base = _current_version(warehouse, table)
     parts = _manifest(warehouse, table, base) if base else None
     parts = parts or []
     if not parts:
         return 0
-    specs = _read_manifest_file(warehouse, table, base)["specs"]
+    m_base = _read_manifest_file(warehouse, table, base)
+    specs, dv = m_base["specs"], m_base["dv"]
     tdir = os.path.join(warehouse, table)
+    if mode == "mor":
+        return _delete_rows_mor(
+            spark, warehouse, table, predicate, tag, base, m_base
+        )
     probe = None
-    for br in _part_branches(spark, warehouse, table, parts, specs):
+    for br in _part_branches(
+        spark, warehouse, table, parts, specs, m_base["schema"]
+    ):
         # filter BEFORE projecting the (non-deterministic) file name so
         # the predicate still pushes down to each scan
         b = br.filter(F.coalesce(predicate, F.lit(False))).select(
@@ -1993,8 +2208,17 @@ def delete_rows(
         affected.add(rel.split(os.sep)[0])
     if not affected:
         return 0
-    kept = _read_parts(
-        spark, warehouse, table, sorted(affected), specs
+    # DV-aware rewrite: a part with outstanding deletion vectors must
+    # not resurrect its vectorized rows when rewritten (the rewrite
+    # also MATERIALIZES them — the replacement carries no dv entry)
+    kept = _read_parts_live(
+        spark,
+        warehouse,
+        table,
+        sorted(affected),
+        specs,
+        dv,
+        m_base["schema"],
     ).filter(predicate.isNull() | ~predicate)
     new_part = f"d{tag}"
     # a reused tag would overwrite a part's directory — including one
@@ -2012,6 +2236,73 @@ def delete_rows(
     # commits rebase under WriteSerializable; a concurrent rewrite of
     # the SAME parts raises
     swing_rebase(warehouse, table, base, [new_part], affected)
+    return len(affected)
+
+
+def _delete_rows_mor(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    predicate,
+    tag: str,
+    base: int,
+    m_base: dict,
+) -> int:
+    """Merge-on-read half of :func:`delete_rows`: ONE job scans the
+    table with the predicate pushed down, anti-filters rows an existing
+    vector already deleted (sidecars stay O(newly deleted rows), and a
+    re-delivered delete is a no-op commit), and writes the surviving
+    matches' physical positions to a single sidecar file.  No part is
+    rewritten; the commit attaches the sidecar to the affected parts
+    through the row-level rebase."""
+    import shutil
+
+    parts, specs, dv = m_base["parts"], m_base["specs"], m_base["dv"]
+    tdir = os.path.join(warehouse, table)
+    dvname = f"v{tag}"
+    _require(
+        dvname not in parts
+        and not os.path.exists(os.path.join(tdir, dvname)),
+        f"delete tag {tag!r} collides with {dvname}",
+    )
+    rel = _rel_file_expr(tdir)
+    probe = None
+    for br in _part_branches(
+        spark, warehouse, table, parts, specs, m_base["schema"]
+    ):
+        # filter first so the predicate pushes down to the scan; the
+        # row-position key is projected only for surviving matches
+        b = br.filter(F.coalesce(predicate, F.lit(False))).select(
+            rel.alias("f"), F.col("_metadata.row_index").alias("i")
+        )
+        probe = b if probe is None else probe.unionByName(b)
+    live_dv = {p: ns for p, ns in dv.items() if ns}
+    if live_dv:
+        names = sorted({n for ns in live_dv.values() for n in ns})
+        old = spark.read.parquet(
+            *[os.path.join(tdir, n) for n in names]
+        )
+        probe = probe.join(F.broadcast(old), ["f", "i"], "left_anti")
+    probe.coalesce(1).write.parquet(os.path.join(tdir, dvname))
+    # affected-part discovery reads the sidecar back — O(deleted rows)
+    # input, part-count-bounded output
+    affected = sorted(
+        r["p"]
+        for r in spark.read.parquet(os.path.join(tdir, dvname))
+        .select(F.split("f", "/").getItem(0).alias("p"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        shutil.rmtree(os.path.join(tdir, dvname), ignore_errors=True)
+        return 0
+    swing_rebase(
+        warehouse,
+        table,
+        base,
+        [],
+        dv_add={p: [dvname] for p in affected},
+    )
     return len(affected)
 
 
@@ -2033,6 +2324,63 @@ def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, cw, "fact", F.col("user_id") == DELETE_USER, "d1"
         )
         # the erased subject must be gone from the committed table
+        out = read_table(spark, cw, "fact")
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector gate — the merge-on-read DELETE drill: hard-link
+    the shared warehouse's fact parts into an isolated table, MOR-delete
+    one user, and PROVE the physics in-line: every part file keeps its
+    inode (zero rewrite), the sidecar is the only new data and is
+    row-sized, and a follow-up compaction MATERIALIZES the vectors away
+    with the table hash-identical throughout.  Oracle = the star join
+    minus the erased subject — byte-for-byte the same SQL as the COW
+    delete gate, because the two physical strategies must be logically
+    indistinguishable."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_dv_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        tdir = os.path.join(cw, "fact")
+
+        def _inodes() -> dict[str, int]:
+            out = {}
+            for p in parts:
+                for f in os.listdir(os.path.join(tdir, p)):
+                    if f.endswith(".parquet"):
+                        out[f"{p}/{f}"] = os.stat(
+                            os.path.join(tdir, p, f)
+                        ).st_ino
+            return out
+
+        before = _inodes()
+        n = delete_rows(
+            spark,
+            cw,
+            "fact",
+            F.col("user_id") == DELETE_USER,
+            "g1",
+            mode="mor",
+        )
+        _require(n > 0, "MOR delete matched no parts")
+        _require(
+            _inodes() == before,
+            "MOR delete must not rewrite any part file",
+        )
+        m = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
+        _require(
+            sorted(m["parts"]) == sorted(parts)
+            and all(m["dv"].get(p) == ["vg1"] for p in m["dv"]),
+            "MOR delete must commit sidecar references, not part churn",
+        )
         out = read_table(spark, cw, "fact")
         return stable_checkpoint(out)
     finally:
@@ -2082,6 +2430,7 @@ def merge_rows(
     tag: str,
     when_matched: list | None = None,
     when_not_matched: list | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO — the Delta/Iceberg copy-on-write upsert commit, the
     last CRUD verb the versioned warehouse needed (append `_commit_append`,
@@ -2103,7 +2452,16 @@ def merge_rows(
     degenerates from.  ``key`` must be unique in both target and source
     (the MERGE cardinality precondition — Delta raises on multiple
     source matches for the same target row), and ``source`` must carry
-    the target's exact physical schema.
+    the target's exact physical schema — unless ``merge_schema=True``
+    (Delta ``mergeSchema`` MERGE): source columns ABSENT from the
+    target additively evolve the table schema in the SAME commit.  The
+    rewritten part carries the new columns (NULL on target rows no arm
+    assigned), untouched parts keep their bytes, and the commit records
+    the evolved TABLE-OWNED schema in the manifest so readers surface
+    NULL for pre-evolution parts with zero footer-merging I/O — the CDC
+    pattern where an upstream feed grows a column mid-stream.  Without
+    the flag, extra source columns remain condition-only (never
+    written), as before.
 
     ``WHEN NOT MATCHED BY SOURCE`` is deliberately NOT offered: it
     predicates on target rows with no source match, which makes EVERY
@@ -2173,12 +2531,38 @@ def merge_rows(
         f"(rows={sc_row['n']}, non-null={sc_row['nk']}, "
         f"distinct={sc_row['nd']})",
     )
+    m_base = _read_manifest_file(warehouse, table, base) if base else None
     specs = {}
     affected: set[str] = set()
+    # additive schema evolution: source columns the target lacks become
+    # new table columns (merge_schema=True), committed with the part
+    new_fields = []
+    evolved_schema_json = None
+    if merge_schema and parts:
+        from pyspark.sql.types import StructType
+
+        if m_base["schema"] is not None:
+            import json as _json
+
+            tgt_struct = StructType.fromJson(_json.loads(m_base["schema"]))
+        else:
+            tgt_struct = _read_parts(
+                spark, warehouse, table, parts[:1], m_base["specs"]
+            ).schema
+        have = {f.name for f in tgt_struct.fields}
+        new_fields = [
+            f for f in source.schema.fields if f.name not in have
+        ]
+        if new_fields:
+            evolved_schema_json = StructType(
+                list(tgt_struct.fields) + new_fields
+            ).json()
     if parts:
-        specs = _read_manifest_file(warehouse, table, base)["specs"]
+        specs = m_base["specs"]
         probe = None
-        for br in _part_branches(spark, warehouse, table, parts, specs):
+        for br in _part_branches(
+            spark, warehouse, table, parts, specs, m_base["schema"]
+        ):
             # project (key, file) BEFORE the join — input_file_name() is
             # single-source only, and this keeps the probe slim, the
             # late-materialization shape
@@ -2218,8 +2602,16 @@ def merge_rows(
         if kind == "delete"
     ]
     if affected:
-        tgt = _read_parts(
-            spark, warehouse, table, sorted(affected), specs
+        # DV-aware: rewriting a part must not resurrect its vectorized
+        # rows (and materializes them — the new part has no dv entry)
+        tgt = _read_parts_live(
+            spark,
+            warehouse,
+            table,
+            sorted(affected),
+            specs,
+            m_base["dv"],
+            m_base["schema"],
         )
         cols = tgt.columns
         _require(
@@ -2243,7 +2635,17 @@ def merge_rows(
             ~F.col("_action").isin([DISCARD] + delete_codes)
         )
 
+        new_types = {f.name: f.dataType for f in new_fields}
+
         def _value(c: str) -> F.Column:
+            # an EVOLVED column has no target side: its "keep the target
+            # value" default is NULL of the source's type (Delta
+            # NULL-backfills unmatched rows on schema-evolving MERGE)
+            tdef = (
+                F.lit(None).cast(new_types[c])
+                if c in new_types
+                else F.col(f"t.{c}")
+            )
             w = None
             for code, (kind, _, assign) in zip(m_codes, when_matched):
                 if kind != "update":
@@ -2253,7 +2655,7 @@ def merge_rows(
                 v = (
                     F.col(f"s.{c}")
                     if assign is None
-                    else assign.get(c, F.col(f"t.{c}"))
+                    else assign.get(c, tdef)
                 )
                 w = (w.when if w is not None else F.when)(
                     F.col("_action") == code, v
@@ -2262,10 +2664,11 @@ def merge_rows(
                 w = (w.when if w is not None else F.when)(
                     F.col("_action") == code, F.col(f"s.{c}")
                 )
-            default = F.col(f"t.{c}")
-            return (w.otherwise(default) if w is not None else default).alias(c)
+            return (w.otherwise(tdef) if w is not None else tdef).alias(c)
 
-        merged = surviving.select(*[_value(c) for c in cols])
+        merged = surviving.select(
+            *[_value(c) for c in cols + [f.name for f in new_fields]]
+        )
     else:
         # pure insert: no key matched anywhere, so only the not-matched
         # arms apply — a source row is inserted iff ANY arm claims it
@@ -2287,12 +2690,15 @@ def merge_rows(
             merged = s.limit(0)
         if parts:
             # a CDC source may carry extra condition-only columns (e.g.
-            # _change_type) — INSERT * means the TARGET's schema, read
-            # from a footer, never the source's
+            # _change_type) — INSERT * means the TARGET's schema (plus
+            # the evolving columns under merge_schema), read from the
+            # manifest or a footer, never the source's
             tcols = _read_parts(
-                spark, warehouse, table, parts[:1], specs
+                spark, warehouse, table, parts[:1], specs, m_base["schema"]
             ).columns
-            merged = merged.select(*tcols)
+            merged = merged.select(
+                *(tcols + [f.name for f in new_fields])
+            )
     merged.coalesce(APPEND_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
@@ -2300,8 +2706,17 @@ def merge_rows(
     # any other delta before the commit
     _enforce_constraints(spark, warehouse, table, new_part)
     # delta commit: disjoint concurrent commits rebase, overlapping
-    # rewrites of the same parts raise (WriteSerializable)
-    swing_rebase(warehouse, table, base, [new_part], affected)
+    # rewrites of the same parts raise (WriteSerializable); a
+    # schema-evolving MERGE records the evolved table schema atomically
+    # with its part swap
+    swing_rebase(
+        warehouse,
+        table,
+        base,
+        [new_part],
+        affected,
+        schema=evolved_schema_json,
+    )
     return len(affected)
 
 
@@ -2359,6 +2774,75 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.count() == n_before + n_inserts,
             "MERGE must add exactly the not-matched rows",
         )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving MERGE gate (Delta ``mergeSchema`` MERGE) — the
+    CDC feed grows a column mid-stream: the table gets a seed part of
+    re-keyed template rows, then ONE MERGE whose source carries a NEW
+    column (``src_system='cdc'``) updates exactly the seed rows (value
+    doubled — IEEE-exact) and inserts a second re-keyed batch.  The
+    commit must: evolve the table schema atomically (manifest-owned),
+    leave every ORIGINAL fact part's bytes untouched (inode-proven —
+    only the seed part is rewritten), and read back NULL
+    ``src_system`` for every pre-evolution row with no footer-merge
+    I/O.  Oracle: the star join with NULL src_system, UNION the updated
+    seed rows, UNION the inserts — the from-scratch recompute under the
+    evolved schema."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_mev_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        fact = read_table(spark, cw, "fact")
+        seed = fact.filter(
+            F.col("user_id") == MERGE_INSERT_USER
+        ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+        seed.coalesce(APPEND_WRITE_FILES).write.parquet(
+            os.path.join(cw, "fact", "seed1")
+        )
+        swing_rebase(cw, "fact", 1, ["seed1"])
+
+        def _inodes() -> dict[str, int]:
+            out = {}
+            for p in parts:  # the ORIGINAL parts only
+                d = os.path.join(cw, "fact", p)
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        out[f"{p}/{f}"] = os.stat(
+                            os.path.join(d, f)
+                        ).st_ino
+            return out
+
+        before = _inodes()
+        updates = seed.withColumn("value", F.col("value") * 2)
+        inserts = seed.withColumn(
+            "event_id", F.col("event_id") - F.lit(2_000_000_000)
+        )
+        src = updates.unionByName(inserts).withColumn(
+            "src_system", F.lit("cdc")
+        )
+        merge_rows(
+            spark, cw, "fact", src, "event_id", "1", merge_schema=True
+        )
+        _require(
+            _inodes() == before,
+            "schema-evolving MERGE must not rewrite unmatched parts",
+        )
+        m = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
+        _require(
+            m["schema"] is not None and "src_system" in m["schema"],
+            "MERGE must record the evolved table-owned schema",
+        )
+        out = read_table(spark, cw, "fact")
+        _require("src_system" in out.columns, "evolved column missing")
         return stable_checkpoint(out)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
@@ -3384,8 +3868,10 @@ QUERIES = {
     "etl_schema_drop": q_schema_drop,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
+    "etl_delete_vectors": q_delete_vectors,
     "etl_merge_cow": q_merge_cow,
     "etl_merge_full": q_merge_full,
+    "etl_merge_evolve": q_merge_evolve,
     "etl_vacuum": q_vacuum,
     "etl_restore": q_restore,
     "etl_clone": q_clone,
@@ -3470,6 +3956,12 @@ SELECT event_id, user_id, event_type, value FROM events
     + f"""
 WHERE e.user_id <> {DELETE_USER}
 """,
+    # merge-on-read delete: the SAME SQL — deletion vectors are a
+    # physical strategy and must be logically invisible
+    "etl_delete_vectors": _fact.ORACLE["etl_fact_star"]
+    + f"""
+WHERE e.user_id <> {DELETE_USER}
+""",
     # copy-on-write MERGE: matched rows (the update user) carry the
     # doubled value; the not-matched arm re-plays the insert-template
     # user's rows under negated keys
@@ -3505,6 +3997,27 @@ UNION ALL
 SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
        played_hour, is_weekend, time_period, value, user_first_seen
 FROM base WHERE user_id = {MERGE_INSERT_USER} AND played_hour < 12
+""",
+    # schema-evolving MERGE: every original row NULL on the new column,
+    # the seed rows updated (value doubled) with src_system='cdc', the
+    # re-keyed insert batch likewise — the from-scratch recompute under
+    # the evolved schema
+    "etl_merge_evolve": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT event_id, date_key, event_type_key, user_id, played_hour,
+       is_weekend, time_period, value, user_first_seen,
+       CAST(NULL AS VARCHAR) AS src_system
+FROM base
+UNION ALL
+SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
+       played_hour, is_weekend, time_period, value * 2 AS value,
+       user_first_seen, 'cdc' AS src_system
+FROM base WHERE user_id = {MERGE_INSERT_USER}
+UNION ALL
+SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
+       event_type_key, user_id, played_hour, is_weekend, time_period,
+       value, user_first_seen, 'cdc' AS src_system
+FROM base WHERE user_id = {MERGE_INSERT_USER}
 """,
     # evolved read = star join + the new column, NULL before the cut
     "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(

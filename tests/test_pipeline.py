@@ -1238,3 +1238,88 @@ def test_wap_revalidates_collisions_on_each_retry(
     with pytest.raises(RuntimeError, match="collides"):
         P.wap_publish(spark, warehouse, "t", ["_stage_s1"])
     assert os.path.exists(f"{warehouse}/t/_stage_s1")  # fully staged
+
+
+def test_merge_schema_evolution_null_backfill_and_travel(spark, warehouse):
+    """merge_schema=True: a source column the target lacks evolves the
+    table in the same commit — matched rows carry source values,
+    untouched parts read back NULL via the manifest-owned schema (no
+    footer merge), and time travel to the pre-evolution version still
+    reads the OLD schema."""
+    from spark_spotify.etl.pipeline import (
+        _read_manifest_file,
+        merge_rows,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)  # p1: (1,10,a) (2,20,b) (3,30,c)
+    spark.createDataFrame(
+        [(9, 90.0, "z")], "id long, v double, s string"
+    ).coalesce(1).write.parquet(f"{warehouse}/t/p2")
+    from spark_spotify.etl.pipeline import swing_rebase
+
+    swing_rebase(warehouse, "t", 1, ["p2"])
+    src = spark.createDataFrame(
+        [(9, 99.0, "z", "cdc"), (50, 500.0, "new", "cdc")],
+        "id long, v double, s string, origin string",
+    )
+    n = merge_rows(
+        spark, warehouse, "t", src, "id", "m1", merge_schema=True
+    )
+    assert n == 1  # only p2 matched — p1 keeps its bytes
+    out = {
+        r["id"]: (r["v"], r["origin"])
+        for r in read_table(spark, warehouse, "t").collect()
+    }
+    assert out == {
+        1: (10.0, None),
+        2: (20.0, None),
+        3: (30.0, None),
+        9: (99.0, "cdc"),
+        50: (500.0, "cdc"),
+    }
+    m = _read_manifest_file(warehouse, "t", 3)
+    assert m["schema"] is not None and "origin" in m["schema"]
+    # pre-evolution version still reads its own (old) schema
+    old = read_table(spark, warehouse, "t", version=2)
+    assert "origin" not in old.columns
+
+
+def test_evolved_schema_survives_later_commits(spark, warehouse):
+    """The table-owned schema carries through later deletes and is
+    materialized physically by compaction."""
+    from spark_spotify.etl.pipeline import (
+        _read_manifest_file,
+        compact_table,
+        delete_rows,
+        merge_rows,
+        read_table,
+    )
+
+    _mk_merge_table(spark, warehouse)
+    src = spark.createDataFrame(
+        [(1, 11.0, "a", 7)], "id long, v double, s string, extra int"
+    )
+    merge_rows(spark, warehouse, "t", src, "id", "m1", merge_schema=True)
+    delete_rows(spark, warehouse, "t", F.col("id") == 2, "d1")
+    got = {
+        r["id"]: r["extra"]
+        for r in read_table(spark, warehouse, "t").collect()
+    }
+    assert got == {1: 7, 3: None}
+    compact_table(spark, warehouse, "t", "z")
+    # after compaction every row carries the column physically
+    import os
+
+    files = [
+        f
+        for f in os.listdir(f"{warehouse}/t/cz")
+        if f.endswith(".parquet")
+    ]
+    sch = spark.read.parquet(f"{warehouse}/t/cz/{files[0]}").columns
+    assert "extra" in sch
+    got = {
+        r["id"]: r["extra"]
+        for r in read_table(spark, warehouse, "t").collect()
+    }
+    assert got == {1: 7, 3: None}
