@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "sim_pandas_exact_agreement",
     "stream_dlq",
     "etl_row_delete",
+    "etl_delete_vectors",
+    "etl_merge_evolve",
     "etl_merge_cow",
     "etl_merge_full",
     "etl_schema_drop",
@@ -195,6 +197,8 @@ BENCH_QUERIES = [
     "dedup_paragraph",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "text_unigram_train",
+    "text_unigram_tokenize",
     "stream_cdf_follow",
     "rel_nation_trade_flows",
     "etl_generated_columns",

@@ -1686,10 +1686,281 @@ GROUP BY doc_id
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer induction — the EM-prune
+# counterpart to the BPE trainer: seed a piece inventory from frequent
+# substrings, segment the corpus with the current inventory (E-step),
+# recount piece usage (M-step), prune the weakest third, repeat.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE = 6  # seed substrings up to this length
+UNIGRAM_SEED_K = 24  # seed inventory size (multi-char pieces)
+UNIGRAM_ROUNDS = 3  # EM-prune rounds
+
+
+def _unigram_spaced(piece: str) -> tuple[str, str]:
+    """(search, replacement) for merging a whole char run into ``piece``
+    on the double-space-delimited symbol form — the same literal-replace
+    mechanics (left-to-right, non-overlapping, boundary-exact) the BPE
+    trainer proved portable across Spark and DuckDB."""
+    return f" {'  '.join(piece)} ", f" {piece} "
+
+
+def _unigram_fit(spark: SparkSession, sf_dir: str) -> list:
+    """Train the unigram inventory; returns [(piece, count)] in final
+    priority order.  Determinism contract: ALL scores are exact integer
+    corpus counts; segmentation is greedy by inventory priority
+    (count DESC, piece ASC — the MAP-approximation of unigram-LM
+    inference, WordPiece-style), applied as chained literal replaces
+    over the char-spaced DISTINCT-token table.
+
+    Scale shape (the subword-nmt / dictionary-apply discipline): the
+    corpus is scanned ONCE into the vocabulary-sized (token, freq)
+    relation; seeding is one substring-explode aggregate over it; each
+    EM round is O(inventory) narrow column rewrites plus one
+    vocabulary-sized count — the only driver-side state is the piece
+    inventory itself (<= {UNIGRAM_SEED_K} rows by construction), the
+    same bounded-collect contract as the BPE trainer's per-round
+    argmax."""
+    tok = _bpe_token_base(spark, sf_dir)
+    # seed: every substring of length 2..MAX_PIECE, weighted by token
+    # frequency (a substring occurring twice in one token counts twice)
+    subs = tok.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform("
+                f" sequence(2, least(length(token), {UNIGRAM_MAX_PIECE})),"
+                f" l -> transform(sequence(1, length(token) - l + 1),"
+                f"      i -> substring(token, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    seed = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNIGRAM_SEED_K)
+        .collect()
+    )
+    vocab = [(r["piece"], int(r["cnt"])) for r in seed]
+    for _ in range(UNIGRAM_ROUNDS):
+        pieces = [p for p, _ in vocab]  # already in priority order
+        s = F.concat(F.lit("  "), F.regexp_replace("token", "(.)", "$1  "))
+        for p in pieces:
+            search, repl = _unigram_spaced(p)
+            s = F.replace(s, F.lit(search), F.lit(repl))
+        seg = tok.select("freq", s.alias("s"))
+        counts = {
+            r["piece"]: int(r["cnt"])
+            for r in seg.select(
+                "freq", F.explode(F.split("s", "  ")).alias("piece")
+            )
+            .filter(F.length("piece") >= 2)
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        }
+        rescored = sorted(
+            ((p, counts.get(p, 0)) for p in pieces),
+            key=lambda t: (-t[1], t[0]),
+        )
+        keep = (2 * len(rescored) + 2) // 3  # prune the weakest third
+        vocab = rescored[:keep]
+    return vocab
+
+
+_UNIGRAM_CACHE: dict[str, list] = {}
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _UNIGRAM_CACHE:
+        _UNIGRAM_CACHE[sf_dir] = _unigram_fit(spark, sf_dir)
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece, under
+    the integer-exact greedy-priority segmenter documented in
+    :func:`_unigram_fit`): {UNIGRAM_ROUNDS} rounds of segment → recount
+    → prune-bottom-third over a {UNIGRAM_SEED_K}-piece substring seed.
+    Emits the surviving inventory with final usage counts.  Oracle: the
+    whole loop replayed as unrolled chained SQL (the text_bpe_train
+    pattern) — seeding, each round's fold-applied segmentation
+    (list_reduce over the priority-ordered inventory), recount, and
+    prune, bit-identically."""
+    vocab = _unigram_vocab(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(vocab)],
+        "piece_rank int, piece string, piece_count bigint",
+    )
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the TRAINED unigram inventory — the apply
+    half (train once, encode 100 TB): per document, word count, piece
+    count, longest piece.  Dictionary-apply shape: the final inventory
+    segments the DISTINCT-token table once (O(vocab) chained replaces),
+    and the corpus is encoded by a BROADCAST join against that mapping —
+    no per-document segmentation work."""
+    vocab = _unigram_vocab(spark, sf_dir)
+    tok = _bpe_token_base(spark, sf_dir)
+    s = F.concat(F.lit("  "), F.regexp_replace("token", "(.)", "$1  "))
+    for p, _ in vocab:
+        search, repl = _unigram_spaced(p)
+        s = F.replace(s, F.lit(search), F.lit(repl))
+    parts = F.split(s, "  ")
+    pieces = F.slice(parts, 2, F.size(parts) - 2)
+    mapping = tok.select(
+        "token",
+        F.size(pieces).alias("pc"),
+        F.array_max(F.transform(pieces, F.length)).alias("ml"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    enc = toks.join(F.broadcast(mapping), "token", "left")
+    out = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("pc"), F.lit(1))).alias("n_pieces"),
+        F.max(F.coalesce(F.col("ml"), F.length("token")))
+        .cast("bigint")
+        .alias("max_piece_len"),
+    )
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    return stable_checkpoint(out)
+
+
+def _unigram_chain_sql(rounds: int) -> str:
+    """The EM-prune loop unrolled into chained SQL: v{r} is the
+    inventory after round r (v0 = the substring seed), seg{r} the
+    segmentation it produced.  The fold over the priority-ordered
+    inventory is DuckDB ``list_reduce`` with the char-spaced token
+    prepended as the initial accumulator — the same literal replace as
+    the Spark side, in the same order."""
+    fold = (
+        "list_reduce("
+        "  list_prepend(s0.s, (SELECT COALESCE(list(piece ORDER BY cnt DESC, piece), []) FROM v{v})),"
+        "  (acc, p) -> replace(acc,"
+        "    ' ' || list_aggregate(string_split(p, ''), 'string_agg', '  ')"
+        "        || ' ',"
+        "    ' ' || p || ' '))"
+    )
+    sql = rf"""
+WITH tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token HAVING length(token) >= 2
+),
+s0 AS (
+  SELECT token, freq,
+         '  ' || regexp_replace(token, '(.)', '\1  ', 'g') AS s
+  FROM tok
+),
+sub1 AS (
+  SELECT freq, token,
+         unnest(generate_series(2, least(length(token),
+                                         {UNIGRAM_MAX_PIECE}))) AS l
+  FROM tok
+),
+sub2 AS (
+  SELECT freq,
+         substring(token, CAST(i AS INT), CAST(l AS INT)) AS piece
+  FROM (SELECT freq, token, l,
+               unnest(generate_series(1, length(token) - l + 1)) AS i
+        FROM sub1)
+),
+v0 AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM sub2 GROUP BY piece
+  ORDER BY cnt DESC, piece ASC LIMIT {UNIGRAM_SEED_K}
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+seg{r} AS (
+  SELECT s0.freq, {fold.format(v=r - 1)} AS s
+  FROM s0
+),
+cnt{r} AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(string_split(s, '  ')) AS piece FROM seg{r})
+  WHERE length(piece) >= 2
+  GROUP BY piece
+),
+v{r} AS (
+  SELECT piece, cnt FROM (
+    SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY COALESCE(c.cnt, 0) DESC,
+                              v.piece ASC) AS rn,
+           COUNT(*) OVER () AS nv
+    FROM v{r - 1} v LEFT JOIN cnt{r} c USING (piece)
+  ) WHERE rn <= (2 * nv + 2) // 3
+)"""
+    return sql
+
+
+def _unigram_train_oracle(rounds: int) -> str:
+    return (
+        _unigram_chain_sql(rounds)
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS INT)
+         AS piece_rank,
+       piece, cnt AS piece_count
+FROM v{rounds}
+"""
+    )
+
+
+def _unigram_tokenize_oracle(rounds: int) -> str:
+    return (
+        _unigram_chain_sql(rounds)
+        + f""",
+segf AS (
+  SELECT s0.token, {{}} AS s
+  FROM s0
+),
+map AS (
+  SELECT token,
+         CAST(len(string_split(s, '  ')) - 2 AS BIGINT) AS pc,
+         CAST(list_aggregate(
+           list_transform(
+             string_split(s, '  ')[2:len(string_split(s, '  ')) - 1],
+             x -> length(x)),
+           'max') AS BIGINT) AS ml
+  FROM segf
+),
+dt AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(map.pc, 1)) AS BIGINT) AS n_pieces,
+       CAST(MAX(COALESCE(map.ml, length(dt.token))) AS BIGINT)
+         AS max_piece_len
+FROM dt LEFT JOIN map USING (token)
+GROUP BY doc_id
+""".format(
+            "list_reduce("
+            "  list_prepend(s0.s, (SELECT COALESCE(list(piece ORDER BY cnt DESC, piece), []) "
+            f"FROM v{rounds})),"
+            "  (acc, p) -> replace(acc,"
+            "    ' ' || list_aggregate(string_split(p, ''), 'string_agg',"
+            "           '  ') || ' ',"
+            "    ' ' || p || ' '))"
+        )
+    )
+
+
 QUERIES = {
     "text_bpe_merge_step": q_bpe_merge_step,
     "text_bpe_train": q_bpe_train,
     "text_bpe_tokenize": q_bpe_tokenize,
+    "text_unigram_train": q_unigram_train,
+    "text_unigram_tokenize": q_unigram_tokenize,
     "curate_pack_bpe": q_pack_bpe,
     "text_stats": q_text_stats,
     "text_lang_profile": q_lang_profile,
@@ -1713,3 +1984,5 @@ QUERIES = {
 ORACLE["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 ORACLE["text_bpe_tokenize"] = _bpe_tokenize_oracle(BPE_TRAIN_MERGES)
 ORACLE["curate_pack_bpe"] = _bpe_pack_oracle(BPE_TRAIN_MERGES)
+ORACLE["text_unigram_train"] = _unigram_train_oracle(UNIGRAM_ROUNDS)
+ORACLE["text_unigram_tokenize"] = _unigram_tokenize_oracle(UNIGRAM_ROUNDS)
