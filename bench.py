@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "etl_constraints",
     "agg_kmv_set_ops",
     "dedup_paragraph",
+    "dedup_substring",
     "text_bpe_train",
     "text_bpe_tokenize",
     "text_unigram_train",

@@ -207,49 +207,128 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for paragraph breaks); a segment survives only at its FIRST
     corpus occurrence in (doc_id, position) order; surviving segments
     reassemble into the cleaned document.  Dataflow: ONE explode
-    (corpus tokens / {SEG_TOKENS} rows), one hash shuffle on the
-    segment for global keep-first (mostly singleton groups — no skew),
-    one shuffle back on doc_id for reassembly; no joins against the
-    corpus, no collect.  Fully-duplicated documents vanish (their every
-    segment lost keep-first), exactly like C4.
+    (corpus tokens / {SEG_TOKENS} rows) carrying only (doc_id, seg_idx,
+    64-bit fingerprint) — the shuffle payload is ~24 bytes per segment,
+    NEVER the segment text; one hash shuffle for global keep-first
+    (mostly singleton groups — no skew), one slim shuffle folding the
+    surviving indices per doc, and the TEXT moves exactly once, in the
+    final doc_id join where the kept segments are re-sliced from the
+    source row.  (At 100 TB the fingerprint should be 128-bit —
+    xxhash64 here matches the corpus scale; the keep-first decision is
+    on the fingerprint, text equality holds absent collisions.)
+    Fully-duplicated documents vanish (their every segment lost
+    keep-first), exactly like C4.
 
     Oracle: the same split/keep-first/reassemble stated in SQL."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), " ")
     nseg = F.ceil(F.size(toks) / SEG_TOKENS).cast("int")
+
+    def _seg_text(i):
+        return F.array_join(
+            F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
+        )
+
     seg = d.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
-                ),
+                lambda i: F.xxhash64(_seg_text(i)),
             )
-        ).alias("seg_idx", "seg"),
+        ).alias("seg_idx", "h"),
     )
-    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    kept = (
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    kept_idx = (
         seg.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("seg_idx")).alias("keep"))
     )
-    tot = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seg"))
-    out = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return out.join(tot, "doc_id").select(
+    out = d.join(kept_idx, "doc_id")  # inner: fully-dup docs vanish
+    return out.select(
         "doc_id",
-        "clean_text",
-        "n_kept",
-        (F.col("n_seg") - F.col("n_kept")).alias("n_dropped"),
+        F.array_join(
+            F.transform(F.col("keep"), _seg_text), " "
+        ).alias("clean_text"),
+        F.size("keep").cast("long").alias("n_kept"),
+        (nseg.cast("long") - F.size("keep")).alias("n_dropped"),
+    )
+
+
+SUB_W = 30  # substring-dedup window width (the Lee-et-al. threshold)
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at ARBITRARY boundaries (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    generalization :func:`q_dedup_paragraph`'s fixed 20-token grid
+    cannot express: every overlapping {SUB_W}-token window (stride 1)
+    is fingerprinted; a window whose exact token run appeared earlier
+    in the corpus (global keep-first on (doc_id, win_start)) marks its
+    span; a document's excised region is the UNION of its duplicate
+    windows' spans (span-merge).  Any duplicated run of length >=
+    {SUB_W} is therefore excised exactly — at whatever offset it sits —
+    while its non-duplicated boundary context survives, because windows
+    straddling the run boundary contain unique context and never
+    match.  The suffix-array semantics, approximated with
+    overlapping-window fingerprints instead of a distributed suffix
+    array.
+
+    Scale shape: the window relation carries (doc_id, win_start,
+    64-bit fingerprint) ONLY — ~24 bytes per corpus token through the
+    keep-first shuffle, never text; the span union folds to a per-doc
+    index list (slim shuffle); the text moves ONCE, in the final
+    doc_id join, where a per-row lambda excises covered positions.
+    Fully-duplicated documents survive as empty ``clean_text`` rows
+    (the audit record a curation run wants)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    empty = F.array().cast("array<int>")
+    starts = F.when(
+        n >= SUB_W, F.sequence(F.lit(1), n - SUB_W + 1)
+    ).otherwise(empty)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("ws"),
+                    F.xxhash64(
+                        F.array_join(F.slice(toks, i, SUB_W), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.ws", "w.h")
+    wk = Window.partitionBy("h").orderBy("doc_id", "ws")
+    spans = (
+        wins.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list("ws")),
+                        lambda s: F.sequence(s, s + SUB_W - 1),
+                    )
+                )
+            ).alias("cov")
+        )
+    )
+    out = d.join(spans, "doc_id", "left")
+    cov = F.coalesce(F.col("cov"), empty)
+    cleaned = F.filter(
+        toks, lambda x, i: ~F.array_contains(cov, i + F.lit(1))
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(cleaned, " ").alias("clean_text"),
+        n.cast("long").alias("n_tokens"),
+        F.size(cov).cast("long").alias("n_excised"),
     )
 
 
@@ -1260,6 +1339,60 @@ SELECT r.doc_id, r.clean_text, r.n_kept,
        tot.n_seg - r.n_kept AS n_dropped
 FROM r JOIN tot USING (doc_id)
 """,
+    "dedup_substring": f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - {SUB_W} + 1)) AS ws
+  FROM t WHERE len(toks) >= {SUB_W}
+),
+ww AS (
+  SELECT w.doc_id, ws,
+         list_aggregate(t.toks[CAST(ws AS INT)
+                               :CAST(ws AS INT) + {SUB_W - 1}],
+                        'string_agg', ' ') AS win
+  FROM w JOIN t ON w.doc_id = t.doc_id
+),
+r AS (
+  SELECT doc_id, ws,
+         row_number() OVER (PARTITION BY win
+                            ORDER BY doc_id, ws) AS rn
+  FROM ww
+),
+cov AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(ws, ws + {SUB_W - 1})) AS j
+  FROM r WHERE rn > 1
+),
+tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS j FROM t
+),
+tp AS (
+  SELECT tokpos.doc_id, j, t.toks[CAST(j AS INT)] AS tk
+  FROM tokpos JOIN t USING (doc_id)
+),
+keep AS (
+  SELECT tp.doc_id, tp.j, tp.tk
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.j = cov.j
+  WHERE cov.j IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS clean_text
+  FROM keep GROUP BY doc_id
+),
+nex AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(nex.n, 0) AS n_excised
+FROM t
+LEFT JOIN agg ON t.doc_id = agg.doc_id
+LEFT JOIN nex ON t.doc_id = nex.doc_id
+""",
     "text_dedup_exact": """
 SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,
@@ -1966,6 +2099,7 @@ QUERIES = {
     "text_lang_profile": q_lang_profile,
     "text_dedup_exact": q_dedup_exact,
     "dedup_paragraph": q_dedup_paragraph,
+    "dedup_substring": q_dedup_substring,
     "text_fingerprint": q_text_fingerprint,
     "text_token_regex": q_text_token_regex,
     "text_pii_scan": q_pii_scan,
