@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "curate_keep_canonical",
     "op_bucketed_join",
     "stream_merge_sink",
+    "stream_txn_sink",
     "sim_ann_cosine_pandas",
     "text_pii_scan",
     "text_repetition",

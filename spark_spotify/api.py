@@ -12,6 +12,15 @@ surface.  Three mechanical differences, applied uniformly:
 * "today"-anchored windows (the reference's ``CURRENT_DATE``) anchor on
   the corpus max date so results are deterministic and testable.
 
+Window-boundary convention (DELIBERATE divergence): ``_trailing_days``
+keeps exactly N calendar days INCLUSIVE of the anchor
+(``>= date_sub(end, N-1)``).  The reference's ``>= CURRENT_DATE -
+INTERVAL '30 days'`` keeps N+1 days (31 for a "30-day" window); this
+façade fixes that off-by-one, so a user comparing side-by-side against
+the live reference dashboard will see the single oldest boundary day
+differ.  Pass ``day_count + 1`` to reproduce the reference's boundary
+bit-for-bit.
+
 Entity-role mapping (FIXTURES.md): the driver fixture universe carries no
 track/artist/album tables, so ``user_id`` plays the artist/track key and
 ``customer`` the artist-attribute dim — the same mapping the registered

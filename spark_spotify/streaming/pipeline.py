@@ -672,6 +672,178 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batches committing ACROSS TABLES atomically —
+    every ``foreachBatch`` stages its fact delta AND the refreshed gold
+    rollup, then lands both through the durable-intent multi-table
+    transaction (``etl.pipeline.multi_commit``), so no DURABLE state
+    ever pairs batch-N facts with batch-(N-1) gold.
+
+    The gate drills the crash that matters, from a real streaming
+    micro-batch: wave 1's batch dies BETWEEN the two swings (intent
+    durable, fact swung, gold not — the torn state is asserted), the
+    restart path runs ``recover_transactions`` (the session-start hook)
+    which rolls the intent FORWARD, and the stream relaunches against
+    the SAME checkpoint: the redelivered wave-1 rows anti-join away
+    (at-least-once made idempotent) and wave 2 lands atomically.
+
+    Gold is maintained INCREMENTALLY — old gold combined with the
+    delta's partial aggregates (exact: integer counts + the scaled-long
+    lsum, associative by construction) — so each batch costs O(delta +
+    gold), never a fact-table rescan; recovery is metadata-only.
+
+    Oracle: the gold rollup over the full corpus — a torn, dropped, or
+    double-applied batch fails the hash."""
+    import atexit
+    import glob as _glob
+    import json
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from spark_spotify.etl.pipeline import (
+        _TXN_DIR,
+        _current_version,
+        _manifest,
+        _require,
+        multi_commit,
+        read_table,
+        recover_transactions,
+        split_ts,
+        swing_rebase,
+    )
+    from spark_spotify.functions.agg import lsum
+    from spark_spotify.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    cut = split_ts(events)
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_txn_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            lsum(F.col("value")).alias("total_value"),
+        )
+
+    def combine(gold: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            gold.unionByName(part)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                lsum(F.col("total_value")).alias("total_value"),
+            )
+        )
+
+    crash = {"armed": True}
+    attempt: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        delta = batch_df.dropDuplicates(["event_id"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        cur = read_table(ss, base, "f")
+        if cur is not None:
+            delta = delta.join(
+                cur.select("event_id"), "event_id", "left_anti"
+            )
+        if delta.isEmpty():
+            return  # redelivered batch fully absorbed: idempotent skip
+        # part names carry a per-batch attempt counter: a batch
+        # redelivered after a crash stages NEW parts (its recovered
+        # predecessor's parts are committed table state, never reused)
+        k = attempt.get(batch_id, 0)
+        attempt[batch_id] = k + 1
+        fpart, gpart = f"fb{batch_id}a{k}", f"gb{batch_id}a{k}"
+        tag = f"b{batch_id}a{k}"
+        delta.coalesce(1).write.parquet(_os.path.join(base, "f", fpart))
+        gold = read_table(ss, base, "s")
+        gnew = rollup(delta) if gold is None else combine(gold, rollup(delta))
+        gnew.coalesce(1).write.parquet(_os.path.join(base, "s", gpart))
+        old_gold = _manifest(base, "s") or []
+        if crash["armed"]:
+            crash["armed"] = False
+            # the drill: durable intent, fact swing, DEATH before gold
+            _os.makedirs(_os.path.join(base, _TXN_DIR), exist_ok=True)
+            tx = {
+                "_ts": _time.time(),
+                "f": {
+                    "base": _current_version(base, "f"),
+                    "added": [fpart],
+                    "removed": [],
+                },
+                "s": {
+                    "base": _current_version(base, "s"),
+                    "added": [gpart],
+                    "removed": list(old_gold),
+                },
+            }
+            with open(
+                _os.path.join(base, _TXN_DIR, f"{tag}.json"), "w"
+            ) as fh:
+                json.dump(tx, fh)
+            swing_rebase(base, "f", tx["f"]["base"], [fpart])
+            raise RuntimeError("simulated crash between the two swings")
+        multi_commit(
+            base, {"f": ([fpart], set()), "s": ([gpart], set(old_gold))}, tag
+        )
+
+    def run() -> Exception | None:
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return None
+        except Exception as e:  # the injected crash surfaces here
+            return e
+        finally:
+            q.stop()
+
+    land(events.filter(F.col("ts") <= F.lit(cut)), "wave1")
+    err = run()
+    _require(err is not None, "wave-1 run must die mid-transaction")
+    _require(
+        _manifest(base, "f") == ["fb0a0"] and _manifest(base, "s") is None,
+        "state must be torn before recovery (fact swung, gold not)",
+    )
+    # restart path: recover first (the session-start hook), then resume
+    done = recover_transactions(base)
+    _require(done == ["b0a0"], f"recovered {done}, expected ['b0a0']")
+    _require(
+        _manifest(base, "s") == ["gb0a0"],
+        "roll-forward must complete the gold swing",
+    )
+    land(events.filter(F.col("ts") > F.lit(cut)), "wave2")
+    err = run()
+    _require(err is None, f"restarted stream must complete: {err}")
+    _require(
+        recover_transactions(base) == [],
+        "no transaction may be pending after a clean run",
+    )
+    return read_table(spark, base, "s").select(
+        "event_type", "n_events", "total_value"
+    )
+
+
 def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter-queue routing — the quarantine pattern every
     production ingest stream needs: malformed payloads must neither kill
@@ -884,6 +1056,16 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
+    # the atomically-maintained gold rollup must equal the from-scratch
+    # recompute over the full corpus — torn, dropped, or double-applied
+    # batches all diverge
+    "stream_txn_sink": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
     "stream_dlq": """
 WITH m AS (
   SELECT CASE WHEN event_id % 7 = 0 THEN 'truncated'
@@ -1072,6 +1254,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
+    "stream_txn_sink": q_stream_txn_sink,
     "stream_dlq": q_stream_dlq,
     "stream_resume": q_stream_resume,
     "stream_enrich_join": q_stream_enrich_join,
