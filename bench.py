@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "etl_row_delete",
     "etl_delete_vectors",
     "etl_merge_evolve",
+    "etl_type_widening",
     "etl_merge_cow",
     "etl_merge_full",
     "etl_schema_drop",

@@ -1998,6 +1998,70 @@ def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+# lossless numeric promotions, by Spark typeName — the Delta
+# type-widening allowlist (narrowing or cross-family changes rewrite
+# data and are refused)
+_TYPE_WIDENINGS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("byte", "double"),
+    ("short", "double"),
+    ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def widen_column(
+    spark: SparkSession, warehouse: str, table: str, name: str, new_type: str
+) -> int:
+    """``ALTER COLUMN ... TYPE`` widening (Delta type widening) — a
+    METADATA-ONLY commit: the widened type lands in the table-owned
+    manifest schema; existing part bytes keep their narrow physical
+    encoding and every scan planned from that schema UPCASTS them in
+    the parquet reader (int32 read as long/double — the same reader
+    promotion Delta relies on), so history is never rewritten at any
+    table size and later appends may write the wide type directly.
+    Only lossless numeric promotions are allowed (``_TYPE_WIDENINGS``);
+    narrowing would silently corrupt reads and is refused.  ``name`` is
+    the PHYSICAL column name (rename mapping applies on read, above
+    this layer).  Returns the committed version."""
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType
+
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: widen on an uncommitted table")
+    m = _read_manifest_file(warehouse, table, cur)
+    if m["schema"] is not None:
+        struct = StructType.fromJson(_json.loads(m["schema"]))
+    else:
+        _require(bool(m["parts"]), f"{table}: widen on an empty table")
+        struct = _read_parts(
+            spark, warehouse, table, m["parts"][:1], m["specs"]
+        ).schema
+    names = [f.name for f in struct.fields]
+    _require(name in names, f"{table}: no physical column {name!r}")
+    old_f = struct.fields[names.index(name)]
+    new_dt = spark.createDataFrame([], f"x {new_type}").schema.fields[0].dataType
+    pair = (old_f.dataType.typeName(), new_dt.typeName())
+    _require(
+        pair in _TYPE_WIDENINGS,
+        f"{table}: {pair[0]} -> {pair[1]} is not a lossless widening",
+    )
+    fields = [
+        StructField(f.name, new_dt if f.name == name else f.dataType,
+                    f.nullable, f.metadata)
+        for f in struct.fields
+    ]
+    return _swing(
+        warehouse, table, m["parts"], schema=StructType(fields).json()
+    )
+
+
 def rename_column(warehouse: str, table: str, old: str, new: str) -> int:
     """Metadata-only column RENAME — Delta column-mapping semantics: the
     part files keep their physical column name forever; the manifest
@@ -2120,6 +2184,63 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stable_checkpoint(out)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening gate (Delta ``ALTER COLUMN ... TYPE``): batch 1
+    commits ``event_id`` as a 32-bit INT; the column is widened to
+    BIGINT by a metadata-only commit (part bytes inode-untouched,
+    gate-proven); batch 2 then appends ids ABOVE the int32 range —
+    impossible under the old type — and the unified read upcasts the
+    narrow part in the scan.  Time travel to the pre-widen version
+    still reads the original INT schema.  Oracle: the same union with
+    the cast stated in SQL."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_widen_")
+    try:
+        b1 = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "event_id", F.col("event_id").cast("int")
+        )
+        _commit_append(b1, w, "t", 1)
+        tdir = os.path.join(w, "t")
+        inos = {
+            f: os.stat(os.path.join(tdir, "p1", f)).st_ino
+            for f in os.listdir(os.path.join(tdir, "p1"))
+            if f.endswith(".parquet")
+        }
+        widen_column(spark, w, "t", "event_id", "bigint")
+        _require(
+            inos
+            == {
+                f: os.stat(os.path.join(tdir, "p1", f)).st_ino
+                for f in os.listdir(os.path.join(tdir, "p1"))
+                if f.endswith(".parquet")
+            },
+            "widening must be metadata-only",
+        )
+        b2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "event_id", F.col("event_id") + F.lit(4_000_000_000)
+        )
+        _commit_append(b2, w, "t", 2)
+        out = read_table(spark, w, "t")
+        _require(
+            dict(out.dtypes)["event_id"] == "bigint",
+            "unified read must surface the widened type",
+        )
+        # the pre-widen snapshot still reads its own narrow schema
+        _require(
+            dict(read_table(spark, w, "t", version=1).dtypes)["event_id"]
+            == "int",
+            "time travel must keep the pre-widen type",
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 DELETE_USER = 7  # deterministic GDPR-delete subject for the gate
@@ -3866,6 +3987,7 @@ QUERIES = {
     "etl_schema_evolution": q_schema_evolution,
     "etl_schema_rename": q_schema_rename,
     "etl_schema_drop": q_schema_drop,
+    "etl_type_widening": q_type_widening,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_delete_vectors": q_delete_vectors,
@@ -4018,6 +4140,15 @@ SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
        event_type_key, user_id, played_hour, is_weekend, time_period,
        value, user_first_seen, 'cdc' AS src_system
 FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # widened read = batch-1 ids upcast in the scan, batch-2 ids above
+    # the int32 range — the union a 32-bit column could never hold
+    "etl_type_widening": """
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id + 4000000000 AS event_id, user_id, value
+FROM events WHERE event_id % 2 = 1
 """,
     # evolved read = star join + the new column, NULL before the cut
     "etl_schema_evolution": _fact.ORACLE["etl_fact_star"].replace(

@@ -686,3 +686,43 @@ def test_recovery_replays_in_creation_order(spark, warehouse):
         )
     assert recover_transactions(warehouse) == ["b", "a"]
     assert _manifest(warehouse, "t") == ["p3"]
+
+def test_widen_column_rejects_narrowing_and_cross_family(spark, warehouse):
+    from spark_spotify.etl.pipeline import widen_column
+
+    df = spark.createDataFrame([(1, 2.5, "x")], "a long, b double, s string")
+    _commit_append(df, warehouse, "t", 1)
+    with pytest.raises(RuntimeError, match="lossless"):
+        widen_column(spark, warehouse, "t", "a", "int")  # narrowing
+    with pytest.raises(RuntimeError, match="lossless"):
+        widen_column(spark, warehouse, "t", "b", "string")  # cross-family
+    with pytest.raises(RuntimeError, match="no physical column"):
+        widen_column(spark, warehouse, "t", "zz", "long")
+
+
+def test_widened_schema_survives_compact_and_delete(spark, warehouse):
+    """The widened table-owned schema carries through later commits, and
+    compaction materializes the wide type physically."""
+    from spark_spotify.etl.pipeline import (
+        compact_table,
+        delete_rows,
+        widen_column,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id int, v int")
+    _commit_append(df, warehouse, "t", 1)
+    widen_column(spark, warehouse, "t", "v", "bigint")
+    big = spark.createDataFrame([(4, 5_000_000_000)], "id int, v long")
+    _commit_append(big, warehouse, "t", 2)
+    delete_rows(spark, warehouse, "t", F.col("id") == 2, "d1")
+    got = {r["id"]: r["v"] for r in read_table(spark, warehouse, "t").collect()}
+    assert got == {1: 10, 3: 30, 4: 5_000_000_000}
+    compact_table(spark, warehouse, "t", "z")
+    import os
+
+    cz = os.path.join(warehouse, "t", "cz")
+    f = next(x for x in os.listdir(cz) if x.endswith(".parquet"))
+    phys = dict(spark.read.parquet(os.path.join(cz, f)).dtypes)
+    assert phys["v"] == "bigint"  # compaction wrote the wide type
+    got = {r["id"]: r["v"] for r in read_table(spark, warehouse, "t").collect()}
+    assert got == {1: 10, 3: 30, 4: 5_000_000_000}
