@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "etl_delete_vectors",
     "etl_merge_evolve",
     "etl_type_widening",
+    "etl_bloom_skipping",
     "etl_merge_cow",
     "etl_merge_full",
     "etl_schema_drop",

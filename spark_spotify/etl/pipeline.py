@@ -112,6 +112,7 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("generated", {})  # {logical col: generation sql expr}
     m.setdefault("dv", {})  # {part: [deletion-vector sidecar names]}
     m.setdefault("schema", None)  # table-owned physical schema (JSON)
+    m.setdefault("blooms", {})  # {physical col: [bloom sidecar names]}
     return m
 
 
@@ -282,6 +283,7 @@ def _swing(
     generated: dict[str, str] | None = None,
     dv: dict[str, list[str]] | None = None,
     schema: object = _CARRY,
+    blooms: dict[str, list[str]] | None = None,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -327,6 +329,11 @@ def _swing(
         # RESTORE to a pre-evolution version must clear it — so the
         # carry-forward default is a sentinel, not None
         schema = cur_m["schema"] if cur_m else None
+    if blooms is None:
+        # bloom sidecars are never filtered against the part list: a
+        # sidecar covering since-removed parts is harmless (pruning
+        # consults only live parts) and may still cover live ones
+        blooms = cur_m["blooms"] if cur_m else {}
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
     # likewise a deletion vector for a dropped part: a rewrite of the
@@ -360,6 +367,7 @@ def _swing(
                 "generated": generated,
                 "dv": dv,
                 "schema": schema,
+                "blooms": blooms,
             },
             fh,
         )
@@ -849,6 +857,7 @@ def prune_parts(
     )
     to_phys = {logical: phys for phys, logical in m["renames"].items()}
     resolved = []
+    bloom_reqs = []
     for col, op, val in predicates:
         _require(op in _PRUNE_OPS, f"unsupported prune op {op!r}")
         phys = to_phys.get(col, col)
@@ -856,8 +865,26 @@ def prune_parts(
             phys not in m["drops"], f"predicate on dropped column {col!r}"
         )
         resolved.append((phys, op, _enc_stat(val), _stat_kind(val)))
+        if (
+            op == "="
+            and phys in m["blooms"]
+            and isinstance(val, (str, int))
+            and not isinstance(val, bool)
+        ):
+            # bloom consult: one O(positions) sidecar read per indexed
+            # equality predicate — the step beyond min/max for point
+            # lookups on high-cardinality columns (Delta bloom index).
+            # Restricted to str/int literals, whose str() round-trips
+            # Spark's cast-to-string byte-identically; anything else
+            # conservatively skips the bloom (keeps the part).
+            bloom_reqs.append(
+                _bloom_predicate(warehouse, table, m, phys, val)
+            )
 
     def might_match(part: str) -> bool:
+        for covered, present in bloom_reqs:
+            if part in covered and part not in present:
+                return False  # covered part lacks a required position
         pstats = m["stats"].get(part)
         if not pstats:
             return True  # no stats recorded — cannot prove anything
@@ -888,6 +915,132 @@ def prune_parts(
         return True
 
     return [p for p in m["parts"] if might_match(p)], m
+
+
+# Bloom index geometry: 2^17 positions, 4 probes per value.  At ~2000
+# distinct values per part the fill ratio is ~6%, so a false KEEP costs
+# ~(0.06)^4 per part — the standard bloom trade; false DROPS are
+# impossible (a part's bloom contains every value it holds).
+BLOOM_BITS = 1 << 17
+BLOOM_K = 4
+
+
+def _bloom_positions(s: str) -> list[int]:
+    """The k probe positions of a value — 8-hex-char slices of md5,
+    reduced mod the bit space.  Mirrored EXACTLY by the Spark-side
+    expression in :func:`add_bloom_index` (md5 of the cast-to-string
+    value), so build and consult agree byte-for-byte."""
+    import hashlib
+
+    h = hashlib.md5(s.encode()).hexdigest()
+    return [
+        int(h[8 * i : 8 * i + 8], 16) % BLOOM_BITS for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_predicate(
+    warehouse: str, table: str, m: dict, phys: str, val
+) -> tuple[set, set]:
+    """Resolve one indexed equality predicate against the column's bloom
+    sidecars: returns (covered parts, parts holding ALL probe
+    positions).  A covered part missing any position provably holds no
+    matching row; uncovered parts (appended after the index build) are
+    never bloom-pruned.  One positions-filtered sidecar read — O(k)
+    row-group data, no Spark job."""
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(warehouse, table)
+    positions = _bloom_positions(str(val))
+    covered: set = set()
+    hits: dict[str, set] = {}
+    for name in m["blooms"].get(phys, ()):
+        t = pq.read_table(
+            os.path.join(tdir, name),
+            filters=[("pos", "in", positions + [-1])],
+        )
+        for p, pos in zip(
+            t.column("p").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if pos == -1:
+                covered.add(p)
+            else:
+                hits.setdefault(p, set()).add(pos)
+    need = set(positions)
+    present = {p for p, got in hits.items() if need <= got}
+    return covered, present
+
+
+def add_bloom_index(
+    spark: SparkSession, warehouse: str, table: str, col: str, tag: str
+) -> int:
+    """Build a BLOOM FILTER INDEX over ``col`` for every live part not
+    already covered (Delta ``CREATE BLOOMFILTER INDEX``): ONE Spark job
+    scans the uncovered parts, hashes each value to its {BLOOM_K} probe
+    positions, and writes the DISTINCT (part, position) set plus a
+    coverage marker per part as a parquet sidecar referenced from the
+    manifest.  ``prune_parts`` then consults it for equality predicates
+    — the point-lookup skipping min/max stats cannot give on
+    high-cardinality/hash-like columns, where every part spans the full
+    value range.  Sidecar size is bounded by k x distinct-values bits
+    worth of positions per part; parts appended later are simply
+    uncovered (never bloom-pruned) until the next build.  ``col`` is
+    the PHYSICAL column name.  Returns the committed version (or the
+    current one when every part is already covered)."""
+    import pyarrow.parquet as pq
+
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: bloom index on an uncommitted table")
+    m = _read_manifest_file(warehouse, table, cur)
+    tdir = os.path.join(warehouse, table)
+    name = f"bl{tag}"
+    _require(
+        name not in m["parts"]
+        and not os.path.exists(os.path.join(tdir, name)),
+        f"bloom tag {tag!r} collides with {name}",
+    )
+    covered: set = set()
+    for sc in m["blooms"].get(col, ()):
+        t = pq.read_table(
+            os.path.join(tdir, sc), filters=[("pos", "=", -1)]
+        )
+        covered |= set(t.column("p").to_pylist())
+    todo = [p for p in m["parts"] if p not in covered]
+    if not todo:
+        return cur
+    rel = _rel_file_expr(tdir)
+    hexd = F.md5(F.col(col).cast("string"))
+    pos_exprs = [
+        (
+            F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long")
+            % BLOOM_BITS
+        ).cast("int")
+        for i in range(BLOOM_K)
+    ]
+    scan = None
+    for br in _part_branches(
+        spark, warehouse, table, todo, m["specs"], m["schema"]
+    ):
+        b = br.select(
+            F.split(rel, "/").getItem(0).alias("p"),
+            F.explode(F.array(*pos_exprs)).alias("pos"),
+        )
+        scan = b if scan is None else scan.unionByName(b)
+    rows = scan.filter(F.col("pos").isNotNull()).distinct()
+    markers = spark.createDataFrame(
+        [(p, -1) for p in todo], "p string, pos int"
+    )
+    rows.unionByName(markers).coalesce(1).write.parquet(
+        os.path.join(tdir, name)
+    )
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        blooms={
+            **m["blooms"],
+            col: list(m["blooms"].get(col, [])) + [name],
+        },
+    )
 
 
 def read_table_where(
@@ -1447,8 +1600,10 @@ def vacuum_table(
         referenced.update(mv["parts"])
         # deletion-vector sidecars referenced by a retained snapshot are
         # as load-bearing as its parts — reclaiming one would resurrect
-        # deleted rows on that snapshot's reads
+        # deleted rows on that snapshot's reads; bloom sidecars likewise
+        # (a missing one would fail that snapshot's prune planning)
         referenced.update(n for ns in mv["dv"].values() for n in ns)
+        referenced.update(n for ns in mv["blooms"].values() for n in ns)
     removed: list[str] = []
     for entry in os.listdir(tdir):
         # "_"-prefixed entries are metadata and in-flight stagings
@@ -1479,9 +1634,11 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
     )
     m = _read_manifest_file(warehouse, table, to_version)
     tdir = os.path.join(warehouse, table)
-    needed = list(m["parts"]) + [
-        n for ns in m["dv"].values() for n in ns
-    ]
+    needed = (
+        list(m["parts"])
+        + [n for ns in m["dv"].values() for n in ns]
+        + [n for ns in m["blooms"].values() for n in ns]
+    )
     missing = [
         p for p in needed if not os.path.isdir(os.path.join(tdir, p))
     ]
@@ -1500,6 +1657,7 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
         generated=m["generated"],
         dv=m["dv"],
         schema=m["schema"],
+        blooms=m["blooms"],
     )
 
 
@@ -1694,7 +1852,10 @@ def clone_table(
         not _versions(dst_warehouse, dst),
         f"{dst}: clone target already has commits",
     )
-    dv_names = sorted({n for ns in m["dv"].values() for n in ns})
+    dv_names = sorted(
+        {n for ns in m["dv"].values() for n in ns}
+        | {n for ns in m["blooms"].values() for n in ns}
+    )
     for p in list(m["parts"]) + dv_names:
         dst_p = os.path.join(ddir, p)
         _require(not os.path.exists(dst_p), f"clone target part {p}")
@@ -1715,6 +1876,7 @@ def clone_table(
         generated=m["generated"],
         dv=m["dv"],
         schema=m["schema"],
+        blooms=m["blooms"],
     )
 
 
@@ -2184,6 +2346,51 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stable_checkpoint(out)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
+
+
+BLOOM_POINT_ID = 100  # deterministic point-lookup subject for the gate
+
+
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index skipping gate — the point lookup min/max stats can
+    NEVER serve: six parts keyed by md5 hex (every part spans
+    essentially the full string range, asserted by a pre-index prune
+    keeping all six), then a bloom index build and an equality lookup.
+    ``prune_parts`` must keep exactly the one part holding the key —
+    planning I/O is one positions-filtered sidecar read, no Spark job —
+    and the pruned read returns the row.  Oracle: the same md5 point
+    select stated in SQL."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    w = tempfile.mkdtemp(prefix="spark_spotify_bloom_")
+    try:
+        t = ev.withColumn(
+            "tag", F.md5(F.col("event_id").cast("string"))
+        )
+        for k in range(6):
+            _commit_append(
+                t.filter(F.col("event_id") % 6 == k), w, "t", k + 1
+            )
+        val = hashlib.md5(str(BLOOM_POINT_ID).encode()).hexdigest()
+        kept, _ = prune_parts(w, "t", [("tag", "=", val)])
+        _require(
+            len(kept) == 6,
+            f"md5 ranges must defeat min/max pruning: {kept}",
+        )
+        add_bloom_index(spark, w, "t", "tag", "1")
+        kept, _ = prune_parts(w, "t", [("tag", "=", val)])
+        want = f"p{BLOOM_POINT_ID % 6 + 1}"
+        _require(
+            kept == [want],
+            f"bloom must prune to the key's part {want}: {kept}",
+        )
+        out = read_table_where(spark, w, "t", [("tag", "=", val)])
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3988,6 +4195,7 @@ QUERIES = {
     "etl_schema_rename": q_schema_rename,
     "etl_schema_drop": q_schema_drop,
     "etl_type_widening": q_type_widening,
+    "etl_bloom_skipping": q_bloom_skipping,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_delete_vectors": q_delete_vectors,
@@ -4140,6 +4348,13 @@ SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
        event_type_key, user_id, played_hour, is_weekend, time_period,
        value, user_first_seen, 'cdc' AS src_system
 FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # the bloom-pruned point lookup returns exactly the md5-keyed row
+    "etl_bloom_skipping": f"""
+SELECT event_id, value, md5(CAST(event_id AS VARCHAR)) AS tag
+FROM events
+WHERE md5(CAST(event_id AS VARCHAR)) =
+      md5(CAST({BLOOM_POINT_ID} AS VARCHAR))
 """,
     # widened read = batch-1 ids upcast in the scan, batch-2 ids above
     # the int32 range — the union a 32-bit column could never hold

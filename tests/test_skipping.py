@@ -726,3 +726,64 @@ def test_widened_schema_survives_compact_and_delete(spark, warehouse):
     assert phys["v"] == "bigint"  # compaction wrote the wide type
     got = {r["id"]: r["v"] for r in read_table(spark, warehouse, "t").collect()}
     assert got == {1: 10, 3: 30, 4: 5_000_000_000}
+
+def test_bloom_index_point_pruning_and_incremental_cover(spark, warehouse):
+    """Bloom sidecars prune equality lookups on hash-like columns where
+    min/max cannot; parts appended after the build stay conservatively
+    un-pruned until the next (incremental) build covers them."""
+    from spark_spotify.etl.pipeline import add_bloom_index
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+
+    _commit_append(batch(0, 50), warehouse, "t", 1)
+    _commit_append(batch(50, 100), warehouse, "t", 2)
+    add_bloom_index(spark, warehouse, "t", "tag", "1")
+    import hashlib
+
+    v7 = hashlib.md5(b"7").hexdigest()  # lives in p1
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v7)])
+    assert kept == ["p1"]
+    # a value in NO part: every covered part pruned
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", "0" * 32)])
+    assert kept == []
+    # append an uncovered part: it is always kept (never mis-pruned)
+    _commit_append(batch(100, 150), warehouse, "t", 3)
+    v120 = hashlib.md5(b"120").hexdigest()
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v120)])
+    assert kept == ["p3"]  # p1/p2 bloom-pruned, p3 uncovered -> kept
+    # incremental build covers ONLY p3, then prunes precisely
+    add_bloom_index(spark, warehouse, "t", "tag", "2")
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v7)])
+    assert kept == ["p1"]
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", "0" * 32)])
+    assert kept == []
+    got = read_table_where(spark, warehouse, "t", [("tag", "=", v120)])
+    assert [r["id"] for r in got.collect()] == [120]
+
+
+def test_bloom_sidecars_survive_vacuum_and_restore(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        add_bloom_index,
+        restore_table,
+        vacuum_table,
+    )
+
+    df = spark.range(0, 30).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("tag")
+    )
+    _commit_append(df, warehouse, "t", 1)
+    add_bloom_index(spark, warehouse, "t", "tag", "1")
+    import os
+
+    assert vacuum_table(warehouse, "t") == []  # live sidecar retained
+    assert os.path.isdir(os.path.join(warehouse, "t", "bl1"))
+    restore_table(warehouse, "t", 2)  # restore keeps the bloom map
+    import hashlib
+
+    kept, _ = prune_parts(
+        warehouse, "t", [("tag", "=", hashlib.md5(b"5").hexdigest())]
+    )
+    assert kept == ["p1"]
