@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "etl_merge_evolve",
     "etl_type_widening",
     "etl_bloom_skipping",
+    "etl_in_list_skipping",
+    "etl_cdf_mor_delete",
     "etl_merge_cow",
     "etl_merge_full",
     "etl_schema_drop",

@@ -825,7 +825,7 @@ def read_table(
     return df
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def prune_parts(
@@ -864,12 +864,30 @@ def prune_parts(
         _require(
             phys not in m["drops"], f"predicate on dropped column {col!r}"
         )
-        resolved.append((phys, op, _enc_stat(val), _stat_kind(val)))
+        if op == "in":
+            # IN-list: a part is prunable only when EVERY element is
+            # provably absent (stats: outside [lo, hi]; bloom: covered
+            # part lacking some probe position of every element)
+            elems = list(val)
+            resolved.append(
+                (
+                    phys,
+                    "in",
+                    [(_enc_stat(e), _stat_kind(e)) for e in elems],
+                    None,
+                )
+            )
+            val = elems  # the bloom consult below handles the list
+        else:
+            resolved.append((phys, op, _enc_stat(val), _stat_kind(val)))
         if (
-            op == "="
+            op in ("=", "in")
             and phys in m["blooms"]
-            and isinstance(val, (str, int))
-            and not isinstance(val, bool)
+            and all(
+                isinstance(v, (str, int)) and not isinstance(v, bool)
+                for v in (val if op == "in" else [val])
+            )
+            and (op != "in" or val)
         ):
             # bloom consult: one O(positions) sidecar read per indexed
             # equality predicate — the step beyond min/max for point
@@ -878,7 +896,13 @@ def prune_parts(
             # Spark's cast-to-string byte-identically; anything else
             # conservatively skips the bloom (keeps the part).
             bloom_reqs.append(
-                _bloom_predicate(warehouse, table, m, phys, val)
+                _bloom_predicate(
+                    warehouse,
+                    table,
+                    m,
+                    phys,
+                    val if op == "in" else [val],
+                )
             )
 
     def might_match(part: str) -> bool:
@@ -897,6 +921,18 @@ def prune_parts(
             if v is None or "lo" not in e:
                 continue
             lo, hi = e["lo"], e["hi"]
+            if op == "in":
+                # prunable only when EVERY element is provably outside
+                # the part's bounds (unknown/cross-family elements keep)
+                if v and all(
+                    enc is not None
+                    and ek is not None
+                    and e.get("k") == ek
+                    and (enc < lo or enc > hi)
+                    for enc, ek in v
+                ):
+                    return False
+                continue
             # compare ONLY within one type family: dates encode as
             # epoch-days and datetimes as epoch-micros (both ints), so a
             # raw numeric comparison across families would mis-prune.
@@ -939,24 +975,26 @@ def _bloom_positions(s: str) -> list[int]:
 
 
 def _bloom_predicate(
-    warehouse: str, table: str, m: dict, phys: str, val
+    warehouse: str, table: str, m: dict, phys: str, vals: list
 ) -> tuple[set, set]:
-    """Resolve one indexed equality predicate against the column's bloom
-    sidecars: returns (covered parts, parts holding ALL probe
-    positions).  A covered part missing any position provably holds no
-    matching row; uncovered parts (appended after the index build) are
-    never bloom-pruned.  One positions-filtered sidecar read — O(k)
-    row-group data, no Spark job."""
+    """Resolve one indexed equality / IN-list predicate against the
+    column's bloom sidecars: returns (covered parts, parts holding ALL
+    probe positions of AT LEAST ONE value).  A covered part outside the
+    present set provably holds no matching row; uncovered parts
+    (appended after the index build) are never bloom-pruned.  One
+    positions-filtered sidecar read for the whole value list — O(k x
+    values) row-group data, no Spark job."""
     import pyarrow.parquet as pq
 
     tdir = os.path.join(warehouse, table)
-    positions = _bloom_positions(str(val))
+    per_val = [_bloom_positions(str(v)) for v in vals]
+    wanted = sorted({p for ps in per_val for p in ps})
     covered: set = set()
     hits: dict[str, set] = {}
     for name in m["blooms"].get(phys, ()):
         t = pq.read_table(
             os.path.join(tdir, name),
-            filters=[("pos", "in", positions + [-1])],
+            filters=[("pos", "in", wanted + [-1])],
         )
         for p, pos in zip(
             t.column("p").to_pylist(), t.column("pos").to_pylist()
@@ -965,8 +1003,11 @@ def _bloom_predicate(
                 covered.add(p)
             else:
                 hits.setdefault(p, set()).add(pos)
-    need = set(positions)
-    present = {p for p, got in hits.items() if need <= got}
+    present = {
+        p
+        for p, got in hits.items()
+        if any(set(ps) <= got for ps in per_val)
+    }
     return covered, present
 
 
@@ -1069,9 +1110,20 @@ def read_table_where(
             # on a non-UTC host the residual filter and the pruning
             # would disagree by the UTC offset and silently drop rows.
             # Pin the literal to UTC so both halves speak one clock.
-            if isinstance(val, _dt.datetime) and val.tzinfo is None:
-                val = val.replace(tzinfo=_dt.timezone.utc)
-            c, v = F.col(col), F.lit(val)
+            def _pin(x):
+                if isinstance(x, _dt.datetime) and x.tzinfo is None:
+                    return x.replace(tzinfo=_dt.timezone.utc)
+                return x
+
+            c = F.col(col)
+            if op == "in":
+                df = df.filter(
+                    c.isin([_pin(x) for x in val])
+                    if val
+                    else F.lit(False)
+                )
+                continue
+            v = F.lit(_pin(val))
             df = df.filter(
                 {
                     "=": c == v,
@@ -2344,6 +2396,98 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ingest_source", F.lit(None).cast("string")
             )
         return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+IN_LIST_IDS = (100, 900)  # deterministic IN-list subjects for the gate
+
+
+def q_in_list_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list file skipping over BOTH pruning indexes: six range-
+    disjoint parts (bucketed by event_id sextile), so the id IN-list
+    prunes via min/max STATS to exactly the buckets holding the ids;
+    then the same lookup through the md5 key column, where stats are
+    useless (every part spans the hex range) and the BLOOM index must
+    prune to the same parts.  Both prunings are asserted against the
+    buckets computed from the corpus max; the pruned read returns the
+    rows.  Oracle: the plain IN-list select."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    w = tempfile.mkdtemp(prefix="spark_spotify_inlist_")
+    try:
+        mx = ev.agg(F.max("event_id")).collect()[0][0]
+        t = ev.withColumn(
+            "tag", F.md5(F.col("event_id").cast("string"))
+        )
+        for k in range(6):
+            _commit_append(
+                t.filter(
+                    F.floor(F.col("event_id") * 6 / (mx + 1)) == k
+                ),
+                w,
+                "t",
+                k + 1,
+            )
+        want = sorted({f"p{i * 6 // (mx + 1) + 1}" for i in IN_LIST_IDS})
+        kept, _ = prune_parts(
+            w, "t", [("event_id", "in", list(IN_LIST_IDS))]
+        )
+        _require(
+            kept == want, f"stats IN-pruning kept {kept}, want {want}"
+        )
+        tags = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in IN_LIST_IDS
+        ]
+        kept, _ = prune_parts(w, "t", [("tag", "=", tags[0])])
+        _require(len(kept) == 6, "md5 ranges must defeat min/max")
+        add_bloom_index(spark, w, "t", "tag", "1")
+        kept, _ = prune_parts(w, "t", [("tag", "in", tags)])
+        _require(
+            kept == want, f"bloom IN-pruning kept {kept}, want {want}"
+        )
+        out = read_table_where(
+            spark, w, "t", [("event_id", "in", list(IN_LIST_IDS))]
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+def q_cdf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed over a merge-on-read delete — the integration a CDC
+    consumer depends on: a DV commit moves NO part bytes, yet the
+    version-to-version change feed must still surface exactly the
+    vectorized rows as ``delete`` changes (the read path, not the file
+    layout, defines the snapshot).  Oracle: the erased subject's star
+    rows tagged 'delete'."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_cdfmor_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        n = delete_rows(
+            spark,
+            cw,
+            "fact",
+            F.col("user_id") == DELETE_USER,
+            "g1",
+            mode="mor",
+        )
+        _require(n > 0, "MOR delete matched no parts")
+        feed = change_feed(
+            read_table(spark, cw, "fact", version=1),
+            read_table(spark, cw, "fact", version=2),
+            "event_id",
+        )
+        return stable_checkpoint(feed)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
 
@@ -4196,6 +4340,8 @@ QUERIES = {
     "etl_schema_drop": q_schema_drop,
     "etl_type_widening": q_type_widening,
     "etl_bloom_skipping": q_bloom_skipping,
+    "etl_in_list_skipping": q_in_list_skipping,
+    "etl_cdf_mor_delete": q_cdf_mor_delete,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_delete_vectors": q_delete_vectors,
@@ -4348,6 +4494,20 @@ SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
        event_type_key, user_id, played_hour, is_weekend, time_period,
        value, user_first_seen, 'cdc' AS src_system
 FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # IN-list read: same rows whichever index pruned the scan
+    "etl_in_list_skipping": f"""
+SELECT event_id, value, md5(CAST(event_id AS VARCHAR)) AS tag
+FROM events
+WHERE event_id IN {IN_LIST_IDS}
+""",
+    # the DV commit's change feed = the erased subject's rows, deleted
+    "etl_cdf_mor_delete": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT 'delete' AS _change_type, event_id, date_key, event_type_key,
+       user_id, played_hour, is_weekend, time_period, value,
+       user_first_seen
+FROM base WHERE user_id = {DELETE_USER}
 """,
     # the bloom-pruned point lookup returns exactly the md5-keyed row
     "etl_bloom_skipping": f"""

@@ -787,3 +787,20 @@ def test_bloom_sidecars_survive_vacuum_and_restore(spark, warehouse):
         warehouse, "t", [("tag", "=", hashlib.md5(b"5").hexdigest())]
     )
     assert kept == ["p1"]
+
+def test_in_list_pruning_stats_and_conservatism(spark, warehouse):
+    """IN-list pruning drops a part only when EVERY element is provably
+    outside its bounds; unknown or cross-family elements keep it."""
+    _ranged_table(spark, warehouse)  # p1 [0,10) p2 [10,20) p3 [20,30)
+    kept, _ = prune_parts(warehouse, "t", [("id", "in", [5, 25])])
+    assert kept == ["p1", "p3"]
+    kept, _ = prune_parts(warehouse, "t", [("id", "in", [100, 200])])
+    assert kept == []
+    # a cross-family (string) element cannot be proven absent -> keep all
+    kept, _ = prune_parts(warehouse, "t", [("id", "in", [100, "x"])])
+    assert kept == ["p1", "p2", "p3"]
+    # pruned read still applies the exact filter
+    got = read_table_where(spark, warehouse, "t", [("id", "in", [5, 25])])
+    assert sorted(r["id"] for r in got.collect()) == [5, 25]
+    got = read_table_where(spark, warehouse, "t", [("id", "in", [])])
+    assert got.count() == 0
