@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "op_bucketed_join",
     "stream_merge_sink",
     "stream_txn_sink",
+    "stream_mor_delete",
     "sim_ann_cosine_pandas",
     "text_pii_scan",
     "text_repetition",

@@ -844,6 +844,125 @@ def q_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERASE_USERS = (3, 11, 19)  # deterministic GDPR-stream subjects
+
+
+def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR erasure over the versioned warehouse — the
+    privacy pipeline a training-data store actually runs: a stream of
+    right-to-be-forgotten REQUESTS is applied to the committed fact
+    table per micro-batch as MERGE-ON-READ deletes.  Each batch's
+    subject set (delta-sized by contract) becomes one
+    ``delete_rows(mode='mor')`` commit: an O(deleted rows) deletion-
+    vector sidecar, ZERO part rewrites across the whole stream
+    (inode-proven at the end), and re-delivered requests are absorbed
+    by the existing-vector anti-filter (no-op commits).  At 100 TB this
+    is the only shape that keeps erasure latency independent of part
+    sizes; compaction later folds the vectors away.  Oracle: the
+    events projection minus every erased subject."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _commit_append,
+        _manifest,
+        _require,
+        delete_rows,
+        read_table,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_mor_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    _commit_append(events, base, "f", 1)
+    tdir = _os.path.join(base, "f")
+
+    def _inodes():
+        return {
+            f: _os.stat(_os.path.join(tdir, "p1", f)).st_ino
+            for f in _os.listdir(_os.path.join(tdir, "p1"))
+            if f.endswith(".parquet")
+        }
+
+    before = _inodes()
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+
+    def land(users, name):
+        stage = _os.path.join(base, f"stage_{name}")
+        spark.createDataFrame(
+            [(u,) for u in users], "subject long"
+        ).coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    # one request file per user, plus a REDELIVERY of the first — file
+    # sources cut one micro-batch per file under maxFilesPerTrigger=1
+    for i, u in enumerate(ERASE_USERS):
+        land([u], f"req{i}")
+    land([ERASE_USERS[0]], "req_redelivered")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        subjects = [
+            r["subject"] for r in batch_df.distinct().collect()
+        ]
+        if not subjects:
+            return
+        delete_rows(
+            batch_df.sparkSession,
+            base,
+            "f",
+            F.col("user_id").isin(subjects),
+            f"b{batch_id}",
+            mode="mor",
+        )
+
+    q = (
+        spark.readStream.schema("subject long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    _require(
+        _inodes() == before and _manifest(base, "f") == ["p1"],
+        "streamed MOR erasure must never rewrite a part",
+    )
+    from spark_spotify.etl.pipeline import (
+        _current_version,
+        _read_manifest_file,
+    )
+
+    m = _read_manifest_file(base, "f", _current_version(base, "f"))
+    # one vector per subject that actually EXISTS in the corpus (a
+    # request for an absent subject is a no-op commit, as is the
+    # redelivered request)
+    present = (
+        events.filter(F.col("user_id").isin(list(ERASE_USERS)))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    _require(
+        len(m["dv"].get("p1", [])) == present,
+        f"expected {present} vectors (one per present subject, "
+        f"redelivery a no-op): {m['dv']}",
+    )
+    return read_table(spark, base, "f")
+
+
 def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter-queue routing — the quarantine pattern every
     production ingest stream needs: malformed payloads must neither kill
@@ -1066,6 +1185,12 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    # every streamed erasure subject gone, everything else untouched
+    "stream_mor_delete": f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE user_id NOT IN {ERASE_USERS}
+""",
     "stream_dlq": """
 WITH m AS (
   SELECT CASE WHEN event_id % 7 = 0 THEN 'truncated'
@@ -1255,6 +1380,7 @@ QUERIES = {
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
     "stream_txn_sink": q_stream_txn_sink,
+    "stream_mor_delete": q_stream_mor_delete,
     "stream_dlq": q_stream_dlq,
     "stream_resume": q_stream_resume,
     "stream_enrich_join": q_stream_enrich_join,
