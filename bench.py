@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "etl_bloom_skipping",
     "etl_in_list_skipping",
     "etl_cdf_mor_delete",
+    "etl_row_tracking",
     "etl_merge_cow",
     "etl_merge_full",
     "etl_schema_drop",

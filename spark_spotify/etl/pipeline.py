@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_spotify.etl.dims import date_dim, event_type_dim
@@ -113,6 +113,8 @@ def _read_manifest_file(warehouse: str, table: str, version: int) -> dict:
     m.setdefault("dv", {})  # {part: [deletion-vector sidecar names]}
     m.setdefault("schema", None)  # table-owned physical schema (JSON)
     m.setdefault("blooms", {})  # {physical col: [bloom sidecar names]}
+    m.setdefault("row_base", None)  # {"part/file": base row id} | None
+    m.setdefault("row_hwm", 0)  # next unassigned row id
     return m
 
 
@@ -284,6 +286,8 @@ def _swing(
     dv: dict[str, list[str]] | None = None,
     schema: object = _CARRY,
     blooms: dict[str, list[str]] | None = None,
+    row_base: object = _CARRY,
+    row_hwm_min: int = 0,
 ) -> int:
     """Commit a new manifest version via compare-and-swap.
 
@@ -334,6 +338,43 @@ def _swing(
         # sidecar covering since-removed parts is harmless (pruning
         # consults only live parts) and may still cover live ones
         blooms = cur_m["blooms"] if cur_m else {}
+    if row_base is _CARRY:
+        row_base = cur_m["row_base"] if cur_m else None
+    # the floor lets callers that MINTED ids themselves (MERGE inserts,
+    # clones) advance the high-water mark past what they used
+    row_hwm = max(cur_m["row_hwm"] if cur_m else 0, row_hwm_min)
+    if row_base is not None:
+        # ROW TRACKING (Delta row ids): every file of every part gets a
+        # BASE row id at the commit that introduces it; a row's stable
+        # id is base + _metadata.row_index.  Files that carry a
+        # PHYSICAL _row_id column (COW rewrites materialize ids to
+        # preserve them) get no base — the column is authoritative.
+        # O(new files) footer reads, same cost class as the stats.
+        _require(
+            not specs,
+            f"{table}: row tracking over partition specs unsupported",
+        )
+        import pyarrow.parquet as _pq
+
+        live = set(parts)
+        row_base = {
+            k: v
+            for k, v in row_base.items()
+            if k.split("/", 1)[0] in live
+        }
+        tdir_rb = os.path.join(warehouse, table)
+        for p in parts:
+            for fname in sorted(os.listdir(os.path.join(tdir_rb, p))):
+                if not fname.endswith(".parquet"):
+                    continue
+                key = f"{p}/{fname}"
+                if key in row_base:
+                    continue
+                pf = _pq.ParquetFile(os.path.join(tdir_rb, p, fname))
+                if "_row_id" in set(pf.schema_arrow.names):
+                    continue  # materialized file: ids live in the data
+                row_base[key] = row_hwm
+                row_hwm += pf.metadata.num_rows
     # a spec entry for a part no longer in the list is dead metadata
     specs = {p: s for p, s in specs.items() if p in parts}
     # likewise a deletion vector for a dropped part: a rewrite of the
@@ -368,6 +409,8 @@ def _swing(
                 "dv": dv,
                 "schema": schema,
                 "blooms": blooms,
+                "row_base": row_base,
+                "row_hwm": row_hwm,
             },
             fh,
         )
@@ -391,6 +434,7 @@ def swing_rebase(
     max_retries: int = 5,
     dv_add: dict[str, list[str]] | None = None,
     schema: str | None = None,
+    row_hwm_min: int = 0,
 ) -> int:
     """Optimistic-concurrency commit with AUTOMATIC REBASE — the Delta
     conflict-resolution protocol on top of :func:`_swing`'s CAS.  The
@@ -496,6 +540,7 @@ def swing_rebase(
                 expected_version=cur,
                 dv=new_dv,
                 schema=_CARRY if schema is None else schema,
+                row_hwm_min=row_hwm_min,
             )
         except CommitConflictError:
             continue  # lost the CAS itself: re-read and replay
@@ -719,6 +764,7 @@ def _read_parts_live(
     specs: dict[str, list[str]] | None = None,
     dv: dict[str, list[str]] | None = None,
     schema: str | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame | None:
     """DV-aware snapshot scan — :func:`_read_parts` plus the
     merge-on-read half of the Delta deletion-vector protocol: when any
@@ -734,9 +780,21 @@ def _read_parts_live(
     live = {
         p: ns for p, ns in (dv or {}).items() if p in set(parts) and ns
     }
-    if not live:
-        return _read_parts(spark, warehouse, table, parts, specs, schema)
     tdir = os.path.join(warehouse, table)
+    if not live and not keep_pos:
+        return _read_parts(spark, warehouse, table, parts, specs, schema)
+    if not live:
+        # keep_pos without vectors: just attach the position key
+        rel0 = _rel_file_expr(tdir)
+        out0 = None
+        for br in _part_branches(
+            spark, warehouse, table, parts, specs, schema
+        ):
+            b = br.withColumn(_DV_FILE, rel0).withColumn(
+                _DV_IDX, F.col("_metadata.row_index")
+            )
+            out0 = b if out0 is None else out0.unionByName(b)
+        return out0
     names = sorted({n for ns in live.values() for n in ns})
     dvdf = spark.read.parquet(*[os.path.join(tdir, n) for n in names])
     rel = _rel_file_expr(tdir)
@@ -762,7 +820,121 @@ def _read_parts_live(
         [_DV_FILE, _DV_IDX],
         "left_anti",
     )
-    return out.select(*cols)
+    return out if keep_pos else out.select(*cols)
+
+
+def _scan_with_row_ids(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    parts: list[str],
+    m: dict,
+) -> DataFrame:
+    """Snapshot scan of ``parts`` carrying the stable ``_row_id`` —
+    the Delta row-tracking read: files committed as appends get VIRTUAL
+    ids (manifest base + ``_metadata.row_index``, zero storage cost);
+    files written by COW rewrites carry a PHYSICAL ``_row_id`` column
+    (materialized to survive the rewrite).  The two groups scan as
+    separate branches (their physical schemas differ by the id column)
+    and union by name — deterministic regardless of parquet schema
+    resolution order."""
+    rb = m["row_base"] or {}
+    bset = {k.split("/", 1)[0] for k in rb}
+    base_parts = [p for p in parts if p in bset]
+    mat_parts = [p for p in parts if p not in bset]
+    out = None
+    if base_parts:
+        b = _read_parts_live(
+            spark,
+            warehouse,
+            table,
+            base_parts,
+            m["specs"],
+            m["dv"],
+            m["schema"],
+            keep_pos=True,
+        )
+        bmap = F.create_map(
+            *[
+                x
+                for k, v in sorted(rb.items())
+                for x in (F.lit(k), F.lit(v))
+            ]
+        )
+        b = b.withColumn(
+            "_row_id",
+            F.element_at(bmap, F.col(_DV_FILE)) + F.col(_DV_IDX),
+        ).drop(_DV_FILE, _DV_IDX)
+        out = b
+    if mat_parts:
+        sch = m["schema"]
+        if sch is not None:
+            # the table-owned schema never lists the hidden id column;
+            # extend it for the materialized branch so the scan sees it
+            import json as _json
+
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            st = StructType.fromJson(_json.loads(sch))
+            sch = StructType(
+                list(st.fields) + [StructField("_row_id", LongType())]
+            ).json()
+        mdf = _read_parts_live(
+            spark, warehouse, table, mat_parts, m["specs"], m["dv"], sch
+        )
+        out = mdf if out is None else out.unionByName(mdf)
+    return out
+
+
+def enable_row_tracking(warehouse: str, table: str) -> int:
+    """Turn on ROW TRACKING (Delta row ids / row lineage): from this
+    commit every row has a STABLE 64-bit id that survives COW rewrites,
+    readable via :func:`read_table_with_row_ids` — the identity a
+    downstream incremental consumer can key state on across OPTIMIZE /
+    DELETE / MERGE churn.  Enabling is one metadata commit: existing
+    files get base ids assigned from their footers (O(files) metadata,
+    no data rewrite); future appends get bases at their own commit;
+    rewrites materialize ids physically.  Idempotent."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: enable row tracking before any commit")
+    m = _read_manifest_file(warehouse, table, cur)
+    if m["row_base"] is not None:
+        return cur
+    _require(
+        not m["specs"],
+        f"{table}: row tracking over partition specs unsupported",
+    )
+    return _swing(warehouse, table, m["parts"], row_base={})
+
+
+def read_table_with_row_ids(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read surfacing the stable ``row_id`` column (row
+    tracking must be enabled).  Same column mapping / drop semantics as
+    :func:`read_table`."""
+    vs = _versions(warehouse, table)
+    _require(bool(vs), f"{table}: read on an uncommitted table")
+    m = _read_manifest_file(
+        warehouse, table, vs[-1] if version is None else version
+    )
+    _require(
+        m["row_base"] is not None,
+        f"{table}: row tracking not enabled at this version",
+    )
+    df = _scan_with_row_ids(spark, warehouse, table, m["parts"], m)
+    if m["drops"]:
+        df = df.drop(*m["drops"])
+    for phys, logical in m["renames"].items():
+        df = df.withColumnRenamed(phys, logical)
+    return df.withColumnRenamed("_row_id", "row_id")
 
 
 def version_as_of(warehouse: str, table: str, ts: float) -> int:
@@ -811,10 +983,17 @@ def read_table(
     )
     if not m["parts"]:
         return None
-    df = _read_parts_live(
-        spark, warehouse, table, m["parts"], m["specs"], m["dv"],
-        m["schema"],
-    )
+    if m["row_base"] is not None:
+        # tracked tables may mix materialized (_row_id-carrying) and
+        # plain files; the id-aware scan branches them deterministically
+        df = _scan_with_row_ids(
+            spark, warehouse, table, m["parts"], m
+        ).drop("_row_id")
+    else:
+        df = _read_parts_live(
+            spark, warehouse, table, m["parts"], m["specs"], m["dv"],
+            m["schema"],
+        )
     if m["drops"]:
         # drops are PHYSICAL names, applied before the rename mapping;
         # the part bytes still carry the column (Delta column-mapping
@@ -1142,15 +1321,20 @@ def read_table_where(
             full is not None, f"{table}: pruning read on an empty snapshot"
         )
         return residual(full).filter(F.lit(False))
-    df = _read_parts_live(
-        spark,
-        warehouse,
-        table,
-        kept,
-        {p: s for p, s in m["specs"].items()},
-        m["dv"],
-        m["schema"],
-    )
+    if m["row_base"] is not None:
+        df = _scan_with_row_ids(spark, warehouse, table, kept, m).drop(
+            "_row_id"
+        )
+    else:
+        df = _read_parts_live(
+            spark,
+            warehouse,
+            table,
+            kept,
+            {p: s for p, s in m["specs"].items()},
+            m["dv"],
+            m["schema"],
+        )
     if m["drops"]:
         df = df.drop(*m["drops"])
     for phys, logical in m["renames"].items():
@@ -1479,10 +1663,15 @@ def compact_table(
     parts = m["parts"]
     # DV-aware read: compaction MATERIALIZES outstanding deletion
     # vectors — the rewritten part carries only surviving rows and the
-    # new manifest references no sidecars (Delta's REORG ... PURGE)
-    df = _read_parts_live(
-        spark, warehouse, table, parts, m["specs"], m["dv"], m["schema"]
-    )
+    # new manifest references no sidecars (Delta's REORG ... PURGE).
+    # Row-tracked tables carry _row_id through the rewrite.
+    if m["row_base"] is not None:
+        df = _scan_with_row_ids(spark, warehouse, table, parts, m)
+    else:
+        df = _read_parts_live(
+            spark, warehouse, table, parts, m["specs"], m["dv"],
+            m["schema"],
+        )
     new_part = f"c{tag}"
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, new_part)
@@ -1538,10 +1727,15 @@ def optimize_table(
         f"optimize tag {tag!r} collides with {new_part}",
     )
     # folding small parts MATERIALIZES their deletion vectors (the
-    # replacement part has no dv entry); untouched parts keep theirs
-    df = _read_parts_live(
-        spark, warehouse, table, small, m["specs"], m["dv"], m["schema"]
-    )
+    # replacement part has no dv entry); untouched parts keep theirs;
+    # row-tracked tables carry _row_id through the fold
+    if m["row_base"] is not None:
+        df = _scan_with_row_ids(spark, warehouse, table, small, m)
+    else:
+        df = _read_parts_live(
+            spark, warehouse, table, small, m["specs"], m["dv"],
+            m["schema"],
+        )
     n_files = max(
         1,
         min(len(small), math.ceil(sum(sizes[p] for p in small)
@@ -1710,6 +1904,7 @@ def restore_table(warehouse: str, table: str, to_version: int) -> int:
         dv=m["dv"],
         schema=m["schema"],
         blooms=m["blooms"],
+        row_base=m["row_base"],
     )
 
 
@@ -1929,6 +2124,8 @@ def clone_table(
         dv=m["dv"],
         schema=m["schema"],
         blooms=m["blooms"],
+        row_base=m["row_base"],
+        row_hwm_min=m["row_hwm"],
     )
 
 
@@ -2400,6 +2597,51 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cw, ignore_errors=True)
 
 
+def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-tracking gate (Delta row ids / row lineage): enable tracking
+    on a two-part table, COW-delete one subject (materializes ids for
+    the affected part), then compact the WHOLE table (rewrites every
+    byte) — and every surviving row must still carry its original
+    stable id.  The gate emits ``id_stable`` per row (before-vs-after
+    join) and asserts id uniqueness in-line; the oracle is the source
+    minus the deleted subject with ``TRUE`` — any drifted id fails the
+    hash."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_rowtrack_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        enable_row_tracking(w, "t")
+        before = read_table_with_row_ids(spark, w, "t").select(
+            "event_id", F.col("row_id").alias("rid_before")
+        )
+        before = stable_checkpoint(before)
+        delete_rows(
+            spark, w, "t", F.col("user_id") == DELETE_USER, "d1"
+        )
+        compact_table(spark, w, "t", "z")
+        after = read_table_with_row_ids(spark, w, "t")
+        n = after.count()
+        _require(
+            after.select("row_id").distinct().count() == n,
+            "row ids must stay unique through rewrites",
+        )
+        out = after.join(before, "event_id").select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.col("rid_before") == F.col("row_id")).alias("id_stable"),
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 IN_LIST_IDS = (100, 900)  # deterministic IN-list subjects for the gate
 
 
@@ -2682,16 +2924,24 @@ def delete_rows(
         return 0
     # DV-aware rewrite: a part with outstanding deletion vectors must
     # not resurrect its vectorized rows when rewritten (the rewrite
-    # also MATERIALIZES them — the replacement carries no dv entry)
-    kept = _read_parts_live(
-        spark,
-        warehouse,
-        table,
-        sorted(affected),
-        specs,
-        dv,
-        m_base["schema"],
-    ).filter(predicate.isNull() | ~predicate)
+    # also MATERIALIZES them — the replacement carries no dv entry).
+    # On a row-tracked table the rewrite carries _row_id physically so
+    # surviving rows keep their stable ids.
+    if m_base["row_base"] is not None:
+        kept = _scan_with_row_ids(
+            spark, warehouse, table, sorted(affected), m_base
+        )
+    else:
+        kept = _read_parts_live(
+            spark,
+            warehouse,
+            table,
+            sorted(affected),
+            specs,
+            dv,
+            m_base["schema"],
+        )
+    kept = kept.filter(predicate.isNull() | ~predicate)
     new_part = f"d{tag}"
     # a reused tag would overwrite a part's directory — including one
     # referenced only by OLDER manifests (time travel) — so check the
@@ -3073,18 +3323,27 @@ def merge_rows(
         for c, (kind, _, _) in zip(m_codes, when_matched)
         if kind == "delete"
     ]
+    tracked = m_base is not None and m_base["row_base"] is not None
     if affected:
         # DV-aware: rewriting a part must not resurrect its vectorized
-        # rows (and materializes them — the new part has no dv entry)
-        tgt = _read_parts_live(
-            spark,
-            warehouse,
-            table,
-            sorted(affected),
-            specs,
-            m_base["dv"],
-            m_base["schema"],
-        )
+        # rows (and materializes them — the new part has no dv entry).
+        # Row-tracked rewrites carry _row_id: updates KEEP the target
+        # row's id (an update is the same row), inserts mint fresh ids
+        # past the high-water mark.
+        if tracked:
+            tgt = _scan_with_row_ids(
+                spark, warehouse, table, sorted(affected), m_base
+            )
+        else:
+            tgt = _read_parts_live(
+                spark,
+                warehouse,
+                table,
+                sorted(affected),
+                specs,
+                m_base["dv"],
+                m_base["schema"],
+            )
         cols = tgt.columns
         _require(
             "_action" not in cols and "_action" not in source.columns,
@@ -3108,8 +3367,26 @@ def merge_rows(
         )
 
         new_types = {f.name: f.dataType for f in new_fields}
+        if tracked:
+            # fresh ids for insert-arm rows: hwm + dense rank among the
+            # inserts (delta-sized window, deterministic by source key)
+            _fresh_id = F.lit(m_base["row_hwm"]) + F.row_number().over(
+                Window.partitionBy(F.col("_action") >= 100).orderBy(
+                    F.col(f"s.{key}")
+                )
+            ) - F.lit(1)
 
         def _value(c: str) -> F.Column:
+            if c == "_row_id":
+                # never source-supplied: updates keep the target id,
+                # inserts mint past the high-water mark
+                w = None
+                for code in i_codes:
+                    w = (w.when if w is not None else F.when)(
+                        F.col("_action") == code, _fresh_id
+                    )
+                t = F.col("t._row_id")
+                return (w.otherwise(t) if w is not None else t).alias(c)
             # an EVOLVED column has no target side: its "keep the target
             # value" default is NULL of the source's type (Delta
             # NULL-backfills unmatched rows on schema-evolving MERGE)
@@ -3188,6 +3465,11 @@ def merge_rows(
         [new_part],
         affected,
         schema=evolved_schema_json,
+        # advance the id high-water mark past anything the insert arms
+        # minted (bounded by the source row count)
+        row_hwm_min=(
+            m_base["row_hwm"] + int(sc_row["n"]) if tracked else 0
+        ),
     )
     return len(affected)
 
@@ -4342,6 +4624,7 @@ QUERIES = {
     "etl_bloom_skipping": q_bloom_skipping,
     "etl_in_list_skipping": q_in_list_skipping,
     "etl_cdf_mor_delete": q_cdf_mor_delete,
+    "etl_row_tracking": q_row_tracking,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
     "etl_delete_vectors": q_delete_vectors,
@@ -4494,6 +4777,12 @@ SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
        event_type_key, user_id, played_hour, is_weekend, time_period,
        value, user_first_seen, 'cdc' AS src_system
 FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # stable ids through delete + whole-table compaction: every
+    # surviving row pairs with its pre-rewrite id
+    "etl_row_tracking": f"""
+SELECT event_id, user_id, value, TRUE AS id_stable
+FROM events WHERE user_id <> {DELETE_USER}
 """,
     # IN-list read: same rows whichever index pruned the scan
     "etl_in_list_skipping": f"""

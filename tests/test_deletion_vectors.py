@@ -280,3 +280,92 @@ def test_mor_job_count_flat_in_part_count(spark, warehouse):
     large = jobs_for("large", 30, "dv_large")
     assert small == large, (small, large)
     assert large <= 6
+
+
+def _tracked_table(spark, warehouse):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    _commit_append(df, warehouse, "t", 1)
+    P.enable_row_tracking(warehouse, "t")
+    return {
+        r["id"]: r["row_id"]
+        for r in P.read_table_with_row_ids(spark, warehouse, "t").collect()
+    }
+
+
+def test_row_ids_stable_through_merge(spark, warehouse):
+    """MERGE on a tracked table: updated rows keep their id (an update
+    is the same row), inserts mint fresh unique ids, untouched rows are
+    untouched."""
+    ids0 = _tracked_table(spark, warehouse)
+    hwm = P._read_manifest_file(warehouse, "t", 2)["row_hwm"]
+    src = spark.createDataFrame(
+        [(2, 222.0), (9, 90.0)], "id long, v double"
+    )
+    P.merge_rows(spark, warehouse, "t", src, "id", "m1")
+    rows = {
+        r["id"]: (r["row_id"], r["v"])
+        for r in P.read_table_with_row_ids(spark, warehouse, "t").collect()
+    }
+    assert rows[1][0] == ids0[1] and rows[3][0] == ids0[3]
+    assert rows[2] == (ids0[2], 222.0)  # updated row, same identity
+    assert rows[9][0] >= hwm  # fresh id past the high-water mark
+    assert len({rid for rid, _ in rows.values()}) == 4  # unique
+    # a later append must not reuse the minted range
+    _commit_append(
+        spark.createDataFrame([(50, 5.0)], "id long, v double"),
+        warehouse,
+        "t",
+        9,
+    )
+    allr = {
+        r["id"]: r["row_id"]
+        for r in P.read_table_with_row_ids(spark, warehouse, "t").collect()
+    }
+    assert len(set(allr.values())) == 5
+
+
+def test_row_ids_stable_through_mor_delete_and_compact(spark, warehouse):
+    """A deletion-vector commit moves no rows, so ids are trivially
+    stable; the compaction that materializes the vectors must keep
+    them too."""
+    ids0 = _tracked_table(spark, warehouse)
+    delete_rows(spark, warehouse, "t", F.col("id") == 2, "a", mode="mor")
+    ids1 = {
+        r["id"]: r["row_id"]
+        for r in P.read_table_with_row_ids(spark, warehouse, "t").collect()
+    }
+    assert ids1 == {k: v for k, v in ids0.items() if k != 2}
+    P.compact_table(spark, warehouse, "t", "z")
+    ids2 = {
+        r["id"]: r["row_id"]
+        for r in P.read_table_with_row_ids(spark, warehouse, "t").collect()
+    }
+    assert ids2 == ids1
+
+
+def test_clone_carries_row_ids(spark, warehouse):
+    ids0 = _tracked_table(spark, warehouse)
+    cw = tempfile.mkdtemp(prefix="spark_spotify_test_dv_rc_")
+    try:
+        P.clone_table(warehouse, "t", cw, "t")
+        ids = {
+            r["id"]: r["row_id"]
+            for r in P.read_table_with_row_ids(spark, cw, "t").collect()
+        }
+        assert ids == ids0
+        # clone appends mint PAST the source's high-water mark
+        _commit_append(
+            spark.createDataFrame([(7, 7.0)], "id long, v double"),
+            cw,
+            "t",
+            9,
+        )
+        ids2 = {
+            r["id"]: r["row_id"]
+            for r in P.read_table_with_row_ids(spark, cw, "t").collect()
+        }
+        assert len(set(ids2.values())) == 4
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
