@@ -2647,62 +2647,93 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IN_LIST_IDS = (100, 900)  # deterministic IN-list subjects for the gate
 
+# the skipping gates share ONE six-part sextile layout per
+# (session, sf_dir) — the build is a single scan (partitioned staging
+# write + renames, one manifest commit), and whichever gate runs first
+# proves the pre-index state and adds the bloom (idempotent)
+_BLOOM_GATE_CACHE: dict = {}
 
-def q_in_list_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-list file skipping over BOTH pruning indexes: six range-
-    disjoint parts (bucketed by event_id sextile), so the id IN-list
-    prunes via min/max STATS to exactly the buckets holding the ids;
-    then the same lookup through the md5 key column, where stats are
-    useless (every part spans the hex range) and the BLOOM index must
-    prune to the same parts.  Both prunings are asserted against the
-    buckets computed from the corpus max; the pruned read returns the
-    rows.  Oracle: the plain IN-list select."""
-    import hashlib
+
+def _bloom_gate_table(spark: SparkSession, sf_dir: str):
+    """Six RANGE-DISJOINT parts (event_id sextiles) of (event_id,
+    value, md5 tag) — range stats prune the id column, only a bloom can
+    prune the hash column.  Returns (warehouse, max event_id)."""
+    import atexit
     import shutil
     import tempfile
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BLOOM_GATE_CACHE:
+        w, mx = _BLOOM_GATE_CACHE[key]
+        os.utime(w)  # keep the orphan sweep off a live session cache
+        return w, mx
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    w = tempfile.mkdtemp(prefix="spark_spotify_inlist_")
-    try:
-        mx = ev.agg(F.max("event_id")).collect()[0][0]
-        t = ev.withColumn(
-            "tag", F.md5(F.col("event_id").cast("string"))
-        )
-        for k in range(6):
-            _commit_append(
-                t.filter(
-                    F.floor(F.col("event_id") * 6 / (mx + 1)) == k
-                ),
-                w,
-                "t",
-                k + 1,
-            )
-        want = sorted({f"p{i * 6 // (mx + 1) + 1}" for i in IN_LIST_IDS})
-        kept, _ = prune_parts(
-            w, "t", [("event_id", "in", list(IN_LIST_IDS))]
-        )
-        _require(
-            kept == want, f"stats IN-pruning kept {kept}, want {want}"
-        )
-        tags = [
-            hashlib.md5(str(i).encode()).hexdigest() for i in IN_LIST_IDS
-        ]
-        kept, _ = prune_parts(w, "t", [("tag", "=", tags[0])])
-        _require(len(kept) == 6, "md5 ranges must defeat min/max")
-        add_bloom_index(spark, w, "t", "tag", "1")
-        kept, _ = prune_parts(w, "t", [("tag", "in", tags)])
-        # bloom false positives are legitimate (they cost a scan, never
-        # a row) — the gate demands every true part plus at most one FP
-        _require(
-            set(want) <= set(kept) and len(kept) <= len(want) + 1,
-            f"bloom IN-pruning kept {kept}, want ⊇ {want}",
-        )
-        out = read_table_where(
-            spark, w, "t", [("event_id", "in", list(IN_LIST_IDS))]
-        )
-        return stable_checkpoint(out)
-    finally:
-        shutil.rmtree(w, ignore_errors=True)
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    w = tempfile.mkdtemp(prefix="spark_spotify_bloomg_")
+    atexit.register(shutil.rmtree, w, ignore_errors=True)
+    t = ev.withColumn(
+        "tag", F.md5(F.col("event_id").cast("string"))
+    ).withColumn(
+        "b", F.floor(F.col("event_id") * 6 / (mx + 1)).cast("int")
+    )
+    stage = os.path.join(w, "_stage")
+    t.repartition("b").write.partitionBy("b").parquet(stage)
+    tdir = os.path.join(w, "t")
+    os.makedirs(tdir)
+    parts = []
+    for k in range(6):
+        src = os.path.join(stage, f"b={k}")
+        _require(os.path.isdir(src), f"empty sextile bucket {k}")
+        os.rename(src, os.path.join(tdir, f"p{k + 1}"))
+        parts.append(f"p{k + 1}")
+    _swing(w, "t", parts)
+    _BLOOM_GATE_CACHE[key] = (w, mx)
+    return w, mx
+
+
+def _ensure_tag_bloom(spark: SparkSession, w: str, probe_val: str) -> None:
+    """First caller proves the pre-index state (min/max stats keep all
+    six parts for an md5 point lookup) and builds the bloom; later
+    callers see it committed."""
+    m = _read_manifest_file(w, "t", _current_version(w, "t"))
+    if "tag" in m["blooms"]:
+        return
+    kept, _ = prune_parts(w, "t", [("tag", "=", probe_val)])
+    _require(len(kept) == 6, "md5 ranges must defeat min/max")
+    add_bloom_index(spark, w, "t", "tag", "1")
+
+
+def q_in_list_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list file skipping over BOTH pruning indexes: six range-
+    disjoint parts (event_id sextiles), so the id IN-list prunes via
+    min/max STATS to exactly the buckets holding the ids; then the same
+    lookup through the md5 key column, where stats are useless (every
+    part spans the hex range — asserted pre-index) and the BLOOM index
+    must prune to the same parts (false positives tolerated: they cost
+    a scan, never a row).  Oracle: the plain IN-list select."""
+    import hashlib
+
+    w, mx = _bloom_gate_table(spark, sf_dir)
+    want = sorted({f"p{i * 6 // (mx + 1) + 1}" for i in IN_LIST_IDS})
+    kept, _ = prune_parts(
+        w, "t", [("event_id", "in", list(IN_LIST_IDS))]
+    )
+    _require(
+        kept == want, f"stats IN-pruning kept {kept}, want {want}"
+    )
+    tags = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in IN_LIST_IDS
+    ]
+    _ensure_tag_bloom(spark, w, tags[0])
+    kept, _ = prune_parts(w, "t", [("tag", "in", tags)])
+    _require(
+        set(want) <= set(kept) and len(kept) <= len(want) + 1,
+        f"bloom IN-pruning kept {kept}, want ⊇ {want}",
+    )
+    out = read_table_where(
+        spark, w, "t", [("event_id", "in", list(IN_LIST_IDS))]
+    )
+    return stable_checkpoint(out)
 
 
 def q_cdf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,46 +2776,27 @@ BLOOM_POINT_ID = 100  # deterministic point-lookup subject for the gate
 
 def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-index skipping gate — the point lookup min/max stats can
-    NEVER serve: six parts keyed by md5 hex (every part spans
-    essentially the full string range, asserted by a pre-index prune
+    NEVER serve: six parts whose md5 key column spans essentially the
+    full string range in every part (asserted by a pre-index prune
     keeping all six), then a bloom index build and an equality lookup.
-    ``prune_parts`` must keep exactly the one part holding the key —
-    planning I/O is one positions-filtered sidecar read, no Spark job —
-    and the pruned read returns the row.  Oracle: the same md5 point
-    select stated in SQL."""
+    ``prune_parts`` must keep the one part holding the key (false
+    positives tolerated: a scan, never a row) — planning I/O is one
+    positions-filtered sidecar read, no Spark job — and the pruned read
+    returns the row.  Oracle: the same md5 point select stated in
+    SQL."""
     import hashlib
-    import shutil
-    import tempfile
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    w = tempfile.mkdtemp(prefix="spark_spotify_bloom_")
-    try:
-        t = ev.withColumn(
-            "tag", F.md5(F.col("event_id").cast("string"))
-        )
-        for k in range(6):
-            _commit_append(
-                t.filter(F.col("event_id") % 6 == k), w, "t", k + 1
-            )
-        val = hashlib.md5(str(BLOOM_POINT_ID).encode()).hexdigest()
-        kept, _ = prune_parts(w, "t", [("tag", "=", val)])
-        _require(
-            len(kept) == 6,
-            f"md5 ranges must defeat min/max pruning: {kept}",
-        )
-        add_bloom_index(spark, w, "t", "tag", "1")
-        kept, _ = prune_parts(w, "t", [("tag", "=", val)])
-        want = f"p{BLOOM_POINT_ID % 6 + 1}"
-        # false positives cost a scan, never a row — demand the true
-        # part plus at most one FP
-        _require(
-            want in kept and len(kept) <= 2,
-            f"bloom must prune to ~the key's part {want}: {kept}",
-        )
-        out = read_table_where(spark, w, "t", [("tag", "=", val)])
-        return stable_checkpoint(out)
-    finally:
-        shutil.rmtree(w, ignore_errors=True)
+    w, mx = _bloom_gate_table(spark, sf_dir)
+    val = hashlib.md5(str(BLOOM_POINT_ID).encode()).hexdigest()
+    _ensure_tag_bloom(spark, w, val)
+    kept, _ = prune_parts(w, "t", [("tag", "=", val)])
+    want = f"p{BLOOM_POINT_ID * 6 // (mx + 1) + 1}"
+    _require(
+        want in kept and len(kept) <= 2,
+        f"bloom must prune to ~the key's part {want}: {kept}",
+    )
+    out = read_table_where(spark, w, "t", [("tag", "=", val)])
+    return stable_checkpoint(out)
 
 
 def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3013,7 +3025,9 @@ def _delete_rows_mor(
             *[os.path.join(tdir, n) for n in names]
         )
         probe = probe.join(F.broadcast(old), ["f", "i"], "left_anti")
-    probe.coalesce(1).write.parquet(os.path.join(tdir, dvname))
+    # NO coalesce(1): it would collapse the probe SCAN into one task —
+    # the sidecar may span a few files, the read path unions them anyway
+    probe.write.parquet(os.path.join(tdir, dvname))
     # affected-part discovery reads the sidecar back — O(deleted rows)
     # input, part-count-bounded output
     affected = sorted(

