@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "etl_cdf_mor_delete",
     "etl_row_tracking",
     "etl_merge_cow",
+    "etl_merge_mor",
     "etl_merge_full",
     "etl_schema_drop",
     "etl_time_travel_ts",

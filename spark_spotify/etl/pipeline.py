@@ -482,6 +482,8 @@ def swing_rebase(
     )
     base_parts = set(base_m["parts"]) if base_m else set()
     base_dv = base_m["dv"] if base_m else {}
+    base_hwm = base_m["row_hwm"] if base_m else 0
+    base_schema = base_m["schema"] if base_m else None
     _require(
         removed <= base_parts,
         f"rebase removes parts not in base v{base_version}: "
@@ -525,6 +527,29 @@ def swing_rebase(
                     f"both added {sorted(collide)}, "
                     f"dv on rewritten parts {sorted(dv_dead)}, "
                     f"dv name collisions {sorted(dv_collide)})"
+                )
+            # row ids MATERIALIZED into this commit's part bytes were
+            # minted from the base snapshot's watermark; if the winner
+            # moved it, our pre-minted range may overlap ids the winner
+            # already wrote — row_hwm_min can only advance the mark, it
+            # cannot un-mint ids baked into parquet.  The caller must
+            # re-derive the commit against the fresh watermark.
+            if row_hwm_min > 0 and cur_m["row_hwm"] != base_hwm:
+                raise CommitConflictError(
+                    f"{table}: row ids minted against a stale watermark "
+                    f"(base row_hwm {base_hwm}, now {cur_m['row_hwm']})"
+                )
+            # schema is a metadata conflict, not last-writer-wins: a
+            # schema-evolving commit derived its schema from the base —
+            # overwriting a winner's concurrent evolution (another
+            # evolving MERGE, a widen_column) would drop the winner's
+            # column from the table-owned schema while its parts still
+            # carry the data
+            if schema is not None and cur_m["schema"] != base_schema:
+                raise CommitConflictError(
+                    f"{table}: concurrent schema change since "
+                    f"v{base_version} conflicts with this commit's "
+                    f"schema evolution"
                 )
         new_list = [p for p in cur_parts if p not in removed] + added
         new_dv = None
@@ -829,6 +854,7 @@ def _scan_with_row_ids(
     table: str,
     parts: list[str],
     m: dict,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Snapshot scan of ``parts`` carrying the stable ``_row_id`` —
     the Delta row-tracking read: files committed as appends get VIRTUAL
@@ -837,7 +863,9 @@ def _scan_with_row_ids(
     (materialized to survive the rewrite).  The two groups scan as
     separate branches (their physical schemas differ by the id column)
     and union by name — deterministic regardless of parquet schema
-    resolution order."""
+    resolution order.  ``keep_pos`` additionally surfaces the physical
+    position key (``_dv_f``/``_dv_i``) — the identity a merge-on-read
+    writer needs to vectorize the rows it updates."""
     rb = m["row_base"] or {}
     bset = {k.split("/", 1)[0] for k in rb}
     base_parts = [p for p in parts if p in bset]
@@ -864,7 +892,9 @@ def _scan_with_row_ids(
         b = b.withColumn(
             "_row_id",
             F.element_at(bmap, F.col(_DV_FILE)) + F.col(_DV_IDX),
-        ).drop(_DV_FILE, _DV_IDX)
+        )
+        if not keep_pos:
+            b = b.drop(_DV_FILE, _DV_IDX)
         out = b
     if mat_parts:
         sch = m["schema"]
@@ -884,7 +914,14 @@ def _scan_with_row_ids(
                 list(st.fields) + [StructField("_row_id", LongType())]
             ).json()
         mdf = _read_parts_live(
-            spark, warehouse, table, mat_parts, m["specs"], m["dv"], sch
+            spark,
+            warehouse,
+            table,
+            mat_parts,
+            m["specs"],
+            m["dv"],
+            sch,
+            keep_pos=keep_pos,
         )
         out = mdf if out is None else out.unionByName(mdf)
     return out
@@ -1142,6 +1179,11 @@ def prune_parts(
 BLOOM_BITS = 1 << 21
 BLOOM_K = 4
 
+# Sidecar marker rows (p="", pos=marker) recording the indexed column's
+# type family — written at build, consulted before trusting coverage.
+_BLOOM_KIND_S = -2  # string column
+_BLOOM_KIND_I = -3  # integral column
+
 
 def _bloom_positions(s: str) -> list[int]:
     """The k probe positions of a value — 8-hex-char slices of md5,
@@ -1165,22 +1207,49 @@ def _bloom_predicate(
     present set provably holds no matching row; uncovered parts
     (appended after the index build) are never bloom-pruned.  One
     positions-filtered sidecar read for the whole value list — O(k x
-    values) row-group data, no Spark job."""
+    values) row-group data, no Spark job.
+
+    Kind guard: the build hashed Spark's cast-to-string of the COLUMN
+    and the consult hashes Python ``str(literal)`` — the two encodings
+    agree only when the literal's type family matches the indexed
+    column's (string vs string, int vs integral).  A sidecar whose
+    recorded kind (the ``_BLOOM_KIND_*`` marker) does not match every
+    probed literal contributes NO coverage — e.g. ``int_col = '0100'``
+    would probe '0100' while the build hashed '100', and trusting the
+    miss would be a false DROP of rows the cast-equality matches."""
     import pyarrow.parquet as pq
 
     tdir = os.path.join(warehouse, table)
     per_val = [_bloom_positions(str(v)) for v in vals]
+    kinds = {"s" if isinstance(v, str) else "i" for v in vals}
     wanted = sorted({p for ps in per_val for p in ps})
     covered: set = set()
     hits: dict[str, set] = {}
     for name in m["blooms"].get(phys, ()):
         t = pq.read_table(
             os.path.join(tdir, name),
-            filters=[("pos", "in", wanted + [-1])],
+            filters=[
+                ("pos", "in", wanted + [-1, _BLOOM_KIND_S, _BLOOM_KIND_I])
+            ],
         )
-        for p, pos in zip(
-            t.column("p").to_pylist(), t.column("pos").to_pylist()
-        ):
+        rows = list(
+            zip(t.column("p").to_pylist(), t.column("pos").to_pylist())
+        )
+        kind_marks = {
+            pos for p, pos in rows if p == "" and pos in (
+                _BLOOM_KIND_S, _BLOOM_KIND_I
+            )
+        }
+        kind = (
+            "s"
+            if _BLOOM_KIND_S in kind_marks
+            else "i" if _BLOOM_KIND_I in kind_marks else None
+        )
+        if kind is not None and kinds != {kind}:
+            continue  # literal family ≠ column family: no coverage
+        for p, pos in rows:
+            if p == "" and pos in (_BLOOM_KIND_S, _BLOOM_KIND_I):
+                continue
             if pos == -1:
                 covered.add(p)
             else:
@@ -1221,15 +1290,58 @@ def add_bloom_index(
         and not os.path.exists(os.path.join(tdir, name)),
         f"bloom tag {tag!r} collides with {name}",
     )
+    todo = [
+        p
+        for p in m["parts"]
+        if p not in _bloom_covered(warehouse, table, m, col)
+    ]
+    if not todo:
+        return cur
+    _write_bloom_sidecar(spark, warehouse, table, m, col, todo, name)
+    return _swing(
+        warehouse,
+        table,
+        m["parts"],
+        blooms={
+            **m["blooms"],
+            col: list(m["blooms"].get(col, [])) + [name],
+        },
+    )
+
+
+def _bloom_covered(warehouse: str, table: str, m: dict, col: str) -> set:
+    """Parts already covered by ``col``'s bloom sidecars (coverage
+    markers only — O(parts) metadata read, no positions)."""
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(warehouse, table)
     covered: set = set()
     for sc in m["blooms"].get(col, ()):
         t = pq.read_table(
             os.path.join(tdir, sc), filters=[("pos", "=", -1)]
         )
         covered |= set(t.column("p").to_pylist())
-    todo = [p for p in m["parts"] if p not in covered]
-    if not todo:
-        return cur
+    return covered
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    m: dict,
+    col: str,
+    todo: list[str],
+    name: str,
+) -> None:
+    """ONE Spark job hashing ``col`` of ``todo``'s rows to DISTINCT
+    (part, position) bloom rows, written with per-part coverage markers
+    and the column-kind marker to sidecar ``name``.  The column must be
+    string or integral — the only families whose Python ``str(literal)``
+    round-trips Spark's cast-to-string byte-identically (a DOUBLE would
+    build '100.0' but probe '100': a silent false DROP)."""
+    from pyspark.sql import types as T
+
+    tdir = os.path.join(warehouse, table)
     rel = _rel_file_expr(tdir)
     hexd = F.md5(F.col(col).cast("string"))
     pos_exprs = [
@@ -1240,9 +1352,27 @@ def add_bloom_index(
         for i in range(BLOOM_K)
     ]
     scan = None
+    kind = None
     for br in _part_branches(
         spark, warehouse, table, todo, m["specs"], m["schema"]
     ):
+        dt = br.schema[col].dataType
+        if isinstance(dt, T.StringType):
+            bk = "s"
+        elif isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            bk = "i"
+        else:
+            raise RuntimeError(
+                f"{table}.{col}: bloom index requires a string or "
+                f"integral column, got {dt.simpleString()} (other "
+                f"families' literals do not round-trip cast-to-string)"
+            )
+        _require(
+            kind in (None, bk), f"{table}.{col}: mixed column kinds"
+        )
+        kind = bk
         b = br.select(
             F.split(rel, "/").getItem(0).alias("p"),
             F.explode(F.array(*pos_exprs)).alias("pos"),
@@ -1250,19 +1380,12 @@ def add_bloom_index(
         scan = b if scan is None else scan.unionByName(b)
     rows = scan.filter(F.col("pos").isNotNull()).distinct()
     markers = spark.createDataFrame(
-        [(p, -1) for p in todo], "p string, pos int"
+        [(p, -1) for p in todo]
+        + [("", _BLOOM_KIND_S if kind == "s" else _BLOOM_KIND_I)],
+        "p string, pos int",
     )
     rows.unionByName(markers).coalesce(1).write.parquet(
         os.path.join(tdir, name)
-    )
-    return _swing(
-        warehouse,
-        table,
-        m["parts"],
-        blooms={
-            **m["blooms"],
-            col: list(m["blooms"].get(col, [])) + [name],
-        },
     )
 
 
@@ -3165,6 +3288,21 @@ def not_matched_insert(condition=None):
     return ("insert", condition, None)
 
 
+def _merge_first_arm(arms, codes, default):
+    """Classify a row into the FIRST applicable arm (SQL MERGE clause
+    order; NULL conditions do not apply — three-valued logic)."""
+    act = default
+    for i in reversed(range(len(arms))):
+        _, cond, _ = arms[i]
+        c = (
+            F.lit(True)
+            if cond is None
+            else F.coalesce(cond, F.lit(False))
+        )
+        act = F.when(c, F.lit(codes[i])).otherwise(act)
+    return act
+
+
 def merge_rows(
     spark: SparkSession,
     warehouse: str,
@@ -3175,6 +3313,7 @@ def merge_rows(
     when_matched: list | None = None,
     when_not_matched: list | None = None,
     merge_schema: bool = False,
+    mode: str = "cow",
 ) -> int:
     """MERGE INTO — the Delta/Iceberg copy-on-write upsert commit, the
     last CRUD verb the versioned warehouse needed (append `_commit_append`,
@@ -3248,6 +3387,7 @@ def merge_rows(
         all(kind == "insert" for kind, _, _ in when_not_matched),
         "when_not_matched arms must be not_matched_insert",
     )
+    _require(mode in ("cow", "mor"), f"unknown merge mode {mode!r}")
     base = _current_version(warehouse, table)
     parts = (_manifest(warehouse, table, base) if base else None) or []
     tdir = os.path.join(warehouse, table)
@@ -3325,17 +3465,7 @@ def merge_rows(
             affected.add(rel.split(os.sep)[0])
     # arm conditions follow SQL MERGE three-valued logic: NULL = arm
     # does not apply (coalesce to false), and arms are tried IN ORDER
-    def _first_arm(arms, codes, default):
-        act = default
-        for i in reversed(range(len(arms))):
-            _, cond, _ = arms[i]
-            c = (
-                F.lit(True)
-                if cond is None
-                else F.coalesce(cond, F.lit(False))
-            )
-            act = F.when(c, F.lit(codes[i])).otherwise(act)
-        return act
+    _first_arm = _merge_first_arm
 
     KEEP, DISCARD = 0, -1  # keep target row unchanged / drop source row
     m_codes = list(range(1, len(when_matched) + 1))
@@ -3346,6 +3476,23 @@ def merge_rows(
         if kind == "delete"
     ]
     tracked = m_base is not None and m_base["row_base"] is not None
+    if affected and mode == "mor":
+        return _merge_rows_mor(
+            spark,
+            warehouse,
+            table,
+            source,
+            key,
+            tag,
+            when_matched,
+            when_not_matched,
+            base,
+            m_base,
+            sorted(affected),
+            new_fields,
+            evolved_schema_json,
+            tracked,
+        )
     if affected:
         # DV-aware: rewriting a part must not resurrect its vectorized
         # rows (and materializes them — the new part has no dv entry).
@@ -3463,10 +3610,19 @@ def merge_rows(
             # a CDC source may carry extra condition-only columns (e.g.
             # _change_type) — INSERT * means the TARGET's schema (plus
             # the evolving columns under merge_schema), read from the
-            # manifest or a footer, never the source's
-            tcols = _read_parts(
-                spark, warehouse, table, parts[:1], specs, m_base["schema"]
-            ).columns
+            # manifest or a footer, never the source's.  A footer from
+            # a COW-rewritten part carries the hidden _row_id column —
+            # never part of the logical schema, and the source has no
+            # such column (pure-insert ids are minted VIRTUALLY at
+            # commit via row_base), so it is filtered out here.
+            tcols = [
+                c
+                for c in _read_parts(
+                    spark, warehouse, table, parts[:1], specs,
+                    m_base["schema"],
+                ).columns
+                if c != "_row_id"
+            ]
             merged = merged.select(
                 *(tcols + [f.name for f in new_fields])
             )
@@ -3488,12 +3644,215 @@ def merge_rows(
         affected,
         schema=evolved_schema_json,
         # advance the id high-water mark past anything the insert arms
-        # minted (bounded by the source row count)
+        # minted (bounded by the source row count).  Only the MATCHED
+        # path materializes ids into part bytes; a pure insert carries
+        # no _row_id column — its ids are minted virtually at commit
+        # from the CURRENT watermark, so it neither needs the floor nor
+        # the stale-watermark conflict the floor triggers.
         row_hwm_min=(
-            m_base["row_hwm"] + int(sc_row["n"]) if tracked else 0
+            m_base["row_hwm"] + int(sc_row["n"])
+            if tracked and affected
+            else 0
         ),
     )
     return len(affected)
+
+
+def _merge_rows_mor(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    source: DataFrame,
+    key: str,
+    tag: str,
+    when_matched: list,
+    when_not_matched: list,
+    base: int,
+    m_base: dict,
+    affected: list[str],
+    new_fields: list,
+    evolved_schema_json: str | None,
+    tracked: bool,
+) -> int:
+    """Merge-on-read half of :func:`merge_rows` (Delta's DV-enabled
+    MERGE): matched rows an arm claims become deletion-vector entries in
+    ONE O(matched rows) sidecar — their parts keep every byte — and the
+    update images plus the inserts land together as ONE new part.  Write
+    cost is O(source + sidecar) instead of O(affected parts): the shape
+    a CDC feed trickling updates into large parts needs (a 10-row update
+    against a 1 GB part writes ~10 rows twice, not 1 GB).
+
+    Composed with row tracking: an update keeps the target row's stable
+    ``_row_id`` (the MOR update is a DV entry + a re-insert carrying the
+    old id, materialized physically in the new part); inserts mint past
+    the high-water mark.  Because updates mint nothing, two concurrent
+    update/delete-only MOR merges touching the SAME part with disjoint
+    keys both land through the row-level rebase; only insert-minting
+    writers serialize on the id watermark.
+
+    ONE scan of the affected parts (staged delta-sized), then sidecar +
+    part writes read the staging — the affected-part bytes are read
+    exactly once regardless of how many outputs the merge produces."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    specs = m_base["specs"]
+    tdir = os.path.join(warehouse, table)
+    new_part = f"m{tag}"  # collision-checked by merge_rows
+    dvname = f"vm{tag}"
+    _require(
+        dvname not in m_base["parts"]
+        and not os.path.exists(os.path.join(tdir, dvname)),
+        f"merge tag {tag!r} collides with {dvname}",
+    )
+    stage = os.path.join(tdir, f"_mstage.{tag}")
+    _require(
+        not os.path.exists(stage), f"merge tag {tag!r} staging collides"
+    )
+    KEEP, DISCARD = 0, -1
+    m_codes = list(range(1, len(when_matched) + 1))
+    i_codes = [100 + j for j in range(len(when_not_matched))]
+    delete_codes = [
+        c
+        for c, (kind, _, _) in zip(m_codes, when_matched)
+        if kind == "delete"
+    ]
+    if tracked:
+        tgt = _scan_with_row_ids(
+            spark, warehouse, table, affected, m_base, keep_pos=True
+        )
+    else:
+        tgt = _read_parts_live(
+            spark,
+            warehouse,
+            table,
+            affected,
+            specs,
+            m_base["dv"],
+            m_base["schema"],
+            keep_pos=True,
+        )
+    cols = [c for c in tgt.columns if c not in (_DV_FILE, _DV_IDX)]
+    _require(
+        "_action" not in cols and "_action" not in source.columns,
+        "'_action' is reserved by MERGE row classification",
+    )
+    new_types = {f.name: f.dataType for f in new_fields}
+    out_cols = cols + [f.name for f in new_fields]
+    # matched rows only: the source is delta-sized by contract, so the
+    # probe is a broadcast hash join — no shuffle of the affected parts
+    joined = tgt.alias("t").join(
+        F.broadcast(source).alias("s"),
+        F.col(f"t.{key}") == F.col(f"s.{key}"),
+        "inner",
+    )
+    action = _merge_first_arm(when_matched, m_codes, F.lit(KEEP))
+
+    def _upd(c: str) -> F.Column:
+        if c == "_row_id":
+            # a MOR update is the SAME row re-materialized: it keeps
+            # the target's stable id
+            return F.col("t._row_id").alias(c)
+        tdef = (
+            F.lit(None).cast(new_types[c])
+            if c in new_types
+            else F.col(f"t.{c}")
+        )
+        w = None
+        for code, (kind, _, assign) in zip(m_codes, when_matched):
+            if kind != "update":
+                continue
+            v = F.col(f"s.{c}") if assign is None else assign.get(c, tdef)
+            w = (w.when if w is not None else F.when)(
+                F.col("_action") == code, v
+            )
+        return (w.otherwise(tdef) if w is not None else tdef).alias(c)
+
+    # ONE job over the affected parts stages the delta-sized matched
+    # set: position key + classified arm + post-update images
+    joined.withColumn("_action", action).select(
+        F.col(_DV_FILE),
+        F.col(_DV_IDX),
+        F.col("_action"),
+        *[_upd(c) for c in out_cols],
+    ).write.parquet(stage)
+    try:
+        st = spark.read.parquet(stage)
+        claimed = st.filter(F.col("_action") != KEEP)
+        # vectorize every claimed row (update AND delete): its old image
+        # must disappear from the old part's reads
+        claimed.select(
+            F.col(_DV_FILE).alias("f"),
+            F.col(_DV_IDX).cast("long").alias("i"),
+        ).coalesce(1).write.parquet(os.path.join(tdir, dvname))
+        dv_parts = sorted(
+            r["p"]
+            for r in spark.read.parquet(os.path.join(tdir, dvname))
+            .select(F.split("f", "/").getItem(0).alias("p"))
+            .distinct()
+            .collect()
+        )
+        updates = claimed.filter(
+            ~F.col("_action").isin(delete_codes)
+        ).select(*out_cols)
+        # a source key present in the staging matched SOMETHING (even an
+        # arm-less KEEP row) — everything else is the insert half
+        ins = source.alias("s").join(
+            st.select(key).distinct(), key, "left_anti"
+        )
+        ins = ins.withColumn(
+            "_action", _merge_first_arm(when_not_matched, i_codes, F.lit(DISCARD))
+        ).filter(F.col("_action") != DISCARD)
+        if tracked:
+            # fresh ids past the watermark; delta-sized single-partition
+            # window, deterministic by source key
+            ins = ins.withColumn(
+                "_row_id",
+                F.lit(m_base["row_hwm"])
+                + F.row_number().over(Window.orderBy(F.col(key)))
+                - F.lit(1),
+            )
+        ins = ins.select(*out_cols)
+        n_ins = ins.count()
+        updates.unionByName(ins).coalesce(
+            APPEND_WRITE_FILES
+        ).write.parquet(os.path.join(tdir, new_part))
+        npath = os.path.join(tdir, new_part)
+        n_new = sum(
+            _pq.ParquetFile(os.path.join(npath, f)).metadata.num_rows
+            for f in os.listdir(npath)
+            if f.endswith(".parquet")
+        )
+        added = [new_part]
+        if n_new == 0:
+            # delete-only merge with nothing to insert: sidecar-only
+            shutil.rmtree(npath, ignore_errors=True)
+            added = []
+        if not dv_parts and not added:
+            shutil.rmtree(os.path.join(tdir, dvname), ignore_errors=True)
+            return 0
+        if added:
+            _enforce_constraints(spark, warehouse, table, new_part)
+        if not dv_parts:
+            shutil.rmtree(os.path.join(tdir, dvname), ignore_errors=True)
+        swing_rebase(
+            warehouse,
+            table,
+            base,
+            added,
+            dv_add={p: [dvname] for p in dv_parts},
+            schema=evolved_schema_json,
+            # updates keep existing ids — only INSERTS mint, so an
+            # insert-free MOR merge stays concurrency-compatible with
+            # other writers under the stale-watermark conflict rule
+            row_hwm_min=(
+                m_base["row_hwm"] + n_ins if tracked and n_ins else 0
+            ),
+        )
+        return len(dv_parts)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 MERGE_UPDATE_USER = 11  # existing rows rewritten (value doubled)
@@ -3551,6 +3910,83 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MERGE must add exactly the not-matched rows",
         )
         return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE gate — the same dual-arm upsert as the COW
+    gate (user {MERGE_UPDATE_USER}'s values doubled, user
+    {MERGE_INSERT_USER}'s rows re-keyed negative as inserts), committed
+    with ``mode="mor"``: every pre-existing part file keeps its inode
+    (zero rewrites — the trickle-CDC write shape), the matched rows'
+    old images disappear through ONE row-sized deletion-vector sidecar,
+    and updates + inserts land as ONE new part.  A follow-up compaction
+    materializes the vectors away with the table hash-identical.
+    Oracle: byte-for-byte the COW merge SQL — the physical strategies
+    must be logically indistinguishable."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_mmor_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        tdir = os.path.join(cw, "fact")
+
+        def _inodes() -> dict[str, int]:
+            out = {}
+            for p in parts:
+                for f in os.listdir(os.path.join(tdir, p)):
+                    if f.endswith(".parquet"):
+                        out[f"{p}/{f}"] = os.stat(
+                            os.path.join(tdir, p, f)
+                        ).st_ino
+            return out
+
+        fact = read_table(spark, cw, "fact")
+        n_before = fact.count()
+        updates = fact.filter(
+            F.col("user_id") == MERGE_UPDATE_USER
+        ).withColumn("value", F.col("value") * 2)
+        inserts = fact.filter(
+            F.col("user_id") == MERGE_INSERT_USER
+        ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+        n_inserts = inserts.count()
+        before = _inodes()
+        n_affected = merge_rows(
+            spark,
+            cw,
+            "fact",
+            updates.unionByName(inserts),
+            "event_id",
+            "1",
+            mode="mor",
+        )
+        _require(n_affected >= 1, "update arm vectorized no part")
+        _require(
+            _inodes() == before,
+            "MOR merge must not rewrite any part file",
+        )
+        m = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
+        _require(
+            sorted(m["parts"]) == sorted(parts + ["m1"])
+            and all(m["dv"].get(p) == ["vm1"] for p in m["dv"])
+            and len(m["dv"]) == n_affected,
+            "MOR merge must commit one sidecar + one part, no churn",
+        )
+        out = read_table(spark, cw, "fact")
+        _require(
+            out.count() == n_before + n_inserts,
+            "MERGE must add exactly the not-matched rows",
+        )
+        # compaction materializes the vectors; the table is unchanged
+        compact_table(spark, cw, "fact", "z")
+        m2 = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
+        _require(m2["dv"] == {}, "compaction must purge the vectors")
+        return stable_checkpoint(read_table(spark, cw, "fact"))
     finally:
         shutil.rmtree(cw, ignore_errors=True)
 
@@ -4651,6 +5087,7 @@ QUERIES = {
     "etl_row_delete": q_row_delete,
     "etl_delete_vectors": q_delete_vectors,
     "etl_merge_cow": q_merge_cow,
+    "etl_merge_mor": q_merge_mor,
     "etl_merge_full": q_merge_full,
     "etl_merge_evolve": q_merge_evolve,
     "etl_vacuum": q_vacuum,
@@ -4747,6 +5184,21 @@ WHERE e.user_id <> {DELETE_USER}
     # doubled value; the not-matched arm re-plays the insert-template
     # user's rows under negated keys
     "etl_merge_cow": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT event_id, date_key, event_type_key, user_id, played_hour,
+       is_weekend, time_period,
+       CASE WHEN user_id = {MERGE_UPDATE_USER} THEN value * 2
+            ELSE value END AS value,
+       user_first_seen
+FROM base
+UNION ALL
+SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
+       played_hour, is_weekend, time_period, value, user_first_seen
+FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # merge-on-read MERGE: the SAME SQL as the COW merge — deletion
+    # vectors + append are a physical strategy, logically invisible
+    "etl_merge_mor": f"""
 WITH base AS ({_fact.ORACLE['etl_fact_star']})
 SELECT event_id, date_key, event_type_key, user_id, played_hour,
        is_weekend, time_period,
