@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "etl_merge_evolve",
     "etl_type_widening",
     "etl_bloom_skipping",
+    "etl_bloom_maintenance",
     "etl_in_list_skipping",
     "etl_cdf_mor_delete",
     "etl_row_tracking",
@@ -192,6 +193,7 @@ BENCH_QUERIES = [
     "graph_pagerank_iter",
     "mm_media_release",
     "etl_change_feed_rows",
+    "etl_cdf_row_lineage",
     "etl_cdf_apply",
     "etl_agg_incremental",
     "etl_cdc_merge_apply",

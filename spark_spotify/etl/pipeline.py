@@ -435,6 +435,7 @@ def swing_rebase(
     dv_add: dict[str, list[str]] | None = None,
     schema: str | None = None,
     row_hwm_min: int = 0,
+    blooms_add: dict[str, list[str]] | None = None,
 ) -> int:
     """Optimistic-concurrency commit with AUTOMATIC REBASE — the Delta
     conflict-resolution protocol on top of :func:`_swing`'s CAS.  The
@@ -557,6 +558,16 @@ def swing_rebase(
             new_dv = {p: list(ns) for p, ns in cur_dv.items()}
             for p, ns in dv_add.items():
                 new_dv[p] = new_dv.get(p, []) + ns
+        new_blooms = None
+        if blooms_add:
+            # coverage additions are monotone like dv: a sidecar names
+            # the parts it covers internally, so unioning mappings is
+            # correct under any interleaving (extra names that cover
+            # removed parts are harmless dead metadata)
+            cur_blooms = cur_m["blooms"] if cur_m else {}
+            new_blooms = {c: list(ns) for c, ns in cur_blooms.items()}
+            for c, ns in blooms_add.items():
+                new_blooms[c] = new_blooms.get(c, []) + ns
         try:
             return _swing(
                 warehouse,
@@ -566,6 +577,7 @@ def swing_rebase(
                 dv=new_dv,
                 schema=_CARRY if schema is None else schema,
                 row_hwm_min=row_hwm_min,
+                blooms=new_blooms,
             )
         except CommitConflictError:
             continue  # lost the CAS itself: re-read and replay
@@ -1389,6 +1401,71 @@ def _write_bloom_sidecar(
     )
 
 
+def _maintain_blooms(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    m: dict,
+    candidates: list[str],
+    tag: str,
+) -> dict[str, list[str]] | None:
+    """Same-commit bloom index maintenance: for every indexed column,
+    build ONE sidecar covering the ``candidates`` parts not already
+    covered, returning the manifest ``blooms`` additions to commit
+    atomically with the parts themselves.  Rewrite paths (COW delete /
+    MERGE / compaction / OPTIMIZE) pass the parts they produced, so a
+    churning table never silently degrades to full-scan point lookups;
+    OPTIMIZE additionally passes the surviving parts, topping up
+    coverage over since-appended parts (the Delta posture: appends land
+    uncovered and cheap, maintenance rides the layout verb).  Cost is
+    O(candidate data) per indexed column — the parts were just written,
+    so the rebuild reads what the commit already paid to produce.
+    Columns the candidates lack (pre-evolution rewrites) or whose type
+    family is un-indexable are skipped — uncovered is always correct,
+    only slower."""
+    if not m["blooms"] or not candidates:
+        return None
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(warehouse, table)
+    add: dict[str, list[str]] = {}
+    for col in sorted(m["blooms"]):
+        todo = [
+            p
+            for p in candidates
+            if p not in _bloom_covered(warehouse, table, m, col)
+        ]
+        # a part whose files lack the column cannot be covered (its
+        # rows all read NULL — never equal to a probe literal, so
+        # leaving it uncovered merely keeps it conservatively)
+        todo = [
+            p
+            for p in todo
+            if all(
+                col in set(pq.ParquetFile(f).schema_arrow.names)
+                for f in _glob.glob(
+                    os.path.join(tdir, p, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+        ]
+        if not todo:
+            continue
+        name = f"bl.{tag}.{col}"
+        _require(
+            not os.path.exists(os.path.join(tdir, name)),
+            f"bloom maintenance sidecar {name} collides",
+        )
+        try:
+            _write_bloom_sidecar(spark, warehouse, table, m, col, todo, name)
+        except RuntimeError:
+            continue  # un-indexable family: stay uncovered (correct)
+        add[col] = [name]
+    return add or None
+
+
 def read_table_where(
     spark: SparkSession,
     warehouse: str,
@@ -1802,7 +1879,16 @@ def compact_table(
     df.coalesce(COW_WRITE_FILES).write.mode("overwrite").parquet(
         os.path.join(warehouse, table, new_part)
     )
-    _swing(warehouse, table, [new_part])
+    # a whole-table rewrite orphans every existing bloom sidecar —
+    # rebuild coverage for the replacement in the SAME commit (the old
+    # names drop from the mapping; their bytes stay for time travel)
+    badd = _maintain_blooms(spark, warehouse, table, m, [new_part], new_part)
+    _swing(
+        warehouse,
+        table,
+        [new_part],
+        blooms=(badd or {}) if m["blooms"] else None,
+    )
 
 
 def optimize_table(
@@ -1870,7 +1956,21 @@ def optimize_table(
     df.coalesce(n_files).write.mode("overwrite").parquet(
         os.path.join(tdir, new_part)
     )
-    swing_rebase(warehouse, table, base, [new_part], set(small))
+    # OPTIMIZE is the index-maintenance verb: cover the folded output
+    # AND top up any surviving part appended since the last build, in
+    # the same commit — point-lookup pruning stays exact as the table
+    # churns instead of silently degrading
+    badd = _maintain_blooms(
+        spark,
+        warehouse,
+        table,
+        m,
+        [new_part] + [p for p in parts if p not in small],
+        new_part,
+    )
+    swing_rebase(
+        warehouse, table, base, [new_part], set(small), blooms_add=badd
+    )
     return len(small)
 
 
@@ -2922,6 +3022,133 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_checkpoint(out)
 
 
+def q_bloom_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom auto-maintenance gate — an indexed table that CHURNS: a
+    COW delete rewrites the key part, two appends land uncovered, an
+    OPTIMIZE folds them, a compaction rewrites everything.  Coverage
+    must follow the data with zero manual rebuilds: the delete's and
+    the layout verbs' outputs are covered inside their own commits
+    (proven by point lookups on an ERASED key — only a covered part can
+    be pruned away), appends stay conservatively un-pruned until
+    OPTIMIZE tops them up, and the final manifest's coverage is
+    structural, not probabilistic.  Oracle: the churned table's state
+    restated in SQL, probed by two point lookups."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    w, mx = _bloom_gate_table(spark, sf_dir)
+    tag100 = hashlib.md5(str(BLOOM_POINT_ID).encode()).hexdigest()
+    _ensure_tag_bloom(spark, w, tag100)
+    m0 = _read_manifest_file(w, "t", _current_version(w, "t"))
+    cw = tempfile.mkdtemp(prefix="spark_spotify_bloomm_")
+    try:
+        # hard-link parts AND the existing sidecar into an isolated
+        # table (zero data copy; the shared cache stays immutable)
+        names = {n for ns in m0["blooms"].values() for n in ns}
+        for p in list(m0["parts"]) + sorted(names):
+            src, dst = os.path.join(w, "t", p), os.path.join(cw, "t", p)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _swing(cw, "t", m0["parts"], blooms=m0["blooms"])
+        tag3 = hashlib.md5(b"3").hexdigest()
+
+        # 1. COW delete erases ids {3, 9} (both in p1, like id 100):
+        # the rewrite dd1 must be covered IN ITS OWN COMMIT — an
+        # erased-key lookup can prune it away, which only coverage allows
+        delete_rows(
+            spark, cw, "t", F.col("event_id").isin(3, 9), "d1"
+        )
+        kept, _ = prune_parts(cw, "t", [("tag", "=", tag3)])
+        _require(
+            "dd1" not in kept and len(kept) <= 1,
+            f"delete rewrite not auto-covered: erased-key probe kept {kept}",
+        )
+        kept, _ = prune_parts(cw, "t", [("tag", "=", tag100)])
+        _require(
+            "dd1" in kept and len(kept) <= 2,
+            f"surviving key must stay findable in the rewrite: {kept}",
+        )
+
+        # 2. two appends land UNCOVERED: conservative (kept on any
+        # probe) until maintenance, never false-pruned
+        live = read_table(spark, cw, "t")
+        for i, part in enumerate(("p7", "p8")):
+            lo, hi = 10 + 10 * i, 20 + 10 * i
+            app = (
+                live.filter(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                )
+                .select(
+                    (F.col("event_id") + mx + 1).alias("event_id"),
+                    "value",
+                )
+                .withColumn("tag", F.md5(F.col("event_id").cast("string")))
+            )
+            b2 = _current_version(cw, "t")
+            app.coalesce(1).write.parquet(os.path.join(cw, "t", part))
+            swing_rebase(cw, "t", b2, [part])
+        m_now = _read_manifest_file(cw, "t", _current_version(cw, "t"))
+        _require(
+            not ({"p7", "p8"} & _bloom_covered(cw, "t", m_now, "tag")),
+            "appends must land uncovered (maintenance is a rewrite/"
+            "OPTIMIZE concern, not an append tax)",
+        )
+        # the erased-key probe may keep the appends (uncovered — the
+        # bloom can never prune them; min/max stats still may, which is
+        # the other index doing its job) but every covered part must go
+        kept, _ = prune_parts(cw, "t", [("tag", "=", tag3)])
+        _require(
+            len(set(kept) - {"p7", "p8"}) <= 1,
+            f"covered parts survived an erased-key probe: {kept}",
+        )
+
+        # 3. OPTIMIZE folds the small appends and tops coverage up in
+        # the same commit
+        sizes = {}
+        for p in _manifest(cw, "t") or []:
+            sizes[p] = sum(
+                os.path.getsize(os.path.join(cw, "t", p, f))
+                for f in os.listdir(os.path.join(cw, "t", p))
+                if f.endswith(".parquet")
+            )
+        target = min(v for p, v in sizes.items() if p not in ("p7", "p8"))
+        _require(
+            max(sizes["p7"], sizes["p8"]) < target,
+            "append parts must be the small ones",
+        )
+        n_folded = optimize_table(spark, cw, "t", target, tag="g1")
+        _require(n_folded == 2, f"optimize folded {n_folded}, want 2")
+        taga = hashlib.md5(str(mx + 11).encode()).hexdigest()
+        kept, _ = prune_parts(cw, "t", [("tag", "=", tag3)])
+        _require(
+            not {"og1", "p7", "p8", "dd1"} & set(kept) and len(kept) <= 1,
+            f"optimize output not auto-covered: {kept}",
+        )
+        kept, _ = prune_parts(cw, "t", [("tag", "=", taga)])
+        _require(
+            "og1" in kept and len(kept) <= 2,
+            f"appended key must be findable in the fold: {kept}",
+        )
+
+        # 4. whole-table compaction: the replacement part is the ONLY
+        # coverage the new manifest needs (structural check — a single
+        # part makes pruning probes trivially weak)
+        compact_table(spark, cw, "t", "z")
+        m = _read_manifest_file(cw, "t", _current_version(cw, "t"))
+        _require(
+            _bloom_covered(cw, "t", m, "tag") >= set(m["parts"]),
+            "compaction must rebuild coverage for its output",
+        )
+        out = read_table_where(
+            spark, cw, "t", [("tag", "in", [tag100, taga])]
+        )
+        return stable_checkpoint(out)
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
 def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening gate (Delta ``ALTER COLUMN ... TYPE``): batch 1
     commits ``event_id`` as a 32-bit INT; the column is widened to
@@ -3099,8 +3326,14 @@ def delete_rows(
     )
     # delta commit (add rewrite, drop inputs): disjoint concurrent
     # commits rebase under WriteSerializable; a concurrent rewrite of
-    # the SAME parts raises
-    swing_rebase(warehouse, table, base, [new_part], affected)
+    # the SAME parts raises.  Bloom coverage for the rewrite rides the
+    # same commit — a churned table keeps pruning point lookups.
+    badd = _maintain_blooms(
+        spark, warehouse, table, m_base, [new_part], new_part
+    )
+    swing_rebase(
+        warehouse, table, base, [new_part], affected, blooms_add=badd
+    )
     return len(affected)
 
 
@@ -3635,7 +3868,8 @@ def merge_rows(
     # delta commit: disjoint concurrent commits rebase, overlapping
     # rewrites of the same parts raise (WriteSerializable); a
     # schema-evolving MERGE records the evolved table schema atomically
-    # with its part swap
+    # with its part swap, and bloom coverage for the merge output rides
+    # the same commit
     swing_rebase(
         warehouse,
         table,
@@ -3643,6 +3877,13 @@ def merge_rows(
         [new_part],
         affected,
         schema=evolved_schema_json,
+        blooms_add=(
+            _maintain_blooms(
+                spark, warehouse, table, m_base, [new_part], new_part
+            )
+            if m_base
+            else None
+        ),
         # advance the id high-water mark past anything the insert arms
         # minted (bounded by the source row count).  Only the MATCHED
         # path materializes ids into part bytes; a pure insert carries
@@ -3843,6 +4084,9 @@ def _merge_rows_mor(
             added,
             dv_add={p: [dvname] for p in dv_parts},
             schema=evolved_schema_json,
+            blooms_add=_maintain_blooms(
+                spark, warehouse, table, m_base, added, new_part
+            ),
             # updates keep existing ids — only INSERTS mint, so an
             # insert-free MOR merge stays concurrency-compatible with
             # other writers under the stale-watermark conflict rule
@@ -4897,6 +5141,90 @@ def apply_change_feed(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     return kept.unionByName(additions)
 
 
+def row_lineage_feed(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Row-lineage change feed (Delta CDF + row tracking): the
+    version-to-version diff keyed by the STABLE row id instead of a
+    business key.  This is the contract incremental consumers actually
+    want — UPDATE is distinguished from DELETE+INSERT across COW
+    rewrites, OPTIMIZE and deletion-vector commits WITHOUT requiring a
+    unique user key, because the id survives every physical rewrite
+    (``_scan_with_row_ids``).  A pure layout change (compaction)
+    produces an EMPTY feed; a key-less table still gets exact
+    per-row lineage.  Requires row tracking at both versions."""
+    s1 = read_table_with_row_ids(spark, warehouse, table, v_from)
+    s2 = read_table_with_row_ids(spark, warehouse, table, v_to)
+    return change_feed(s1, s2, "row_id")
+
+
+def q_cdf_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lineage CDF gate: a tracked two-part table goes through a
+    COW delete (user {DELETE_USER}), a COW MERGE (user
+    {MERGE_UPDATE_USER} updated, user {MERGE_INSERT_USER} re-keyed
+    inserts) and a whole-table compaction; the row-id-keyed feed
+    between the pre-delete snapshot and the head must classify exactly
+    deletes/updates/inserts — NO churn rows from the rewrites (a
+    drifted id would surface as a spurious delete+insert pair, asserted
+    in-line) — and replaying it onto the old snapshot reconstructs the
+    head.  Oracle: the from-scratch recompute of the head state."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_rowcdf_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        enable_row_tracking(w, "t")
+        v0 = _current_version(w, "t")
+        n_del = ev.filter(F.col("user_id") == DELETE_USER).count()
+        n_upd = ev.filter(F.col("user_id") == MERGE_UPDATE_USER).count()
+        n_ins = ev.filter(F.col("user_id") == MERGE_INSERT_USER).count()
+        delete_rows(spark, w, "t", F.col("user_id") == DELETE_USER, "d1")
+        live = read_table(spark, w, "t")
+        src = (
+            live.filter(F.col("user_id") == MERGE_UPDATE_USER)
+            .withColumn("value", F.col("value") * 2)
+            .unionByName(
+                live.filter(
+                    F.col("user_id") == MERGE_INSERT_USER
+                ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+            )
+        )
+        merge_rows(spark, w, "t", src, "event_id", "1")
+        compact_table(spark, w, "t", "z")
+        feed = row_lineage_feed(spark, w, "t", v0)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # the physics claim: rewrites (COW delete part, MERGE part,
+        # whole-table compaction) contribute ZERO feed rows — only the
+        # logical changes appear, each under its stable id
+        _require(
+            counts.get("delete", 0) == n_del
+            and counts.get("update_preimage", 0) == n_upd
+            and counts.get("update_postimage", 0) == n_upd
+            and counts.get("insert", 0) == n_ins,
+            f"row-lineage feed shows rewrite churn: {counts} vs "
+            f"del={n_del} upd={n_upd} ins={n_ins}",
+        )
+        s0 = read_table_with_row_ids(spark, w, "t", v0)
+        recon = apply_change_feed(s0, feed, "row_id").drop("row_id")
+        return stable_checkpoint(recon)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 def q_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF round-trip gate: compute the change feed between the stats
     table's v1 and live snapshots, replay it onto the v1 REPLICA, and
@@ -5080,6 +5408,7 @@ QUERIES = {
     "etl_schema_drop": q_schema_drop,
     "etl_type_widening": q_type_widening,
     "etl_bloom_skipping": q_bloom_skipping,
+    "etl_bloom_maintenance": q_bloom_maintenance,
     "etl_in_list_skipping": q_in_list_skipping,
     "etl_cdf_mor_delete": q_cdf_mor_delete,
     "etl_row_tracking": q_row_tracking,
@@ -5102,6 +5431,7 @@ QUERIES = {
     "etl_data_skipping": q_data_skipping,
     "etl_history": q_history,
     "etl_change_feed_rows": q_change_feed_rows,
+    "etl_cdf_row_lineage": q_cdf_row_lineage,
     "etl_cdf_apply": q_cdf_apply,
     "etl_agg_incremental": q_agg_incremental,
     "etl_cdc_merge_apply": q_cdc_merge_apply,
@@ -5252,11 +5582,40 @@ SELECT -(event_id + 1) - 2000000000 AS event_id, date_key,
        value, user_first_seen, 'cdc' AS src_system
 FROM base WHERE user_id = {MERGE_INSERT_USER}
 """,
+    # row-lineage CDF: replaying the row-id-keyed feed onto the old
+    # snapshot reconstructs the head — the from-scratch recompute
+    "etl_cdf_row_lineage": f"""
+SELECT event_id, user_id,
+       CASE WHEN user_id = {MERGE_UPDATE_USER} THEN value * 2
+            ELSE value END AS value
+FROM events WHERE user_id <> {DELETE_USER}
+UNION ALL
+SELECT -(event_id + 1) AS event_id, user_id, value
+FROM events WHERE user_id = {MERGE_INSERT_USER}
+""",
     # stable ids through delete + whole-table compaction: every
     # surviving row pairs with its pre-rewrite id
     "etl_row_tracking": f"""
 SELECT event_id, user_id, value, TRUE AS id_stable
 FROM events WHERE user_id <> {DELETE_USER}
+""",
+    # the churned-and-maintained table: two point lookups, one on the
+    # original key space, one on the appended key space
+    "etl_bloom_maintenance": f"""
+WITH t AS (
+  SELECT event_id, value, md5(CAST(event_id AS VARCHAR)) AS tag
+  FROM events WHERE event_id NOT IN (3, 9)
+  UNION ALL
+  SELECT event_id + (SELECT MAX(event_id) FROM events) + 1 AS event_id,
+         value,
+         md5(CAST(event_id + (SELECT MAX(event_id) FROM events) + 1
+             AS VARCHAR)) AS tag
+  FROM events WHERE event_id >= 10 AND event_id < 30
+)
+SELECT event_id, value, tag FROM t
+WHERE tag IN (md5(CAST({BLOOM_POINT_ID} AS VARCHAR)),
+              md5(CAST((SELECT MAX(event_id) FROM events) + 11
+                  AS VARCHAR)))
 """,
     # IN-list read: same rows whichever index pruned the scan
     "etl_in_list_skipping": f"""

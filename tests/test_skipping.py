@@ -804,3 +804,98 @@ def test_in_list_pruning_stats_and_conservatism(spark, warehouse):
     assert sorted(r["id"] for r in got.collect()) == [5, 25]
     got = read_table_where(spark, warehouse, "t", [("id", "in", [])])
     assert got.count() == 0
+
+
+def test_bloom_maintenance_covers_rewrites_same_commit(spark, warehouse):
+    """COW delete / MERGE rewrites and compaction rebuild bloom coverage
+    for the parts they produce inside their own commit — an erased-key
+    probe can prune the rewrite, which only coverage allows."""
+    import hashlib
+
+    from spark_spotify.etl.pipeline import (
+        _bloom_covered,
+        add_bloom_index,
+        compact_table,
+        delete_rows,
+        merge_rows,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+
+    _commit_append(batch(0, 50), warehouse, "t", 1)
+    _commit_append(batch(50, 100), warehouse, "t", 2)
+    add_bloom_index(spark, warehouse, "t", "tag", "1")
+    # COW delete rewrites p1 -> dd1, covered in the same commit
+    delete_rows(spark, warehouse, "t", F.col("id").isin(7, 9), "d1")
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert "dd1" in _bloom_covered(warehouse, "t", m, "tag")
+    v7 = hashlib.md5(b"7").hexdigest()
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v7)])
+    assert kept == []  # erased key pruned EVERYWHERE, incl. the rewrite
+    v8 = hashlib.md5(b"8").hexdigest()
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v8)])
+    assert kept == ["dd1"]
+    # COW MERGE rewrite likewise
+    src = batch(8, 9).withColumn("id", F.col("id") * 1)
+    merge_rows(spark, warehouse, "t", src, "id", "m1")
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert "mm1" in _bloom_covered(warehouse, "t", m, "tag")
+    # compaction: the replacement is the only live part and is covered
+    compact_table(spark, warehouse, "t", "z")
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert m["parts"] == ["cz"]
+    assert _bloom_covered(warehouse, "t", m, "tag") >= {"cz"}
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v7)])
+    assert kept == []
+
+
+def test_bloom_maintenance_optimize_tops_up_appends(spark, warehouse):
+    """Appends land uncovered (kept conservatively); OPTIMIZE covers its
+    fold AND the surviving uncovered parts in the same commit."""
+    import hashlib
+    import os
+
+    from spark_spotify.etl.pipeline import (
+        _bloom_covered,
+        add_bloom_index,
+        optimize_table,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+
+    _commit_append(batch(0, 2000), warehouse, "t", 1)
+    add_bloom_index(spark, warehouse, "t", "tag", "1")
+    # two tiny appends + one mid-size append, all uncovered
+    _commit_append(batch(2000, 2010), warehouse, "t", 2)
+    _commit_append(batch(2010, 2020), warehouse, "t", 3)
+    _commit_append(batch(2020, 2500), warehouse, "t", 4)
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert not ({"p2", "p3", "p4"} & _bloom_covered(warehouse, "t", m, "tag"))
+
+    def psize(p):
+        d = os.path.join(warehouse, "t", p)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # fold exactly the two tiny parts; p4 survives as an uncovered part
+    target = min(psize("p1"), psize("p4"))
+    assert max(psize("p2"), psize("p3")) < target
+    assert optimize_table(spark, warehouse, "t", target, tag="g1") == 2
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    covered = _bloom_covered(warehouse, "t", m, "tag")
+    # the fold output AND the surviving append are now covered
+    assert {"og1", "p4"} <= covered
+    v = hashlib.md5(b"2300").hexdigest()  # lives in p4
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", v)])
+    assert kept == ["p4"]
+    kept, _ = prune_parts(warehouse, "t", [("tag", "=", "f" * 32)])
+    assert kept == []
