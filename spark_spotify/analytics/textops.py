@@ -256,53 +256,104 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUB_W = 30  # substring-dedup window width (the Lee-et-al. threshold)
+SUB_RUN = 30  # substring-dedup duplicated-run threshold (Lee et al.)
+SUB_B = 8  # winnowing band: every band of SUB_B windows selects >= 1
+SUB_W = SUB_RUN - SUB_B + 1  # window width (23): W + B - 1 == SUB_RUN
 
 
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring dedup at ARBITRARY boundaries (Lee et al.,
-    "Deduplicating Training Data Makes Language Models Better") — the
+    """Substring dedup at ARBITRARY boundaries (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") with
+    WINNOWED fingerprints (Schleimer et al., the MOSS selection) — the
     generalization :func:`q_dedup_paragraph`'s fixed 20-token grid
-    cannot express: every overlapping {SUB_W}-token window (stride 1)
-    is fingerprinted; a window whose exact token run appeared earlier
-    in the corpus (global keep-first on (doc_id, win_start)) marks its
-    span; a document's excised region is the UNION of its duplicate
-    windows' spans (span-merge).  Any duplicated run of length >=
-    {SUB_W} is therefore excised exactly — at whatever offset it sits —
-    while its non-duplicated boundary context survives, because windows
-    straddling the run boundary contain unique context and never
-    match.  The suffix-array semantics, approximated with
-    overlapping-window fingerprints instead of a distributed suffix
-    array.
+    cannot express: each sliding band of {SUB_B} window starts selects
+    the start whose TOKEN hash is minimal (leftmost tie-break, replayed
+    bit-identically by the SQL oracle), and only the selected
+    {SUB_W}-token windows are fingerprinted and emitted; a selected
+    window whose exact token run appeared earlier in the corpus
+    (global keep-first on (doc_id, win_start)) marks its span;
+    a document's excised region is the UNION of its duplicate windows'
+    spans (span-merge).
 
-    Scale shape: the window relation carries (doc_id, win_start,
-    64-bit fingerprint) ONLY — ~24 bytes per corpus token through the
-    keep-first shuffle, never text; the span union folds to a per-doc
-    index list (slim shuffle); the text moves ONCE, in the final
-    doc_id join, where a per-row lambda excises covered positions.
-    Fully-duplicated documents survive as empty ``clean_text`` rows
-    (the audit record a curation run wants)."""
+    Guarantee: any duplicated run of >= SUB_W + SUB_B - 1 = {SUB_RUN}
+    tokens contains a full band of windows lying inside the run, whose
+    selection depends only on the (identical) run content — so both
+    copies select the same relative window, the later one matches, and
+    the run is excised.  Interior selections recur at most {SUB_B}
+    apart, so the excision covers the run contiguously; up to
+    {SUB_B - 1} boundary tokens per side may survive (the winnowing
+    trade: exact-boundary stride-1 emission costs ~{SUB_B}x the
+    shuffle).  Windows straddling the run boundary carry unique
+    context and never match, so surrounding text survives.
+
+    Scale shape: the selection value is the md5 prefix of the single
+    token at each window START (a band lies inside a duplicated run,
+    so per-token values winnow as consistently as per-window ones, at
+    ~1/{SUB_W} the hash input); the full window is hashed only for the
+    ~2/(SUB_B+1) SELECTED starts, and each emitted row carries
+    (doc_id, win_start, 64-bit hex fingerprint) ONLY — ~6 bytes per
+    corpus token through the keep-first shuffle (stride-1 was ~24),
+    never text; the span union folds to a per-doc index list; the text
+    moves ONCE, in the final doc_id join, where a per-row lambda
+    excises covered positions.  Fully-duplicated documents survive as
+    empty ``clean_text`` rows (the audit record a curation run
+    wants)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), " ")
     n = F.size(toks)
     empty = F.array().cast("array<int>")
-    starts = F.when(
-        n >= SUB_W, F.sequence(F.lit(1), n - SUB_W + 1)
-    ).otherwise(empty)
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("ws"),
-                    F.xxhash64(
-                        F.array_join(F.slice(toks, i, SUB_W), " ")
-                    ).alias("h"),
-                ),
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.ws", "w.h")
+    # md5 (not xxhash64) so the ORACLE can replay the argmin selection:
+    # both engines produce the same lowercase-hex and compare it
+    # identically (fixed-width ASCII lexicographic).  Only the first m
+    # = n - W + 1 positions are valid window starts.
+    th_expr = F.when(
+        n >= SUB_W,
+        F.transform(
+            F.slice(F.split(F.trim(F.col("text")), " "), 1, n - SUB_W + 1),
+            lambda t: F.substring(F.md5(t), 1, 15),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = d.select("doc_id", toks.alias("tk"), th_expr.alias("th"))
+    th = F.col("th")
+    m = F.size(th)
+    band = lambda j: F.slice(th, j, SUB_B)  # noqa: E731
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - SUB_B + 1, F.lit(1))),
+            lambda j: j
+            - 1
+            + F.array_position(band(j), F.array_min(band(j))),
+        )
+    )
+    wins = (
+        staged.filter(m > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    sels,
+                    lambda s: F.struct(
+                        s.cast("int").alias("ws"),
+                        # the collision-grade fingerprint is computed
+                        # for SELECTED windows only; the oracle groups
+                        # by window TEXT, so it needs only Spark-side
+                        # self-consistency
+                        F.substring(
+                            F.md5(
+                                F.array_join(
+                                    F.slice(F.col("tk"), s.cast("int"), SUB_W),
+                                    " ",
+                                )
+                            ),
+                            1,
+                            16,
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.ws", "w.h")
+    )
     wk = Window.partitionBy("h").orderBy("doc_id", "ws")
     spans = (
         wins.withColumn("rn", F.row_number().over(wk))
@@ -1343,10 +1394,26 @@ FROM r JOIN tot USING (doc_id)
 WITH t AS (
   SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
 ),
-w AS (
+h AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(toks) - {SUB_W} + 1)) AS ws
+         list_transform(
+           toks[1:len(toks) - {SUB_W} + 1],
+           tk -> substr(md5(tk), 1, 15)) AS th
   FROM t WHERE len(toks) >= {SUB_W}
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(th) - {SUB_B} + 1, 1)),
+           j -> j - 1 + list_position(
+                  th[CAST(j AS INT):CAST(j AS INT) + {SUB_B - 1}],
+                  list_aggregate(
+                    th[CAST(j AS INT):CAST(j AS INT) + {SUB_B - 1}],
+                    'min')))) AS sels
+  FROM h
+),
+w AS (
+  SELECT doc_id, unnest(sels) AS ws FROM sel
 ),
 ww AS (
   SELECT w.doc_id, ws,
