@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "curate_keep_canonical",
     "op_bucketed_join",
     "stream_merge_sink",
+    "stream_merge_mor",
     "stream_txn_sink",
     "stream_mor_delete",
     "sim_ann_cosine_pandas",
@@ -169,6 +170,7 @@ BENCH_QUERIES = [
     "etl_row_tracking",
     "etl_merge_cow",
     "etl_merge_mor",
+    "etl_merge_not_by_source",
     "etl_merge_full",
     "etl_schema_drop",
     "etl_time_travel_ts",

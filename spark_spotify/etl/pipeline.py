@@ -3521,6 +3521,30 @@ def not_matched_insert(condition=None):
     return ("insert", condition, None)
 
 
+def not_matched_by_source_update(condition=None, assignments=None):
+    """``WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET``
+    arm: applies to TARGET rows with no source match.  Conditions and
+    assignment exprs may reference only the target (alias ``t``) — no
+    source row exists on this side, so ``assignments`` is REQUIRED
+    (there is no ``SET *``).  SCALE FLAG: this arm predicates on every
+    target row, making the MERGE a full-table rewrite — see
+    :func:`merge_rows`."""
+    _require(
+        bool(assignments),
+        "NOT MATCHED BY SOURCE UPDATE requires explicit assignments "
+        "(no source row exists to SET * from)",
+    )
+    return ("update", condition, assignments)
+
+
+def not_matched_by_source_delete(condition=None):
+    """``WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE`` arm —
+    the replica-sync verb (target rows absent from the authoritative
+    source feed are removed).  SCALE FLAG: full-table rewrite; see
+    :func:`merge_rows`."""
+    return ("delete", condition, None)
+
+
 def _merge_first_arm(arms, codes, default):
     """Classify a row into the FIRST applicable arm (SQL MERGE clause
     order; NULL conditions do not apply — three-valued logic)."""
@@ -3547,6 +3571,7 @@ def merge_rows(
     when_not_matched: list | None = None,
     merge_schema: bool = False,
     mode: str = "cow",
+    when_not_matched_by_source: list | None = None,
 ) -> int:
     """MERGE INTO — the Delta/Iceberg copy-on-write upsert commit, the
     last CRUD verb the versioned warehouse needed (append `_commit_append`,
@@ -3579,11 +3604,17 @@ def merge_rows(
     the flag, extra source columns remain condition-only (never
     written), as before.
 
-    ``WHEN NOT MATCHED BY SOURCE`` is deliberately NOT offered: it
+    ``when_not_matched_by_source`` (``WHEN NOT MATCHED BY SOURCE``
+    UPDATE/DELETE arms, the replica-sync half of the full Delta
+    grammar) is offered as an EXPLICITLY SCALE-FLAGGED verb: it
     predicates on target rows with no source match, which makes EVERY
-    part affected and turns MERGE into a table rewrite — at warehouse
-    scale that verb belongs to :func:`delete_rows` with an anti-join
-    predicate, not to a part-pruned MERGE.
+    part affected and turns the MERGE into a full-table rewrite (part
+    discovery is skipped — all parts are rewritten by definition).
+    At warehouse scale prefer :func:`delete_rows` with an anti-join
+    predicate when the arm is a plain delete; use this form when the
+    three arm families must commit ATOMICALLY (one snapshot swing).
+    COW only — a full-scan verb has nothing to gain from merge-on-read
+    sidecars, so ``mode="mor"`` rejects it.
 
     Exactly TWO Spark jobs regardless of part count (same scale shape as
     ``delete_rows``; a per-part driver loop would be ~800K sequential job
@@ -3620,7 +3651,20 @@ def merge_rows(
         all(kind == "insert" for kind, _, _ in when_not_matched),
         "when_not_matched arms must be not_matched_insert",
     )
+    when_not_matched_by_source = when_not_matched_by_source or []
+    _require(
+        all(
+            kind in ("update", "delete") and (kind == "delete" or assign)
+            for kind, _, assign in when_not_matched_by_source
+        ),
+        "when_not_matched_by_source arms must be "
+        "not_matched_by_source_update/_delete",
+    )
     _require(mode in ("cow", "mor"), f"unknown merge mode {mode!r}")
+    _require(
+        not (when_not_matched_by_source and mode == "mor"),
+        "WHEN NOT MATCHED BY SOURCE is a full-table rewrite: COW only",
+    )
     base = _current_version(warehouse, table)
     parts = (_manifest(warehouse, table, base) if base else None) or []
     tdir = os.path.join(warehouse, table)
@@ -3674,7 +3718,12 @@ def merge_rows(
             evolved_schema_json = StructType(
                 list(tgt_struct.fields) + new_fields
             ).json()
-    if parts:
+    if parts and when_not_matched_by_source:
+        # the by-source arms predicate on EVERY target row: all parts
+        # are affected by definition, so discovery is skipped
+        specs = m_base["specs"]
+        affected = set(parts)
+    elif parts:
         specs = m_base["specs"]
         probe = None
         for br in _part_branches(
@@ -3703,9 +3752,13 @@ def merge_rows(
     KEEP, DISCARD = 0, -1  # keep target row unchanged / drop source row
     m_codes = list(range(1, len(when_matched) + 1))
     i_codes = [100 + j for j in range(len(when_not_matched))]
+    bs_codes = [200 + j for j in range(len(when_not_matched_by_source))]
     delete_codes = [
         c
-        for c, (kind, _, _) in zip(m_codes, when_matched)
+        for c, (kind, _, _) in zip(
+            m_codes + bs_codes,
+            when_matched + when_not_matched_by_source,
+        )
         if kind == "delete"
     ]
     tracked = m_base is not None and m_base["row_base"] is not None
@@ -3757,7 +3810,12 @@ def merge_rows(
         action = (
             # source key is non-null by contract: s.key NULL <=> no
             # source row joined <=> target-only (and vice versa for t)
-            F.when(F.col(f"s.{key}").isNull(), F.lit(KEEP))
+            F.when(
+                F.col(f"s.{key}").isNull(),
+                _first_arm(
+                    when_not_matched_by_source, bs_codes, F.lit(KEEP)
+                ),
+            )
             .when(
                 F.col(f"t.{key}").isNull(),
                 _first_arm(when_not_matched, i_codes, F.lit(DISCARD)),
@@ -3798,11 +3856,15 @@ def merge_rows(
                 else F.col(f"t.{c}")
             )
             w = None
-            for code, (kind, _, assign) in zip(m_codes, when_matched):
+            for code, (kind, _, assign) in zip(
+                m_codes + bs_codes,
+                when_matched + when_not_matched_by_source,
+            ):
                 if kind != "update":
                     continue
                 # SET * -> source column; partial SET -> assigned expr,
-                # unassigned columns keep the target value (Delta)
+                # unassigned columns keep the target value (Delta).
+                # By-source arms always carry assignments (enforced).
                 v = (
                     F.col(f"s.{c}")
                     if assign is None
@@ -4230,6 +4292,54 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_table(spark, cw, "fact", "z")
         m2 = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
         _require(m2["dv"] == {}, "compaction must purge the vectors")
+        return stable_checkpoint(read_table(spark, cw, "fact"))
+    finally:
+        shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_merge_not_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-grammar MERGE gate with the ``WHEN NOT MATCHED BY SOURCE``
+    arm — replica sync in ONE atomic commit: user {MERGE_UPDATE_USER}'s
+    rows update (value doubled, SET *), user {MERGE_INSERT_USER}'s rows
+    re-keyed negative insert, and target rows outside the source feed
+    belonging to user {DELETE_USER} are deleted by the by-source arm.
+    The gate asserts the documented scale cost in-line: EVERY part is
+    affected (full-table rewrite — the reason the arm is scale-flagged
+    and the default grammar omits it).  Oracle: the star join with the
+    CASE'd update, minus the deleted subject, plus the inserts."""
+    import shutil
+    import tempfile
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    parts = _manifest(warehouse, "fact") or []
+    cw = tempfile.mkdtemp(prefix="spark_spotify_mnbs_")
+    try:
+        _link_fact_into(warehouse, parts, cw)
+        _swing(cw, "fact", parts)
+        fact = read_table(spark, cw, "fact")
+        updates = fact.filter(
+            F.col("user_id") == MERGE_UPDATE_USER
+        ).withColumn("value", F.col("value") * 2)
+        inserts = fact.filter(
+            F.col("user_id") == MERGE_INSERT_USER
+        ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+        n_affected = merge_rows(
+            spark,
+            cw,
+            "fact",
+            updates.unionByName(inserts),
+            "event_id",
+            "1",
+            when_not_matched_by_source=[
+                not_matched_by_source_delete(
+                    F.col("t.user_id") == DELETE_USER
+                )
+            ],
+        )
+        _require(
+            n_affected == len(parts),
+            "the by-source arm makes every part affected by definition",
+        )
         return stable_checkpoint(read_table(spark, cw, "fact"))
     finally:
         shutil.rmtree(cw, ignore_errors=True)
@@ -5417,6 +5527,7 @@ QUERIES = {
     "etl_delete_vectors": q_delete_vectors,
     "etl_merge_cow": q_merge_cow,
     "etl_merge_mor": q_merge_mor,
+    "etl_merge_not_by_source": q_merge_not_by_source,
     "etl_merge_full": q_merge_full,
     "etl_merge_evolve": q_merge_evolve,
     "etl_vacuum": q_vacuum,
@@ -5536,6 +5647,21 @@ SELECT event_id, date_key, event_type_key, user_id, played_hour,
             ELSE value END AS value,
        user_first_seen
 FROM base
+UNION ALL
+SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
+       played_hour, is_weekend, time_period, value, user_first_seen
+FROM base WHERE user_id = {MERGE_INSERT_USER}
+""",
+    # the three-family grammar: update + insert + by-source delete in
+    # one atomic commit — replica sync stated from scratch
+    "etl_merge_not_by_source": f"""
+WITH base AS ({_fact.ORACLE['etl_fact_star']})
+SELECT event_id, date_key, event_type_key, user_id, played_hour,
+       is_weekend, time_period,
+       CASE WHEN user_id = {MERGE_UPDATE_USER} THEN value * 2
+            ELSE value END AS value,
+       user_first_seen
+FROM base WHERE user_id <> {DELETE_USER}
 UNION ALL
 SELECT -(event_id + 1) AS event_id, date_key, event_type_key, user_id,
        played_hour, is_weekend, time_period, value, user_first_seen

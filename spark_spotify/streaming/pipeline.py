@@ -968,6 +968,146 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, base, "f")
 
 
+MERGE_MOR_USERS = (11, 13)  # redelivered-update subjects for the gate
+
+
+def q_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upserts committed per micro-batch as MERGE-ON-READ
+    MERGE — the end state a 100 TB CDC pipeline runs: trickle updates
+    land with ZERO part rewrites (matched rows become one row-sized
+    deletion-vector sidecar per batch; updates + inserts append as one
+    part), compaction folds the vectors on its own schedule.
+
+    The stream carries an occurrence count: batch 1 delivers the whole
+    corpus (pure inserts, ``n_seen=1``), batch 2 redelivers two users'
+    events (matched -> ``n_seen = t.n_seen + s.n_seen``, a partial-SET
+    update arm) plus re-keyed fresh events (inserts).  Every part file
+    present after the first batch keeps its inode through the rest of
+    the stream — proven, not assumed — which is exactly what
+    distinguishes this sink from the COW merge a small-table pipeline
+    would use.  Batch order is immaterial: the accumulate arm is
+    associative, so the oracle (per-event total occurrence counts) is
+    deterministic under any micro-batch cut."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _current_version,
+        _manifest,
+        _read_manifest_file,
+        _require,
+        matched_update,
+        merge_rows,
+        read_table,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_mmor_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tdir = _os.path.join(base, "t")
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    land(events, "wave0")
+    upd = events.filter(F.col("user_id").isin(*MERGE_MOR_USERS))
+    ins = events.filter(
+        F.col("user_id") == MERGE_MOR_USERS[1]
+    ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+    land(upd.unionByName(ins), "wave1")
+
+    snap: dict = {}
+
+    def _inodes() -> dict[str, int]:
+        out = {}
+        for p in _manifest(base, "t") or []:
+            d = _os.path.join(tdir, p)
+            for f in _os.listdir(d):
+                if f.endswith(".parquet"):
+                    out[f"{p}/{f}"] = _os.stat(
+                        _os.path.join(d, f)
+                    ).st_ino
+        return out
+
+    attempt: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        # per-key occurrence count: within-batch duplicates fold here,
+        # cross-batch ones through the accumulate arm — associative, so
+        # the final count is batch-cut-independent
+        delta = batch_df.groupBy("event_id").agg(
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        k = attempt.get(batch_id, 0)
+        attempt[batch_id] = k + 1
+        merge_rows(
+            ss,
+            base,
+            "t",
+            delta,
+            "event_id",
+            f"w{batch_id}a{k}",
+            when_matched=[
+                matched_update(
+                    assignments={
+                        "n_seen": F.col("t.n_seen") + F.col("s.n_seen")
+                    }
+                )
+            ],
+            mode="mor",
+        )
+        if not snap:
+            snap.update(_inodes())  # state after the FIRST batch
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    after = _inodes()
+    _require(
+        all(after.get(f) == ino for f, ino in snap.items()),
+        "a later batch rewrote an earlier batch's part bytes",
+    )
+    m = _read_manifest_file(base, "t", _current_version(base, "t"))
+    _require(
+        any(ns for ns in m["dv"].values()),
+        "the update batch must land as deletion-vector sidecars",
+    )
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    return stable_checkpoint(read_table(spark, base, "t"))
+
+
 def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter-queue routing — the quarantine pattern every
     production ingest stream needs: malformed payloads must neither kill
@@ -1220,6 +1360,18 @@ FROM r GROUP BY route, corruption
     "stream_merge_sink": """
 SELECT event_id, user_id, event_type FROM events
 """,
+    # per-event total occurrence counts under any micro-batch cut: the
+    # redelivered users saw their events twice, the re-keyed rows once
+    "stream_merge_mor": """
+SELECT event_id, user_id, event_type,
+       CAST(CASE WHEN user_id IN (11, 13) THEN 2 ELSE 1 END AS BIGINT)
+         AS n_seen
+FROM events
+UNION ALL
+SELECT -(event_id + 1) AS event_id, user_id, event_type,
+       CAST(1 AS BIGINT) AS n_seen
+FROM events WHERE user_id = 13
+""",
     # exactly-once across restart: each event lands once, full stop
     "stream_resume": """
 SELECT event_id, user_id, event_type FROM events
@@ -1384,6 +1536,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
+    "stream_merge_mor": q_stream_merge_mor,
     "stream_txn_sink": q_stream_txn_sink,
     "stream_mor_delete": q_stream_mor_delete,
     "stream_dlq": q_stream_dlq,

@@ -254,3 +254,56 @@ def test_mor_merge_schema_evolution(spark, warehouse):
     got = {(r["id"], r["src_system"]) for r in out.collect()}
     assert (50, "cdc") in got and (1000, "cdc") in got
     assert (5, None) in got  # untouched row reads NULL
+
+
+def test_not_matched_by_source_update_and_delete(spark, warehouse):
+    """Replica sync: rows outside the source feed update or delete by
+    the by-source arms; every part is affected by definition."""
+    from spark_spotify.etl.pipeline import (
+        not_matched_by_source_delete,
+        not_matched_by_source_update,
+    )
+
+    _table(spark, warehouse)  # ids 0..99, v = 2*id
+    src = spark.range(0, 30).select(
+        F.col("id"), F.lit(-1).cast("long").alias("v")
+    )
+    n = merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "x",
+        when_not_matched_by_source=[
+            not_matched_by_source_delete(F.col("t.id") >= 90),
+            not_matched_by_source_update(
+                F.col("t.id") >= 80, {"v": F.col("t.v") + 1000}
+            ),
+        ],
+    )
+    assert n == 2  # all parts rewritten
+    rows = dict(_rows(spark, warehouse))
+    assert len(rows) == 100 - 10  # ids 90..99 deleted
+    assert all(rows[i] == -1 for i in range(30))  # matched updates
+    assert all(rows[i] == 2 * i for i in range(30, 80))  # untouched
+    assert all(rows[i] == 2 * i + 1000 for i in range(80, 90))  # bs arm
+
+
+def test_not_matched_by_source_rejects_mor_and_bare_update(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        not_matched_by_source_delete,
+        not_matched_by_source_update,
+    )
+
+    _table(spark, warehouse)
+    src = spark.range(0, 5).select(
+        F.col("id"), F.lit(0).cast("long").alias("v")
+    )
+    with pytest.raises(RuntimeError, match="COW only"):
+        merge_rows(
+            spark, warehouse, "t", src, "id", "x", mode="mor",
+            when_not_matched_by_source=[not_matched_by_source_delete()],
+        )
+    with pytest.raises(RuntimeError, match="assignments"):
+        not_matched_by_source_update(None, None)
