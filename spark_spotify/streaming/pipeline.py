@@ -901,8 +901,12 @@ def q_stream_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def land(users, name):
         stage = _os.path.join(base, f"stage_{name}")
-        spark.createDataFrame(
-            [(u,) for u in users], "subject long"
+        # SQL VALUES, not createDataFrame: a Python-parallelize-backed
+        # plan pays ~5 s per action on this runtime (see
+        # etl/pipeline._write_bloom_sidecar), which dominated this gate
+        vals = ", ".join(f"(CAST({int(u)} AS BIGINT))" for u in users)
+        spark.sql(
+            f"SELECT subject FROM VALUES {vals} AS t(subject)"
         ).coalesce(1).write.parquet(stage)
         part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
         _os.rename(part, _os.path.join(src, f"{name}.parquet"))
