@@ -5314,9 +5314,17 @@ def q_cdf_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
         enable_row_tracking(w, "t")
         v0 = _current_version(w, "t")
-        n_del = ev.filter(F.col("user_id") == DELETE_USER).count()
-        n_upd = ev.filter(F.col("user_id") == MERGE_UPDATE_USER).count()
-        n_ins = ev.filter(F.col("user_id") == MERGE_INSERT_USER).count()
+        expected = ev.agg(
+            *[
+                F.count(F.when(F.col("user_id") == u, 1)).alias(k)
+                for k, u in (
+                    ("d", DELETE_USER),
+                    ("u", MERGE_UPDATE_USER),
+                    ("i", MERGE_INSERT_USER),
+                )
+            ]
+        ).collect()[0]
+        n_del, n_upd, n_ins = expected["d"], expected["u"], expected["i"]
         delete_rows(spark, w, "t", F.col("user_id") == DELETE_USER, "d1")
         live = read_table(spark, w, "t")
         src = (
