@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "sim_pandas_exact_agreement",
     "stream_dlq",
     "etl_row_delete",
+    "etl_partition_delete",
     "etl_delete_vectors",
     "etl_merge_evolve",
     "etl_type_widening",

@@ -1480,6 +1480,42 @@ def _maintain_blooms(
     return add or None
 
 
+def _predicates_column(predicates: list[tuple]) -> F.Column:
+    """The conjunction of structured ``[(col, op, literal), ...]``
+    predicates as one boolean Column (NULL where any comparison is
+    NULL — callers decide three-valued handling).  Naive datetimes are
+    pinned to UTC: they were ENCODED as UTC by ``_enc_stat``, but
+    PySpark converts a naive literal via the HOST's local timezone
+    (TimestampType.toInternal uses time.mktime) — on a non-UTC host
+    the residual filter and the pruning would disagree by the UTC
+    offset and silently drop rows."""
+    import datetime as _dt
+
+    def _pin(x):
+        if isinstance(x, _dt.datetime) and x.tzinfo is None:
+            return x.replace(tzinfo=_dt.timezone.utc)
+        return x
+
+    out = F.lit(True)
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op == "in":
+            term = (
+                c.isin([_pin(x) for x in val]) if val else F.lit(False)
+            )
+        else:
+            v = F.lit(_pin(val))
+            term = {
+                "=": c == v,
+                "<": c < v,
+                "<=": c <= v,
+                ">": c > v,
+                ">=": c >= v,
+            }[op]
+        out = out & term
+    return out
+
+
 def read_table_where(
     spark: SparkSession,
     warehouse: str,
@@ -1497,39 +1533,7 @@ def read_table_where(
     kept, m = prune_parts(warehouse, table, predicates, version)
 
     def residual(df: DataFrame) -> DataFrame:
-        import datetime as _dt
-
-        for col, op, val in predicates:
-            # naive datetimes were ENCODED as UTC by _enc_stat, but
-            # PySpark converts a naive literal via the HOST's local
-            # timezone (TimestampType.toInternal uses time.mktime) —
-            # on a non-UTC host the residual filter and the pruning
-            # would disagree by the UTC offset and silently drop rows.
-            # Pin the literal to UTC so both halves speak one clock.
-            def _pin(x):
-                if isinstance(x, _dt.datetime) and x.tzinfo is None:
-                    return x.replace(tzinfo=_dt.timezone.utc)
-                return x
-
-            c = F.col(col)
-            if op == "in":
-                df = df.filter(
-                    c.isin([_pin(x) for x in val])
-                    if val
-                    else F.lit(False)
-                )
-                continue
-            v = F.lit(_pin(val))
-            df = df.filter(
-                {
-                    "=": c == v,
-                    "<": c < v,
-                    "<=": c <= v,
-                    ">": c > v,
-                    ">=": c >= v,
-                }[op]
-            )
-        return df
+        return df.filter(_predicates_column(predicates))
 
     if not kept:
         # provably-empty result: full schema, LocalRelation plan, no scan
@@ -3424,6 +3428,226 @@ def _delete_rows_mor(
         dv_add={p: [dvname] for p in affected},
     )
     return len(affected)
+
+
+def _stats_prove_all_match(m: dict, part: str, resolved: list) -> bool:
+    """True when the manifest stats PROVE every physical row of
+    ``part`` satisfies every resolved predicate ``(phys, op, enc,
+    kind)`` — the precondition for dropping the part metadata-only.
+    Conservative by construction: parquet string bounds may be
+    inexact, but only outward (stored lo <= true min, stored hi >=
+    true max), so each check below still implies all-match; any
+    missing bound, null presence, or family mismatch returns False
+    (the part then takes the row-level path, never a wrong drop)."""
+    pstats = m["stats"].get(part)
+    if not pstats:
+        return False
+    for phys, op, enc, kind in resolved:
+        e = pstats.get(phys)
+        if (
+            e is None
+            or e.get("n", 0) == 0
+            or e.get("nulls", 0) != 0  # NULL rows never match: keep
+            or "lo" not in e
+            or enc is None
+            or kind is None
+            or e.get("k") != kind
+        ):
+            return False
+        lo, hi = e["lo"], e["hi"]
+        if op == "in":
+            # provable only when the part is single-valued on the
+            # column and that value is in the list
+            if not (
+                lo == hi and any(v == lo and k == kind for v, k in enc)
+            ):
+                return False
+        elif not {
+            "=": lo == hi == enc,
+            "<": hi < enc,
+            "<=": hi <= enc,
+            ">": lo > enc,
+            ">=": lo >= enc,
+        }[op]:
+            return False
+    return True
+
+
+def delete_where(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    predicates: list[tuple],
+    tag: str,
+) -> dict:
+    """Structured ``DELETE WHERE`` — :func:`delete_rows` plus the
+    METADATA-ONLY fast path Delta/Iceberg take for partition-aligned
+    deletes: a part whose manifest stats prove EVERY row matches is
+    dropped from the manifest with zero data I/O; a part whose stats
+    prove NO row matches is never opened; only BOUNDARY parts pay the
+    row-level discovery + COW rewrite.  A key-range or date-partition
+    retention delete over 100 TB therefore commits in O(manifest)
+    metadata plus at most the boundary partitions' rewrite — the verb
+    behind ``DELETE WHERE date < retention_horizon``.
+
+    Conjunctive predicates as in :func:`prune_parts`:
+    ``[(logical_col, op, literal)]`` with ops ``= < <= > >= in``.
+    Three-valued logic as in SQL DELETE: NULL-predicate rows are KEPT
+    (and a part containing nulls in a predicate column is never
+    metadata-dropped).  Everything lands in ONE atomic commit.
+    Returns ``{"dropped": [...], "rewritten": [...]}``."""
+    from urllib.parse import unquote, urlparse
+
+    base = _current_version(warehouse, table)
+    if not base:
+        return {"dropped": [], "rewritten": []}
+    # parts that MIGHT contain matches (stats + bloom pruning); the
+    # rest provably hold no matching row and are untouched
+    kept, m = prune_parts(warehouse, table, predicates, base)
+    to_phys = {logical: phys for phys, logical in m["renames"].items()}
+    resolved = []
+    for col, op, val in predicates:
+        phys = to_phys.get(col, col)
+        if op == "in":
+            resolved.append(
+                (
+                    phys,
+                    "in",
+                    [(_enc_stat(e), _stat_kind(e)) for e in val],
+                    _stat_kind(val[0]) if val else None,
+                )
+            )
+        else:
+            resolved.append((phys, op, _enc_stat(val), _stat_kind(val)))
+    dropped = [
+        p for p in kept if _stats_prove_all_match(m, p, resolved)
+    ]
+    boundary = [p for p in kept if p not in dropped]
+    tdir = os.path.join(warehouse, table)
+    pred = _predicates_column(predicates)
+    affected: set[str] = set()
+    added: list[str] = []
+    if boundary:
+        # row-level half, restricted to the boundary parts: discovery
+        # (which boundary parts REALLY hold matches), then one rewrite
+        # job — delete_rows' exact shape on a pruned part set
+        probe = None
+        for br in _part_branches(
+            spark, warehouse, table, boundary, m["specs"], m["schema"]
+        ):
+            b = br.filter(F.coalesce(pred, F.lit(False))).select(
+                F.input_file_name().alias("f")
+            )
+            probe = b if probe is None else probe.unionByName(b)
+        for r in probe.distinct().collect():
+            rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
+            affected.add(rel.split(os.sep)[0])
+        if affected:
+            new_part = f"d{tag}"
+            _require(
+                new_part not in m["parts"]
+                and not os.path.exists(os.path.join(tdir, new_part)),
+                f"delete tag {tag!r} collides with {new_part}",
+            )
+            if m["row_base"] is not None:
+                keep_df = _scan_with_row_ids(
+                    spark, warehouse, table, sorted(affected), m
+                )
+            else:
+                keep_df = _read_parts_live(
+                    spark,
+                    warehouse,
+                    table,
+                    sorted(affected),
+                    m["specs"],
+                    m["dv"],
+                    m["schema"],
+                )
+            keep_df.filter(pred.isNull() | ~pred).coalesce(
+                APPEND_WRITE_FILES
+            ).write.parquet(os.path.join(tdir, new_part))
+            added = [new_part]
+    if not dropped and not added:
+        return {"dropped": [], "rewritten": []}
+    removed = set(dropped) | affected
+    swing_rebase(
+        warehouse,
+        table,
+        base,
+        added,
+        removed,
+        blooms_add=_maintain_blooms(
+            spark, warehouse, table, m, added, f"d{tag}"
+        ),
+    )
+    return {"dropped": sorted(dropped), "rewritten": sorted(affected)}
+
+
+def q_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DELETE gate — the retention delete a 100 TB
+    key/date-partitioned table runs: four range-disjoint parts (event_id
+    quartiles), then ``DELETE WHERE event_id < cut`` with the cut INSIDE
+    the second quartile.  The fully-matching first part must be DROPPED
+    with zero data I/O (its bytes stay on disk for time travel, just
+    unreferenced by the head), ONLY the boundary part is rewritten, and
+    the two upper parts keep their inodes — proven, not assumed.
+    Oracle: the events projection at or above the cut."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    cut = 3 * (mx + 1) // 8  # strictly inside quartile 2
+    w = tempfile.mkdtemp(prefix="spark_spotify_pdel_")
+    try:
+        t = ev.withColumn(
+            "b", F.floor(F.col("event_id") * 4 / (mx + 1)).cast("int")
+        )
+        stage = os.path.join(w, "_stage")
+        t.repartition("b").write.partitionBy("b").parquet(stage)
+        tdir = os.path.join(w, "t")
+        os.makedirs(tdir)
+        parts = []
+        for k in range(4):
+            src = os.path.join(stage, f"b={k}")
+            _require(os.path.isdir(src), f"empty quartile bucket {k}")
+            os.rename(src, os.path.join(tdir, f"p{k + 1}"))
+            parts.append(f"p{k + 1}")
+        _swing(w, "t", parts)
+
+        def _inodes(ps):
+            return {
+                f"{p}/{f}": os.stat(os.path.join(tdir, p, f)).st_ino
+                for p in ps
+                for f in os.listdir(os.path.join(tdir, p))
+                if f.endswith(".parquet")
+            }
+
+        upper_before = _inodes(["p3", "p4"])
+        res = delete_where(
+            spark, w, "t", [("event_id", "<", cut)], "g1"
+        )
+        _require(
+            res == {"dropped": ["p1"], "rewritten": ["p2"]},
+            f"metadata fast path mis-planned: {res}",
+        )
+        _require(
+            _inodes(["p3", "p4"]) == upper_before,
+            "provably-unmatching parts must keep their bytes",
+        )
+        _require(
+            sorted(_manifest(w, "t")) == ["dg1", "p3", "p4"],
+            f"manifest after delete: {_manifest(w, 't')}",
+        )
+        _require(
+            os.path.isdir(os.path.join(tdir, "p1")),
+            "dropped part's bytes stay for time travel",
+        )
+        return stable_checkpoint(read_table(spark, w, "t"))
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5552,6 +5776,7 @@ QUERIES = {
     "etl_row_tracking": q_row_tracking,
     "etl_partition_evolution": q_partition_evolution,
     "etl_row_delete": q_row_delete,
+    "etl_partition_delete": q_partition_delete,
     "etl_delete_vectors": q_delete_vectors,
     "etl_merge_cow": q_merge_cow,
     "etl_merge_mor": q_merge_mor,
@@ -5642,6 +5867,11 @@ SELECT event_id, user_id, event_type, value FROM events
     "etl_row_delete": _fact.ORACLE["etl_fact_star"]
     + f"""
 WHERE e.user_id <> {DELETE_USER}
+""",
+    # metadata-only retention delete: everything at or above the cut
+    "etl_partition_delete": """
+SELECT event_id, user_id, value FROM events
+WHERE event_id >= (SELECT (3 * (MAX(event_id) + 1)) // 8 FROM events)
 """,
     # merge-on-read delete: the SAME SQL — deletion vectors are a
     # physical strategy and must be logically invisible

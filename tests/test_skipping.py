@@ -899,3 +899,71 @@ def test_bloom_maintenance_optimize_tops_up_appends(spark, warehouse):
     assert kept == ["p4"]
     kept, _ = prune_parts(warehouse, "t", [("tag", "=", "f" * 32)])
     assert kept == []
+
+
+def test_delete_where_pure_metadata(spark, warehouse):
+    """A delete aligned exactly on part boundaries drops parts with
+    ZERO data I/O — no new part, no rewrite, one manifest swing."""
+    from spark_spotify.etl.pipeline import delete_where, read_table
+
+    _ranged_table(spark, warehouse)  # p1 [0,10) p2 [10,20) p3 [20,30)
+    res = delete_where(spark, warehouse, "t", [("id", "<", 10)], "g1")
+    assert res == {"dropped": ["p1"], "rewritten": []}
+    assert sorted(P._manifest(warehouse, "t")) == ["p2", "p3"]
+    assert sorted(
+        r["id"] for r in read_table(spark, warehouse, "t").collect()
+    ) == list(range(10, 30))
+    # time travel still reads the dropped part
+    assert read_table(spark, warehouse, "t", version=3).count() == 30
+
+
+def test_delete_where_boundary_rewrite(spark, warehouse):
+    from spark_spotify.etl.pipeline import delete_where, read_table
+
+    _ranged_table(spark, warehouse)
+    res = delete_where(spark, warehouse, "t", [("id", "<", 15)], "g1")
+    assert res == {"dropped": ["p1"], "rewritten": ["p2"]}
+    assert sorted(
+        r["id"] for r in read_table(spark, warehouse, "t").collect()
+    ) == list(range(15, 30))
+
+
+def test_delete_where_null_rows_block_metadata_drop(spark, warehouse):
+    """NULL-predicate rows survive a SQL DELETE, so a part holding
+    nulls in the column is never metadata-dropped."""
+    from spark_spotify.etl.pipeline import delete_where, read_table
+
+    df = spark.range(0, 10).select(
+        F.when(F.col("id") < 9, F.col("id")).alias("v"),
+        F.col("id").alias("id"),
+    )
+    _commit_append(df, warehouse, "t", 1)
+    res = delete_where(spark, warehouse, "t", [("v", "<", 100)], "g1")
+    assert res == {"dropped": [], "rewritten": ["p1"]}  # row-level path
+    out = read_table(spark, warehouse, "t").collect()
+    assert [r["id"] for r in out] == [9] and out[0]["v"] is None
+
+
+def test_delete_where_in_list_single_valued_part(spark, warehouse):
+    from spark_spotify.etl.pipeline import delete_where, read_table
+
+    for k, v in enumerate((5, 7, 9)):
+        df = spark.range(0, 4).select(
+            F.lit(v).alias("grp"), F.col("id")
+        )
+        _commit_append(df, warehouse, "t", k + 1)
+    res = delete_where(
+        spark, warehouse, "t", [("grp", "in", [5, 9])], "g1"
+    )
+    assert res == {"dropped": ["p1", "p3"], "rewritten": []}
+    assert read_table(spark, warehouse, "t").count() == 4
+
+
+def test_delete_where_no_matches_is_noop(spark, warehouse):
+    from spark_spotify.etl.pipeline import delete_where
+
+    _ranged_table(spark, warehouse)
+    v0 = P._current_version(warehouse, "t")
+    res = delete_where(spark, warehouse, "t", [("id", ">", 999)], "g1")
+    assert res == {"dropped": [], "rewritten": []}
+    assert P._current_version(warehouse, "t") == v0  # no commit
