@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from spark_spotify.functions.agg import lscale, lsum, lsum_scaled
 from spark_spotify.operators.asof import asof_last_event
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import fan_out, load_table
 
 # --- as-of join -----------------------------------------------------------
 
@@ -111,7 +111,7 @@ LANG_MARKERS = {
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
 
     def score(markers: list[str]) -> F.Column:

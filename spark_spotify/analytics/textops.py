@@ -33,7 +33,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, stopword ratio, mean token length, quality
     bucket (reference quality-scoring shape, daily_etl_pipeline.py:259-270,
     applied to text)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -75,7 +75,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL, and phone-shaped spans plus an aggregate flag.  Pure scan work
     (regexp_extract_all, zero shuffles); patterns restricted to the
     Java-regex ∩ RE2 dialect so the oracle runs them verbatim."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_email = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(RE_EMAIL), F.lit(0))
     )
@@ -229,7 +229,7 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
         )
 
-    seg = d.select(
+    seg = fan_out(d).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -313,7 +313,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.substring(F.md5(t), 1, 15),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = d.select("doc_id", toks.alias("tk"), th_expr.alias("th"))
+    staged = fan_out(d).select("doc_id", toks.alias("tk"), th_expr.alias("th"))
     th = F.col("th")
     m = F.size(th)
     band = lambda j: F.slice(th, j, SUB_B)  # noqa: E731
@@ -395,7 +395,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     All signals are per-row column expressions over one tokenization (pure
     scan work, zero shuffles at any scale); thresholds are the published
     Gopher-rule shapes adapted to the synthetic corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -925,7 +925,7 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex passes per row — measured 7.6 s vs 3.4 s at the 10× probe), so
     the token array is materialized behind a one-element explode, a
     Generate node collapse cannot cross."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
     step = d.select(
         "doc_id",
@@ -968,7 +968,7 @@ def q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python model calls do not).  Explode → partial-agg keeps the token
     relation map-side combined; the shuffle carries (doc, partial-sum)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = fan_out(d).select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
     )
