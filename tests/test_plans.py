@@ -288,10 +288,12 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark, sf_dir):
 
 def test_quality_lr_is_scan_side_partial_agg(spark, sf_dir):
     """Hashing-trick scoring must stay a scan-side expression with map-side
-    combine: one exchange (doc_id), partial HashAggregate below it."""
+    combine: the doc_id exchange plus the deliberate input fan-out
+    (round-robin over INPUT rows, pre-explosion — the single-row-group
+    parallelism fix), partial HashAggregate below the agg exchange."""
     plan = _plan(QUERIES["text_quality_lr"](spark, sf_dir))
     tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
-    assert tree.count("Exchange") == 1
+    assert tree.count("Exchange") == 2  # fan-out + doc_id agg, nothing else
     assert "HashAggregate" in tree
 
 
