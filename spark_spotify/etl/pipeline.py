@@ -3479,6 +3479,7 @@ def delete_where(
     table: str,
     predicates: list[tuple],
     tag: str,
+    mode: str = "cow",
 ) -> dict:
     """Structured ``DELETE WHERE`` — :func:`delete_rows` plus the
     METADATA-ONLY fast path Delta/Iceberg take for partition-aligned
@@ -3495,9 +3496,18 @@ def delete_where(
     Three-valued logic as in SQL DELETE: NULL-predicate rows are KEPT
     (and a part containing nulls in a predicate column is never
     metadata-dropped).  Everything lands in ONE atomic commit.
-    Returns ``{"dropped": [...], "rewritten": [...]}``."""
+
+    ``mode="mor"`` swaps the boundary rewrite for deletion-vector
+    sidecars (:func:`delete_rows`'s merge-on-read half): the fully-
+    matching parts still drop metadata-only, the boundary parts gain
+    an O(matched rows) vector — a retention delete then moves ZERO
+    part bytes anywhere, in one commit.
+
+    Returns ``{"dropped": [...], "rewritten": [...]}`` (under MOR,
+    "rewritten" lists the parts that gained a vector)."""
     from urllib.parse import unquote, urlparse
 
+    _require(mode in ("cow", "mor"), f"unknown delete mode {mode!r}")
     base = _current_version(warehouse, table)
     if not base:
         return {"dropped": [], "rewritten": []}
@@ -3527,6 +3537,59 @@ def delete_where(
     pred = _predicates_column(predicates)
     affected: set[str] = set()
     added: list[str] = []
+    if boundary and mode == "mor":
+        # merge-on-read boundary: vectorize the matching live rows of
+        # the boundary parts (anti-joined against existing vectors so a
+        # redelivered delete stays a no-op) — zero part bytes move
+        import shutil
+
+        dvname = f"vd{tag}"
+        _require(
+            dvname not in m["parts"]
+            and not os.path.exists(os.path.join(tdir, dvname)),
+            f"delete tag {tag!r} collides with {dvname}",
+        )
+        rel = _rel_file_expr(tdir)
+        probe = None
+        for br in _part_branches(
+            spark, warehouse, table, boundary, m["specs"], m["schema"]
+        ):
+            b = br.filter(F.coalesce(pred, F.lit(False))).select(
+                rel.alias("f"), F.col("_metadata.row_index").alias("i")
+            )
+            probe = b if probe is None else probe.unionByName(b)
+        live_dv = {
+            p: ns
+            for p, ns in m["dv"].items()
+            if p in set(boundary) and ns
+        }
+        if live_dv:
+            names = sorted({n for ns in live_dv.values() for n in ns})
+            old = spark.read.parquet(
+                *[os.path.join(tdir, n) for n in names]
+            )
+            probe = probe.join(F.broadcast(old), ["f", "i"], "left_anti")
+        probe.write.parquet(os.path.join(tdir, dvname))
+        dv_parts = sorted(
+            r["p"]
+            for r in spark.read.parquet(os.path.join(tdir, dvname))
+            .select(F.split("f", "/").getItem(0).alias("p"))
+            .distinct()
+            .collect()
+        )
+        if not dv_parts:
+            shutil.rmtree(os.path.join(tdir, dvname), ignore_errors=True)
+        if not dropped and not dv_parts:
+            return {"dropped": [], "rewritten": []}
+        swing_rebase(
+            warehouse,
+            table,
+            base,
+            [],
+            set(dropped),
+            dv_add={p: [dvname] for p in dv_parts},
+        )
+        return {"dropped": sorted(dropped), "rewritten": dv_parts}
     if boundary:
         # row-level half, restricted to the boundary parts: discovery
         # (which boundary parts REALLY hold matches), then one rewrite

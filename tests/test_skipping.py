@@ -967,3 +967,42 @@ def test_delete_where_no_matches_is_noop(spark, warehouse):
     res = delete_where(spark, warehouse, "t", [("id", ">", 999)], "g1")
     assert res == {"dropped": [], "rewritten": []}
     assert P._current_version(warehouse, "t") == v0  # no commit
+
+
+def test_delete_where_mor_moves_zero_part_bytes(spark, warehouse):
+    """Metadata drops + deletion-vector boundary in ONE commit: a MOR
+    retention delete rewrites nothing anywhere — the full part drops
+    from the manifest, the boundary part gains a row-sized vector, and
+    every part file keeps its inode."""
+    import os
+
+    from spark_spotify.etl.pipeline import delete_where, read_table
+
+    _ranged_table(spark, warehouse)  # p1 [0,10) p2 [10,20) p3 [20,30)
+
+    def inodes():
+        out = {}
+        for p in ("p1", "p2", "p3"):
+            d = os.path.join(warehouse, "t", p)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    out[f"{p}/{f}"] = os.stat(os.path.join(d, f)).st_ino
+        return out
+
+    before = inodes()
+    res = delete_where(
+        spark, warehouse, "t", [("id", "<", 15)], "g1", mode="mor"
+    )
+    assert res == {"dropped": ["p1"], "rewritten": ["p2"]}
+    assert inodes() == before  # zero part bytes moved, even boundary
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert sorted(m["parts"]) == ["p2", "p3"]
+    assert m["dv"] == {"p2": ["vdg1"]}
+    assert sorted(
+        r["id"] for r in read_table(spark, warehouse, "t").collect()
+    ) == list(range(15, 30))
+    # redelivery: the existing vector absorbs it as a no-op
+    res = delete_where(
+        spark, warehouse, "t", [("id", "<", 15)], "g2", mode="mor"
+    )
+    assert res == {"dropped": [], "rewritten": []}
