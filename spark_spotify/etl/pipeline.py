@@ -1415,6 +1415,42 @@ def _write_bloom_sidecar(
     )
 
 
+def describe_bloom_coverage(
+    spark: SparkSession, warehouse: str, table: str
+) -> DataFrame:
+    """Index-staleness introspection (the DESCRIBE-HISTORY companion for
+    bloom indexes): one row per indexed column with live-part coverage
+    counts and the uncovered part list — what an operator checks before
+    relying on point-lookup pruning, and what tells them an OPTIMIZE
+    (which tops coverage up) is due.  Pure metadata: one manifest read
+    plus coverage-marker sidecar reads, no Spark job over data."""
+    cur = _current_version(warehouse, table)
+    _require(cur > 0, f"{table}: coverage report on an empty table")
+    m = _read_manifest_file(warehouse, table, cur)
+    rows = []
+    for col in sorted(m["blooms"]):
+        covered = _bloom_covered(warehouse, table, m, col)
+        uncovered = sorted(p for p in m["parts"] if p not in covered)
+        rows.append(
+            (
+                col,
+                len(m["parts"]),
+                len(m["parts"]) - len(uncovered),
+                uncovered,
+            )
+        )
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "col string, n_parts int, n_covered int, "
+            "uncovered array<string>",
+        )
+    return spark.createDataFrame(
+        rows,
+        "col string, n_parts int, n_covered int, uncovered array<string>",
+    )
+
+
 def _maintain_blooms(
     spark: SparkSession,
     warehouse: str,

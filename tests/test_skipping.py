@@ -1006,3 +1006,35 @@ def test_delete_where_mor_moves_zero_part_bytes(spark, warehouse):
         spark, warehouse, "t", [("id", "<", 15)], "g2", mode="mor"
     )
     assert res == {"dropped": [], "rewritten": []}
+
+
+def test_describe_bloom_coverage_reports_staleness(spark, warehouse):
+    from spark_spotify.etl.pipeline import (
+        add_bloom_index,
+        describe_bloom_coverage,
+        optimize_table,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+
+    _commit_append(batch(0, 2000), warehouse, "t", 1)
+    add_bloom_index(spark, warehouse, "t", "tag", "1")
+    _commit_append(batch(2000, 2010), warehouse, "t", 2)
+    _commit_append(batch(2010, 2020), warehouse, "t", 3)
+    rep = {r["col"]: r for r in describe_bloom_coverage(spark, warehouse, "t").collect()}
+    assert rep["tag"]["n_parts"] == 3 and rep["tag"]["n_covered"] == 1
+    assert rep["tag"]["uncovered"] == ["p2", "p3"]
+    # OPTIMIZE tops coverage up; the report goes clean
+    import os
+
+    big = sum(
+        os.path.getsize(os.path.join(warehouse, "t", "p1", f))
+        for f in os.listdir(os.path.join(warehouse, "t", "p1"))
+        if f.endswith(".parquet")
+    )
+    assert optimize_table(spark, warehouse, "t", big, tag="g1") == 2
+    rep = {r["col"]: r for r in describe_bloom_coverage(spark, warehouse, "t").collect()}
+    assert rep["tag"]["uncovered"] == []
