@@ -4416,11 +4416,21 @@ def _merge_rows_mor(
         return (w.otherwise(tdef) if w is not None else tdef).alias(c)
 
     # ONE job over the affected parts stages the delta-sized matched
-    # set: position key + classified arm + post-update images
+    # set: position key + classified arm + post-update images.  The
+    # MATCHED source key is staged separately (`_mkey`) because an
+    # update arm may reassign the key column itself — the insert half
+    # must anti-join on what the source row MATCHED, not on the
+    # post-update image (else a key-rewriting update would also
+    # insert its source row).
+    _require(
+        "_mkey" not in cols and "_mkey" not in source.columns,
+        "'_mkey' is reserved by MERGE row classification",
+    )
     joined.withColumn("_action", action).select(
         F.col(_DV_FILE),
         F.col(_DV_IDX),
         F.col("_action"),
+        F.col(f"s.{key}").alias("_mkey"),
         *[_upd(c) for c in out_cols],
     ).write.parquet(stage)
     try:
@@ -4445,7 +4455,9 @@ def _merge_rows_mor(
         # a source key present in the staging matched SOMETHING (even an
         # arm-less KEEP row) — everything else is the insert half
         ins = source.alias("s").join(
-            st.select(key).distinct(), key, "left_anti"
+            st.select(F.col("_mkey").alias(key)).distinct(),
+            key,
+            "left_anti",
         )
         ins = ins.withColumn(
             "_action", _merge_first_arm(when_not_matched, i_codes, F.lit(DISCARD))

@@ -307,3 +307,39 @@ def test_not_matched_by_source_rejects_mor_and_bare_update(spark, warehouse):
         )
     with pytest.raises(RuntimeError, match="assignments"):
         not_matched_by_source_update(None, None)
+
+
+def test_mor_key_reassigning_update_does_not_also_insert(spark, warehouse):
+    """An update arm may reassign the KEY column itself; the insert half
+    must anti-join on the key the source row MATCHED (staged `_mkey`),
+    not the post-update image — else every key-rewriting update would
+    duplicate its source row as an insert."""
+    _table(spark, warehouse)
+    # source keys 10..14 exist in the target; the update arm moves each
+    # matched row's key out of the source key space entirely
+    src = spark.range(10, 15).select(
+        F.col("id"), F.lit(-5).cast("long").alias("v")
+    )
+    merge_rows(
+        spark,
+        warehouse,
+        "t",
+        src,
+        "id",
+        "kr",
+        when_matched=[
+            matched_update(
+                assignments={
+                    "id": F.col("t.id") + 10000,
+                    "v": F.col("s.v"),
+                }
+            )
+        ],
+        when_not_matched=[not_matched_insert()],
+        mode="mor",
+    )
+    rows = dict(_rows(spark, warehouse))
+    assert len(rows) == 100  # no duplicate inserts: same row count
+    for k in range(10, 15):
+        assert k not in rows  # old key gone
+        assert rows[k + 10000] == -5  # moved row carries the update
