@@ -5606,6 +5606,97 @@ def apply_change_feed(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     return kept.unionByName(additions)
 
 
+def delta_apply_mv(mv_prev: DataFrame, feed: DataFrame, key: str) -> DataFrame:
+    """Pure O(feed) incremental maintenance of a DISTRIBUTIVE
+    materialized view (``GROUP BY key → SUM(value), COUNT(*)``) from a
+    row-level change feed — the signed-delta half of incremental view
+    maintenance that :func:`refresh_daily_stats` deliberately does NOT
+    do (its rollup mixes in COUNT DISTINCT / argmax, which are not
+    snapshot-associative; this verb is for the views that ARE).  Feed
+    rows carry +1 (``insert``, ``update_postimage``) or −1 (``delete``,
+    ``update_preimage``); the per-group signed sums fold into the
+    previous MV with ONE delta-sized aggregation and one join against
+    the (group-cardinality-sized) MV — the base table is NEVER
+    rescanned, so maintenance cost is independent of base size: the
+    posture a 100 TB fact with a trickle feed requires.  A group whose
+    maintained count reaches zero is RETIRED (its row vanishes — the
+    case a key-upsert refresh gets wrong).  Float determinism: sums
+    fold in the exact scaled-long domain (``lscale``), so
+    maintained == recomputed bit-for-bit, not approximately.  Feed
+    source-agnostic: :func:`change_feed`, :func:`row_lineage_feed`, or
+    a CDC stream all produce the consumed shape."""
+    from spark_spotify.functions.agg import lscale, unscale
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(key).agg(
+        F.sum(sign * lscale(F.col("value"))).alias("_d_sum"),
+        F.sum(sign.cast("long")).alias("_d_n"),
+    )
+    prev = mv_prev.select(
+        F.col(key),
+        lscale(F.col("sum_value")).alias("_p_sum"),
+        F.col("n_events").alias("_p_n"),
+    )
+    z = F.lit(0).cast("long")
+    merged = prev.join(delta, key, "full_outer").select(
+        F.col(key),
+        (F.coalesce("_p_sum", z) + F.coalesce("_d_sum", z)).alias("_s"),
+        (F.coalesce("_p_n", z) + F.coalesce("_d_n", z)).alias("n_events"),
+    )
+    return merged.filter(F.col("n_events") > 0).select(
+        key, unscale(F.col("_s"), 4).alias("sum_value"), "n_events"
+    )
+
+
+def q_mv_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-delta MV maintenance gate: a per-user ``SUM(value),
+    COUNT(*)`` view is maintained across a change feed containing ALL
+    THREE change families — user {DELETE_USER} fully deleted (its
+    group must RETIRE, not linger at zero), user {MERGE_UPDATE_USER}'s
+    values doubled (update pre/post pairs cancel in the count, move
+    the sum), user {MERGE_INSERT_USER}'s events re-delivered under
+    fresh keys (inserts grow both) — by :func:`delta_apply_mv`, which
+    reads ONLY the previous view and the feed.  Oracle: the
+    from-scratch aggregate of the post-change corpus; maintained ==
+    recomputed is the entire claim."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    from spark_spotify.functions.agg import lsum
+
+    s1 = (
+        ev.filter(
+            ~F.col("user_id").isin(DELETE_USER, MERGE_UPDATE_USER)
+        )
+        .unionByName(
+            ev.filter(F.col("user_id") == MERGE_UPDATE_USER).withColumn(
+                "value", F.col("value") * 2
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("user_id") == MERGE_INSERT_USER).withColumn(
+                "event_id", -(F.col("event_id") + F.lit(1))
+            )
+        )
+    )
+    feed = change_feed(ev, s1, "event_id")
+    mv0 = ev.groupBy("user_id").agg(
+        lsum(F.col("value")).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mv1 = delta_apply_mv(mv0, feed, "user_id")
+    # group retirement, asserted in-line: the deleted user's row is
+    # GONE from the maintained view (not present with zero count)
+    _require(
+        mv1.filter(F.col("user_id") == DELETE_USER).count() == 0,
+        "retired group survived delta maintenance",
+    )
+    return mv1
+
+
 def row_lineage_feed(
     spark: SparkSession,
     warehouse: str,
@@ -5909,6 +6000,7 @@ QUERIES = {
     "etl_cdf_row_lineage": q_cdf_row_lineage,
     "etl_cdf_apply": q_cdf_apply,
     "etl_agg_incremental": q_agg_incremental,
+    "etl_mv_delta_apply": q_mv_delta_apply,
     "etl_cdc_merge_apply": q_cdc_merge_apply,
 }
 
@@ -6228,6 +6320,25 @@ WHERE e.user_id <> {DELETE_USER}
     # incremental refresh == from-scratch recompute, the MV-maintenance
     # contract: the oracle is the full daily-stats SQL
     "etl_agg_incremental": _stats.ORACLE["etl_daily_stats"],
+    # the from-scratch per-user aggregate of the post-change corpus:
+    # user 7 deleted, user 11's values doubled, user 13's events also
+    # present re-keyed — maintained view == this recompute, bit-exact
+    "etl_mv_delta_apply": f"""
+WITH head AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE user_id NOT IN ({DELETE_USER}, {MERGE_UPDATE_USER})
+  UNION ALL
+  SELECT event_id, user_id, value * 2 AS value FROM events
+  WHERE user_id = {MERGE_UPDATE_USER}
+  UNION ALL
+  SELECT -(event_id + 1) AS event_id, user_id, value FROM events
+  WHERE user_id = {MERGE_INSERT_USER}
+)
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events
+FROM head GROUP BY user_id
+""",
     # CDC apply through the full MERGE grammar reconstructs the live
     # snapshot on the replica — same equality, transactional verb
     "etl_cdc_merge_apply": _stats.ORACLE["etl_daily_stats"],

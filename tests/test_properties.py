@@ -474,3 +474,51 @@ def test_prune_read_equals_full_filter(spark, rows, splits, op, col, lit):
         )
     finally:
         shutil.rmtree(w, ignore_errors=True)
+
+
+@given(
+    old=st.lists(
+        st.tuples(
+            st.integers(0, 20),          # event key
+            st.integers(0, 3),           # group
+            st.integers(-9999, 9999),    # value in cents
+        ),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    new=st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.integers(0, 3),
+            st.integers(-9999, 9999),
+        ),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_delta_apply_mv_equals_recompute(spark, old, new):
+    """IVM law: delta_apply_mv(agg(s0), change_feed(s0, s1)) == agg(s1)
+    for ANY two keyed snapshots — inserts, deletes, updates, group
+    retirement, empty sides, and a fully-replaced corpus all covered by
+    the randomization."""
+    from spark_spotify.etl.pipeline import change_feed, delta_apply_mv
+    from spark_spotify.functions.agg import lsum
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, g, v / 100.0) for k, g, v in rows] or [],
+            schema="event_id int, user_id int, value double",
+        )
+
+    def agg(d):
+        return d.groupBy("user_id").agg(
+            lsum(F.col("value")).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    s0, s1 = df(old), df(new)
+    maintained = delta_apply_mv(agg(s0), change_feed(s0, s1, "event_id"), "user_id")
+    expect = sorted(map(tuple, agg(s1).collect()))
+    got = sorted(map(tuple, maintained.collect()))
+    assert got == expect
