@@ -570,7 +570,80 @@ def q_rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with FORWARD FILL (last-observation-carried-
+    forward) — the time-series interpolation verb every per-entity
+    daily metric feed needs: each user's daily value total is
+    re-indexed onto the full corpus date spine, and days with no
+    activity carry the user's most recent observed total
+    (``last(_, ignorenulls=True)`` over a per-user ordered window —
+    Spark's spelling of ``LAST_VALUE ... IGNORE NULLS``).  Days before
+    a user's first observation stay NULL (there is no history to
+    carry); ``observed`` distinguishes real measurements from fills.
+
+    Scale shape: the daily pre-aggregation is map-side combinable
+    (one row per (user, active day) shuffles); the spine is a
+    broadcast 1-row bounds cross-join exploded per user (never a
+    driver-side date loop); the fill window is PARTITIONED by user —
+    thousands of independent O(days) windows, no global ordering
+    stage.  Daily sums fold as exact scaled longs so the carried
+    value is bit-identical to the oracle's decimal sum."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(lscale(F.col("value"))).alias("_s4"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            unscale(
+                F.last("_s4", ignorenulls=True).over(w), 4
+            ).alias("filled_value"),
+            F.col("_s4").isNotNull().alias("observed"),
+        )
+    )
+
+
 ORACLE = {
+    "ana_gap_fill": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS dsum
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), spine AS (
+  SELECT u.user_id,
+         CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                     MAX(CAST(ts AS DATE)) AS hi FROM events) b
+)
+SELECT s.user_id, s.day,
+       CAST(last_value(d.dsum IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS filled_value,
+       d.dsum IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
     "ana_today_listening": """
 WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events)
 SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS played_hour,
@@ -931,6 +1004,7 @@ QUERIES = {
     "ana_today_listening": q_today_listening,
     "ana_top_artists_month": q_top_artists_month,
     "ana_rolling_value_7d": q_rolling_value_7d,
+    "ana_gap_fill": q_gap_fill,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,
     "ana_top_users": q_top_users,
