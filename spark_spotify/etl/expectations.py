@@ -154,11 +154,93 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(src)
 
 
+DRIFT_BUCKETS = 12  # fixed-width value histogram cells for drift
+DRIFT_WIDTH = 50.0  # bucket width in value units (corpus range 0..~560)
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot DISTRIBUTION DRIFT profile — the data-
+    quality monitor a training-data pipeline runs between refreshes:
+    did this batch move the value distribution?  The bronze table's v1
+    (first half of the corpus) and live snapshots are histogrammed
+    into {DRIFT_BUCKETS} fixed-width cells and compared per cell:
+    smoothed probabilities (additive 0.5), L1 term (total-variation
+    contribution) and chi-square term per bucket.  Per-BUCKET terms,
+    not a folded scalar, deliberately: every arithmetic step is one
+    identical IEEE-754 op sequence in both engines, so the gate is
+    bit-exact — a folded PSI would hang cross-engine equality on
+    ``ln`` (libm, ~1-ulp, implementation-defined) and float summation
+    order.  Consumers sum the terms; monitoring thresholds don't care
+    about the last ulp.
+
+    Scale shape: two map-side-combinable {DRIFT_BUCKETS}-cell
+    histogram aggregations (one per snapshot — each one scan, tiny
+    shuffle), a broadcast totals cross-join, and O(buckets) final
+    arithmetic.  Works unchanged on a 100 TB snapshot pair: the only
+    data-sized work is the two scans."""
+    from spark_spotify.etl.pipeline import (
+        _shared_two_batch_warehouse,
+        read_table,
+    )
+
+    warehouse, _ = _shared_two_batch_warehouse(spark, sf_dir)
+    b1 = read_table(spark, warehouse, "bronze", version=1)
+    b2 = read_table(spark, warehouse, "bronze")
+    K = DRIFT_BUCKETS
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col("value") / DRIFT_WIDTH).cast("int"),
+            F.lit(K - 1),
+        )
+        return df.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spine = spark.range(K).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(counts(b1, "n_base"), "bucket", "left")
+        .join(counts(b2, "n_live"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_live", F.lit(0)).alias("n_live"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_base").alias("t1"), F.sum("n_live").alias("t2")
+    )
+    p = j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_live",
+        (
+            (F.col("n_base").cast("double") + F.lit(0.5))
+            / (F.col("t1").cast("double") + F.lit(0.5 * K))
+        ).alias("p_base"),
+        (
+            (F.col("n_live").cast("double") + F.lit(0.5))
+            / (F.col("t2").cast("double") + F.lit(0.5 * K))
+        ).alias("p_live"),
+    )
+    d = F.col("p_live") - F.col("p_base")
+    return p.select(
+        "bucket",
+        "n_base",
+        "n_live",
+        "p_base",
+        "p_live",
+        F.abs(d).alias("l1_term"),
+        (d * d / F.col("p_base")).alias("chi2_term"),
+    )
+
+
 from spark_spotify.etl import fact as _fact  # noqa: E402
 
 QUERIES = {
     "etl_expectations": q_expectations,
     "etl_profile_columns": q_profile_columns,
+    "etl_profile_drift": q_profile_drift,
 }
 
 ORACLE = {
@@ -193,6 +275,48 @@ SELECT rule, n_violations FROM (
 ) ORDER BY rule
 """,
 }
+
+# keep every float op the same IEEE sequence as the Spark side:
+# (n + 0.5) / (t + 6.0), d = p_live - p_base, |d|, d*d/p_base
+ORACLE["etl_profile_drift"] = """
+WITH cut AS (
+  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS c
+  FROM events
+),
+base AS (
+  SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 11) AS bucket
+  FROM events WHERE ts <= (SELECT c FROM cut)
+),
+live AS (
+  SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 11) AS bucket FROM events
+),
+spine AS (
+  SELECT CAST(gs AS INT) AS bucket FROM generate_series(0, 11) t(gs)
+),
+c1 AS (SELECT bucket, COUNT(*) AS n FROM base GROUP BY bucket),
+c2 AS (SELECT bucket, COUNT(*) AS n FROM live GROUP BY bucket),
+j AS (
+  SELECT s.bucket,
+         COALESCE(c1.n, 0) AS n_base,
+         COALESCE(c2.n, 0) AS n_live
+  FROM spine s
+  LEFT JOIN c1 ON s.bucket = c1.bucket
+  LEFT JOIN c2 ON s.bucket = c2.bucket
+),
+t AS (SELECT SUM(n_base) AS t1, SUM(n_live) AS t2 FROM j),
+p AS (
+  SELECT bucket, n_base, n_live,
+         (CAST(n_base AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 6.0)
+           AS p_base,
+         (CAST(n_live AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 6.0)
+           AS p_live
+  FROM j CROSS JOIN t
+)
+SELECT bucket, n_base, n_live, p_base, p_live,
+       abs(p_live - p_base) AS l1_term,
+       (p_live - p_base) * (p_live - p_base) / p_base AS chi2_term
+FROM p
+"""
 
 ORACLE["etl_profile_columns"] = """
 WITH src AS (
