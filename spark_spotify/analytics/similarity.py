@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_spotify.functions.checkpoint import stable_checkpoint
 from spark_spotify.sources.tables import fan_out, load_table
 
 ANCHOR_ID = 0
@@ -497,6 +498,117 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_shift"),
         )
     )
+
+
+KM_ITERS = 3  # Lloyd iterations for the convergence gate
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd's k-means to a FIXED horizon — the
+    iterative-ML-on-DataFrames pattern (same posture as
+    ``graph_pagerank_iter``): each round broadcast-assigns every vector
+    to its nearest centroid (cosine, centroid-id tie-break) and
+    recomputes centroids as quantized-integer means, with
+    ``stable_checkpoint`` truncating the plan between rounds so
+    iteration T's lineage is O(1), not O(T) (the un-checkpointed loop
+    re-derives every previous assignment each action and eventually
+    overflows the planner at real iteration counts).
+
+    Engine determinism across {KM_ITERS} rounds: assignment cosines
+    are the unrolled left-fold ``_dot`` (bit-identical to the oracle's
+    ``list_reduce``); centroid components fold as exact scaled-long
+    sums and return to double with one division, so the EXACT SAME
+    doubles enter round t+1 in both engines — the oracle replays the
+    whole loop as an unrolled CTE chain and must agree bit-for-bit,
+    not approximately.  Per-round cost: one broadcast crossJoin scan
+    (K×dim centroid table is KB-sized at any corpus scale) + one
+    (cell, dim)-keyed map-side-combinable aggregation — no
+    corpus-sized shuffle anywhere; the per-vec_id row_number window
+    partitions by vector, thousands of independent K-row windows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
+    ).persist()
+    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            base.crossJoin(F.broadcast(c))
+            .withColumn(
+                "cos_c",
+                _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(KM_ITERS):
+        dims = (
+            assign(cents)
+            .select(
+                F.col("cent_id").alias("cell"),
+                F.posexplode("v").alias("dim", "x"),
+            )
+            .withColumn(
+                "qx", F.round(F.col("x") * Q_SCALE, 0).cast("bigint")
+            )
+        )
+        cents = (
+            dims.groupBy("cell", "dim")
+            .agg(F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim"),
+                                (
+                                    F.col("sq")
+                                    / (F.col("n") * F.lit(float(Q_SCALE)))
+                                ).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ).alias("cvec")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                "cvec",
+                _norm("cvec").alias("cnrm"),
+            )
+        )
+        cents = stable_checkpoint(cents)
+    out = (
+        assign(cents)
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.round(F.col("cos_c"), 6).alias("cos6"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("cos6").cast("decimal(18,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos"),
+            F.min("cos6").alias("min_cos"),
+        )
+    )
+    out = stable_checkpoint(out)
+    base.unpersist()
+    return out
 
 
 # --- label cohesion (embedding-quality profiling) --------------------------
@@ -1302,7 +1414,88 @@ FROM u LEFT JOIN exact e ON u.vec_id = e.vec_id
 GROUP BY u.method
 """
 
+def _km_train_sql() -> str:
+    """Unrolled-CTE replay of q_kmeans_train's {KM_ITERS} Lloyd rounds —
+    the oracle iterates by CTE chaining what Spark iterates by loop."""
+
+    def lr(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt({lr('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cent_id, v AS cvec, nrm AS cnrm
+  FROM base WHERE vec_id < {N_CELLS}
+)"""
+    ]
+    for t in range(KM_ITERS):
+        parts.append(
+            f""",
+scored{t} AS (
+  SELECT b.vec_id, b.v, c.cent_id,
+         {lr('b.v', 'c.cvec')} / (b.nrm * c.cnrm) AS cos_c
+  FROM base b CROSS JOIN cents{t} c
+),
+assign{t} AS (
+  SELECT vec_id, v, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cent_id ASC) AS rn
+        FROM scored{t})
+  WHERE rn = 1
+),
+dims{t} AS (
+  SELECT cell, CAST(r.i AS INT) AS dim,
+         CAST(round(v[CAST(r.i AS INT) + 1] * {Q_SCALE}, 0) AS BIGINT) AS qx
+  FROM assign{t} CROSS JOIN range({EMB_DIM}) r(i)
+),
+pc{t} AS (
+  SELECT cell, dim, SUM(qx) AS sq, COUNT(*) AS n
+  FROM dims{t} GROUP BY cell, dim
+),
+cv{t} AS (
+  SELECT cell AS cent_id,
+         list(sq / (n * {float(Q_SCALE)}) ORDER BY dim) AS cvec
+  FROM pc{t} GROUP BY cell
+),
+cents{t + 1} AS (
+  SELECT cent_id, cvec, sqrt({lr('cvec', 'cvec')}) AS cnrm FROM cv{t}
+)"""
+        )
+    T = KM_ITERS
+    parts.append(
+        f""",
+scored{T} AS (
+  SELECT b.vec_id, c.cent_id,
+         {lr('b.v', 'c.cvec')} / (b.nrm * c.cnrm) AS cos_c
+  FROM base b CROSS JOIN cents{T} c
+),
+final AS (
+  SELECT cent_id AS cell, round(cos_c, 6) AS cos6
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cent_id ASC) AS rn
+        FROM scored{T})
+  WHERE rn = 1
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(CAST(cos6 AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cos,
+       MIN(cos6) AS min_cos
+FROM final GROUP BY cell"""
+    )
+    return "".join(parts)
+
+
+ORACLE["sim_kmeans_train"] = _km_train_sql()
+
 QUERIES = {
+    "sim_kmeans_train": q_kmeans_train,
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
     "sim_ann_prefilter_topk": q_ann_prefilter_topk,
