@@ -1951,6 +1951,7 @@ def optimize_table(
     table: str,
     target_bytes: int,
     tag: str = "opt",
+    predicates: list[tuple] | None = None,
 ) -> int:
     """INCREMENTAL small-file compaction — the real ``OPTIMIZE`` /
     ``rewrite_data_files`` semantics that :func:`compact_table`'s
@@ -1971,6 +1972,16 @@ def optimize_table(
     parts = _manifest(warehouse, table, base) or []
     m = _read_manifest_file(warehouse, table, base)
     tdir = os.path.join(warehouse, table)
+    # OPTIMIZE WHERE: scope the verb to a key range via the SAME
+    # manifest-stats pruning the read path uses (pure metadata) — the
+    # form a 100 TB table actually runs (compact yesterday's
+    # partition); out-of-scope parts are never sized, opened, or
+    # rewritten
+    cand = parts
+    if predicates:
+        scope, _ = prune_parts(warehouse, table, predicates, base)
+        in_scope = set(scope)
+        cand = [p for p in parts if p in in_scope]
 
     def psize(p: str) -> int:
         total = 0
@@ -1982,8 +1993,8 @@ def optimize_table(
             )
         return total
 
-    sizes = {p: psize(p) for p in parts}
-    small = [p for p in parts if sizes[p] < target_bytes]
+    sizes = {p: psize(p) for p in cand}
+    small = [p for p in cand if sizes[p] < target_bytes]
     if len(small) < 2:
         return 0
     new_part = f"o{tag}"
@@ -2077,6 +2088,75 @@ def q_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require(
             optimize_table(spark, w, "t", big_bytes, tag="g2") in (0, 2),
             "re-optimize regressed",
+        )
+        return read_table(spark, w, "t").transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+OPT_WHERE_MID = 7  # user-id scope boundary for the OPTIMIZE WHERE gate
+
+
+def q_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE WHERE gate — predicate-scoped compaction, the form a
+    100 TB table actually runs (compact one partition's trickle of
+    small appends; never walk the table): six small parts land with
+    DISJOINT user-id ranges (three ≤ {OPT_WHERE_MID}, three above);
+    ``optimize_table`` scoped to ``user_id <= {OPT_WHERE_MID}`` must
+    fold exactly the three in-scope parts — resolved purely from
+    manifest stats, no data I/O on the rest, every out-of-scope part
+    byte-untouched (inode-proven) — and the table stays row-identical.
+
+    Oracle: a plain projection of the events corpus — scoped OPTIMIZE
+    is a physical-layout verb and must never change a logical row."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    lo = ev.filter(F.col("user_id") <= OPT_WHERE_MID)
+    hi = ev.filter(F.col("user_id") > OPT_WHERE_MID)
+    w = tempfile.mkdtemp(prefix="spark_spotify_optw_")
+    try:
+        for k in range(3):
+            _commit_append(
+                lo.filter(F.col("event_id") % 3 == k), w, "t", k + 1
+            )
+        for k in range(3):
+            _commit_append(
+                hi.filter(F.col("event_id") % 3 == k), w, "t", k + 4
+            )
+        tdir = os.path.join(w, "t")
+
+        def _inodes(ps):
+            out = {}
+            for p in ps:
+                for f in os.listdir(os.path.join(tdir, p)):
+                    if f.endswith(".parquet"):
+                        out[f"{p}/{f}"] = os.stat(
+                            os.path.join(tdir, p, f)
+                        ).st_ino
+            return out
+
+        before = _inodes(["p4", "p5", "p6"])
+        n_folded = optimize_table(
+            spark,
+            w,
+            "t",
+            1 << 40,  # everything in scope is "small": fold it all
+            tag="w1",
+            predicates=[("user_id", "<=", OPT_WHERE_MID)],
+        )
+        _require(n_folded == 3, f"folded {n_folded} parts, expected 3")
+        parts = _manifest(w, "t") or []
+        _require(
+            sorted(parts) == ["ow1", "p4", "p5", "p6"],
+            f"scoped optimize left wrong part list: {parts}",
+        )
+        _require(
+            _inodes(["p4", "p5", "p6"]) == before,
+            "an out-of-scope part's bytes moved",
         )
         return read_table(spark, w, "t").transform(stable_checkpoint)
     finally:
@@ -6002,6 +6082,7 @@ QUERIES = {
     "etl_agg_incremental": q_agg_incremental,
     "etl_mv_delta_apply": q_mv_delta_apply,
     "etl_cdc_merge_apply": q_cdc_merge_apply,
+    "etl_optimize_where": q_optimize_where,
 }
 
 # The oracle IS the single-shot star join — that equality is the whole point.
@@ -6064,6 +6145,10 @@ WHERE e.ts > (SELECT make_timestamp(
     "etl_compact": _fact.ORACLE["etl_fact_star"],
     # incremental OPTIMIZE is a physical-layout verb: rows unchanged
     "etl_optimize_small_files": """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+    # scoped OPTIMIZE is a physical-layout verb: logical rows unchanged
+    "etl_optimize_where": """
 SELECT event_id, user_id, event_type, value FROM events
 """,
     # copy-on-write delete: the star join minus the erased subject
