@@ -367,6 +367,83 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — for EVERY vector,
+    the most-similar vector carrying a DIFFERENT label: the pair-mining
+    step of embedding/reranker training runs (in-batch negatives with
+    cluster blocking).  Candidates come from the anchor's own IVF cell
+    (the same first-{N_CELLS}-vectors coarse quantizer every ANN gate
+    here uses), so the join is CELL-BUCKETED — shuffle keyed by cell,
+    per-cell candidate lists, never an all-pairs product: at 100 TB
+    the cell id is the partition key and mining is a co-partitioned
+    self-join, the FAISS-style blocked negative miner.  An anchor
+    whose entire cell shares its label yields no row (no in-cell
+    negative exists — the blocking trade, same recall posture as
+    single-probe IVF search).  Per-anchor argmax is a window over the
+    cell-sized candidate list; ties break on candidate id, so the
+    mined pair set is deterministic and the oracle replays it
+    exactly."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    cells = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "label", "emb", "nrm", F.col("cent_id").alias("cell")
+        )
+    )
+    a = cells.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("qa"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("emb").alias("qb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    pairs = a.join(b, "cell").filter(
+        F.col("anchor_label") != F.col("neg_label")
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_n"), F.asc("neg_id")
+    )
+    return (
+        pairs.withColumn(
+            "cos_n",
+            F.round(_dot("qa", "qb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label",
+            F.col("cos_n").alias("cosine_sim"),
+        )
+    )
+
+
 # --- batch ANN (multi-query serving shape) ---------------------------------
 
 BATCH_Q = 4  # anchors: vec_id 0..3
@@ -1494,8 +1571,46 @@ FROM final GROUP BY cell"""
 
 ORACLE["sim_kmeans_train"] = _km_train_sql()
 
+ORACLE["sim_hard_negatives"] = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_reduce(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]), p -> p[1] * p[2]), (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+  WHERE vec_id < {N_CELLS}
+),
+a AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
+         list_reduce(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2]), (acc, x) -> acc + x) / (v.nrm * c.cnrm) AS cos_c
+  FROM v CROSS JOIN c
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+  FROM a
+),
+cells AS (
+  SELECT vec_id, label, e, nrm, cent_id AS cell FROM r WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS anchor_id, x.label AS anchor_label,
+         y.vec_id AS neg_id, y.label AS neg_label,
+         round(list_reduce(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]), (acc, x2) -> acc + x2) / (x.nrm * y.nrm), 6) AS cos_n
+  FROM cells x JOIN cells y ON x.cell = y.cell AND x.label <> y.label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label,
+       cos_n AS cosine_sim
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_n DESC, neg_id ASC) AS rn
+      FROM pairs)
+WHERE rn = 1
+"""
+
 QUERIES = {
     "sim_kmeans_train": q_kmeans_train,
+    "sim_hard_negatives": q_hard_negatives,
     "sim_ann_cosine_topk": q_ann_cosine_topk,
     "sim_ann_cosine_pandas": q_ann_cosine_pandas,
     "sim_ann_prefilter_topk": q_ann_prefilter_topk,
