@@ -372,17 +372,22 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-similar vector carrying a DIFFERENT label: the pair-mining
     step of embedding/reranker training runs (in-batch negatives with
     cluster blocking).  Candidates come from the anchor's own IVF cell
-    (the same first-{N_CELLS}-vectors coarse quantizer every ANN gate
-    here uses), so the join is CELL-BUCKETED — shuffle keyed by cell,
-    per-cell candidate lists, never an all-pairs product: at 100 TB
-    the cell id is the partition key and mining is a co-partitioned
-    self-join, the FAISS-style blocked negative miner.  An anchor
-    whose entire cell shares its label yields no row (no in-cell
-    negative exists — the blocking trade, same recall posture as
-    single-probe IVF search).  Per-anchor argmax is a window over the
-    cell-sized candidate list; ties break on candidate id, so the
-    mined pair set is deterministic and the oracle replays it
-    exactly."""
+    (first-K-vectors coarse quantizer, same family as every ANN gate
+    here), so the join is CELL-BUCKETED — shuffle keyed by cell,
+    per-cell candidate lists, never an all-pairs product.  The cell
+    count SCALES WITH THE CORPUS: K = floor(sqrt(n)), the standard IVF
+    balance where broadcast assignment (n·K dots) and within-cell
+    mining (n·(n/K) dots) are both n^1.5 — a fixed K would make the
+    blocked join quadratic (measured: the fixed-8-cell draft probed
+    9.8× at 10× data; this shape probes ~3×).  At 100 TB the cell id
+    is the partition key and mining is a co-partitioned self-join,
+    the FAISS-style blocked negative miner.  An anchor whose entire
+    cell shares its label yields no row (no in-cell negative exists —
+    the blocking trade, same recall posture as single-probe IVF
+    search).  Per-anchor argmax is a window over the cell-sized
+    candidate list; ties break on candidate id, so the mined pair set
+    is deterministic and the oracle replays it exactly — including K,
+    which both engines derive as floor(sqrt(count)))."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -392,24 +397,35 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(E_SQL).alias("emb"),
         _norm(E_SQL).alias("nrm"),
     )
-    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("emb").alias("cvec"),
-        F.col("nrm").alias("cnrm"),
+    k = emb.agg(
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("long").alias("_k")
     )
-    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cent_id")
-    )
-    cells = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
+    cents = (
+        vecs.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("_k"))
         .select(
-            "vec_id", "label", "emb", "nrm", F.col("cent_id").alias("cell")
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
         )
     )
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    # assignment argmax via map-side-combinable max_by over SLIM rows
+    # (vec_id, cos, cent_id) — the scored n·K relation must never carry
+    # the 64-double arrays through a shuffle (measured: an arrays-
+    # through-window draft moved ~n·K KB and tripled the 10× probe);
+    # arrays re-attach by joining the n-row assignment back to vecs
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", cos_c.alias("cos_c"), "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos_c"), -F.col("cent_id"))
+            ).alias("cell")
+        )
+    )
+    cells = vecs.join(assign, "vec_id")
     a = cells.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -424,18 +440,24 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         "cell",
     )
-    pairs = a.join(b, "cell").filter(
-        F.col("anchor_label") != F.col("neg_label")
-    )
     wn = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_n"), F.asc("neg_id")
     )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                _dot("qa", "qb") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_n"),
+        )  # slim BEFORE the per-anchor window: arrays never shuffle
+    )
     return (
-        pairs.withColumn(
-            "cos_n",
-            F.round(_dot("qa", "qb") / (F.col("na") * F.col("nb")), 6),
-        )
-        .withColumn("rn", F.row_number().over(wn))
+        scored.withColumn("rn", F.row_number().over(wn))
         .filter(F.col("rn") == 1)
         .select(
             "anchor_id", "anchor_label", "neg_id", "neg_label",
@@ -1579,7 +1601,8 @@ WITH v AS (
 ),
 c AS (
   SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
-  WHERE vec_id < {N_CELLS}
+  WHERE vec_id < (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT)
+                  FROM embeddings)
 ),
 a AS (
   SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
