@@ -391,7 +391,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    # fan_out: the embeddings table arrives as ONE parquet row group at
+    # every tested SF, so the n·K assignment dots would run on one core
+    # (measured 63 s vs 9.8 s at the 10× probe); a no-op at real scale
+    # where the scan arrives in thousands of splits
+    vecs = fan_out(emb).select(
         "vec_id",
         "label",
         F.expr(E_SQL).alias("emb"),
@@ -414,8 +418,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, cos, cent_id) — the scored n·K relation must never carry
     # the 64-double arrays through a shuffle (measured: an arrays-
     # through-window draft moved ~n·K KB and tripled the 10× probe);
-    # arrays re-attach by joining the n-row assignment back to vecs
-    assign = (
+    # arrays re-attach by joining the n-row assignment back to vecs.
+    # Checkpointed: BOTH sides of the pair join consume it, and the
+    # n·K-dot subtree must be paid once, not once per side.
+    assign = stable_checkpoint(
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", cos_c.alias("cos_c"), "cent_id")
         .groupBy("vec_id")
