@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "curate_ngram_topk",
     "rel_value_range_join",
     "ana_rolling_value_7d",
+    "ana_gap_fill",
     "dedup_cluster_assign",
     "stream_user_profile",
     "ana_props_json",
@@ -108,6 +109,8 @@ BENCH_QUERIES = [
     "sim_pq_audit",
     "ana_nullable_dim_profile",
     "sim_kmeans_step",
+    "sim_kmeans_train",
+    "sim_hard_negatives",
     "text_bm25_topk",
     "dedup_incremental",
     "ana_pivot_day_period",
@@ -177,6 +180,7 @@ BENCH_QUERIES = [
     "etl_time_travel_ts",
     "etl_partition_evolution",
     "etl_profile_columns",
+    "etl_profile_drift",
     "agg_heavy_hitters",
     "agg_exact_median",
     "graph_triangle_count",
@@ -199,6 +203,7 @@ BENCH_QUERIES = [
     "etl_cdf_row_lineage",
     "etl_cdf_apply",
     "etl_agg_incremental",
+    "etl_mv_delta_apply",
     "etl_cdc_merge_apply",
     "op_partition_overwrite",
     "src_csv_ingest_audit",
@@ -217,6 +222,7 @@ BENCH_QUERIES = [
     "rel_nation_trade_flows",
     "etl_generated_columns",
     "etl_optimize_small_files",
+    "etl_optimize_where",
     "etl_txn_multi_table",
     "op_dpp_join",
     "etl_clone",
