@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "agg_heavy_hitters",
     "agg_exact_median",
     "graph_triangle_count",
+    "graph_label_propagation",
     "agg_exact_quartiles",
     "op_asof_join",
     "etl_vacuum",

@@ -337,10 +337,85 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+LP_ROUNDS = 3  # synchronous label-propagation rounds
+LP_TOP_K = 20
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et
+    al.) over the bipartite customer↔supplier trade graph — the THIRD
+    canonical distributed-graph shape after score propagation
+    (pagerank) and contraction (connected components): each round every
+    node adopts the MAJORITY label among its neighbors, ties to the
+    smallest label, for a fixed {LP_ROUNDS} rounds.  Fully
+    deterministic (labels are node ids, counts are integers, one total
+    tie order), so the oracle replays the loop as an unrolled CTE chain
+    and must agree exactly — no float anywhere.
+
+    Scale shape per round: one edge⋈label join keyed on the neighbor
+    (the edge list's layout key at 100 TB) + two map-side-combinable
+    aggregations ((node, label) count, then per-node max_by argmax) —
+    label state shuffles one row per node, never the edge list;
+    ``stable_checkpoint`` between rounds truncates the plan exactly as
+    the pagerank/kmeans loops do.  Customer and supplier keys live in
+    one node-id space via even/odd interleaving."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = stable_checkpoint(
+        cs.unionByName(
+            cs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    for _ in range(LP_ROUNDS):
+        nb = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select("u", "lab")
+        new = (
+            nb.groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("u")
+            .agg(
+                F.max_by(
+                    "lab", F.struct(F.col("n"), -F.col("lab"))
+                ).alias("lab")
+            )
+        )
+        labels = stable_checkpoint(
+            new.select(F.col("u").alias("node"), "lab")
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("lab").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LP_TOP_K)
+    )
+
+
 QUERIES = {
     "graph_pagerank_step": q_pagerank_step,
     "graph_pagerank_iter": q_pagerank_iter,
     "graph_triangle_count": q_triangle_count,
+    "graph_label_propagation": q_label_propagation,
 }
 
 def _pagerank_iter_oracle() -> str:
@@ -384,7 +459,47 @@ LIMIT {PR_TOP_K}
     )
 
 
+def _label_prop_oracle() -> str:
+    """Unrolled-CTE replica of q_label_propagation's {LP_ROUNDS}
+    synchronous rounds — majority label, smallest-label tie-break,
+    integer-exact throughout."""
+    ctes = [
+        """cs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "e AS (SELECT u, v FROM cs UNION ALL SELECT v AS u, u AS v FROM cs)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e)",
+    ]
+    for t in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f"""c{t} AS (
+  SELECT e.u, l.lab, COUNT(*) AS n
+  FROM e JOIN l{t - 1} l ON e.v = l.node
+  GROUP BY e.u, l.lab
+),
+l{t} AS (
+  SELECT u AS node, lab
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY u ORDER BY n DESC, lab ASC) AS rn
+        FROM c{t})
+  WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{LP_ROUNDS} GROUP BY lab
+ORDER BY n_members DESC, community ASC
+LIMIT {LP_TOP_K}
+"""
+    )
+
+
 ORACLE = {
+    "graph_label_propagation": _label_prop_oracle(),
     "graph_pagerank_iter": _pagerank_iter_oracle(),
     "graph_triangle_count": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
