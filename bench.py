@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "stream_mor_delete",
     "sim_ann_cosine_pandas",
     "text_pii_scan",
+    "text_pii_redact",
     "text_repetition",
     "curate_decontaminate",
     "sim_quantize_int8",

@@ -112,6 +112,40 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the other half of :func:`q_pii_scan`'s
+    redact-or-drop gate: emails, URLs, then phone-shaped spans are
+    replaced with typed placeholders in ONE fixed chain (order matters
+    when span classes overlap — an email inside a URL is consumed by
+    whichever pattern runs first — so both engines run the identical
+    chain and the output is deterministic by construction).  Span
+    counts are taken on the ORIGINAL text, the audit record a curation
+    run keeps next to the redacted corpus.  Pure scan work: three
+    regexp_replace passes and three regexp_extract_all counts per row,
+    zero shuffles at any scale; patterns are the same Java∩RE2 dialect
+    the scan uses, run verbatim by the oracle."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), RE_EMAIL, "[EMAIL]"),
+            RE_URL,
+            "[URL]",
+        ),
+        RE_PHONE,
+        "[PHONE]",
+    )
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        red.alias("clean_text"),
+        n(RE_EMAIL).alias("n_emails"),
+        n(RE_URL).alias("n_urls"),
+        n(RE_PHONE).alias("n_phones"),
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition profile (the Gopher-rules quality signal): per-doc
     distinct-token ratio and the most frequent token's share.  The argmax
@@ -1285,6 +1319,20 @@ SELECT doc_id, lang, source,
        fail_reason = 'pass' AS keep
 FROM r
 """,
+    # same chain order as the Spark side: email -> url -> phone
+    "text_pii_redact": f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{RE_EMAIL}', '[EMAIL]', 'g'),
+           'https?://[^ ]+', '[URL]', 'g'),
+         '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]', '[PHONE]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]'))
+            AS INT) AS n_phones
+FROM documents
+""",
     "text_pii_scan": f"""
 SELECT doc_id, source,
        CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
@@ -2170,6 +2218,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_token_regex": q_text_token_regex,
     "text_pii_scan": q_pii_scan,
+    "text_pii_redact": q_pii_redact,
     "text_repetition": q_repetition,
     "text_quality_gate": q_quality_gate,
     "text_vocab_build": q_vocab_build,
