@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "op_bucketed_join",
     "stream_merge_sink",
     "stream_merge_mor",
+    "stream_drift_monitor",
     "stream_txn_sink",
     "stream_mor_delete",
     "sim_ann_cosine_pandas",

@@ -1112,6 +1112,150 @@ def q_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_checkpoint(read_table(spark, base, "t"))
 
 
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTRIBUTION-DRIFT monitor — `etl_profile_drift`'s
+    arithmetic run as an MLOps stream job: micro-batches land through
+    ``foreachBatch`` which appends only RAW histogram counts
+    (wave, bucket, n) — no float math inside the sink — and the drift
+    report re-aggregates those counts afterwards, so the result is
+    BATCH-CUT-INDEPENDENT by construction (counts are associative; a
+    wave split across batches re-sums to the same histogram).  Each
+    wave (identified by event-id parity, a property of the DATA, not
+    of batch ordering) is compared against the full-corpus reference:
+    smoothed probabilities, L1 and chi-square terms per bucket — the
+    same bit-exact per-bucket shape as the batch gate, every float op
+    one identical IEEE sequence in both engines.
+
+    Scale: the per-batch work is one 12-cell combinable aggregation
+    over the batch (O(batch)); the monitor state on disk is
+    O(waves × buckets) counts, never events."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.expectations import DRIFT_BUCKETS, DRIFT_WIDTH
+    from spark_spotify.sources.tables import load_table
+
+    K = DRIFT_BUCKETS
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="spark_spotify_stream_drift_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    counts_dir = _os.path.join(base, "counts")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    land(events.filter(F.col("event_id") % 2 == 0), "wave0")
+    land(events.filter(F.col("event_id") % 2 == 1), "wave1")
+
+    bucket = F.least(
+        F.floor(F.col("value") / DRIFT_WIDTH).cast("int"), F.lit(K - 1)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                (F.col("event_id") % 2).alias("wave"),
+                bucket.alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(counts_dir)
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # drift report over the re-aggregated monitor counts: the sink may
+    # have cut a wave across any number of batches — the sums agree
+    cw = (
+        spark.read.parquet(counts_dir)
+        .groupBy("wave", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    spine = (
+        cw.select("wave")
+        .distinct()
+        .crossJoin(
+            spark.range(K).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    ref = events.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    j = (
+        spine.join(cw, ["wave", "bucket"], "left")
+        .join(ref, "bucket", "left")
+        .select(
+            "wave",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_wave"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    tw = j.groupBy("wave").agg(F.sum("n_wave").alias("t_wave"))
+    tr = j.filter(F.col("wave") == 0).agg(F.sum("n_ref").alias("t_ref"))
+    p = (
+        j.join(tw, "wave")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "wave",
+            "bucket",
+            "n_wave",
+            "n_ref",
+            (
+                (F.col("n_wave").cast("double") + F.lit(0.5))
+                / (F.col("t_wave").cast("double") + F.lit(0.5 * K))
+            ).alias("p_wave"),
+            (
+                (F.col("n_ref").cast("double") + F.lit(0.5))
+                / (F.col("t_ref").cast("double") + F.lit(0.5 * K))
+            ).alias("p_ref"),
+        )
+    )
+    d = F.col("p_wave") - F.col("p_ref")
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    return stable_checkpoint(
+        p.select(
+            "wave",
+            "bucket",
+            "n_wave",
+            "n_ref",
+            "p_wave",
+            "p_ref",
+            F.abs(d).alias("l1_term"),
+            (d * d / F.col("p_ref")).alias("chi2_term"),
+        )
+    )
+
+
 def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter-queue routing — the quarantine pattern every
     production ingest stream needs: malformed payloads must neither kill
@@ -1364,6 +1508,45 @@ FROM r GROUP BY route, corruption
     "stream_merge_sink": """
 SELECT event_id, user_id, event_type FROM events
 """,
+    # per-wave histogram vs the full-corpus reference — identical
+    # arithmetic chain to etl_profile_drift, keyed by event-id parity
+    "stream_drift_monitor": """
+WITH w AS (
+  SELECT event_id % 2 AS wave,
+         LEAST(CAST(FLOOR(value / 50.0) AS INT), 11) AS bucket
+  FROM events
+),
+spine AS (
+  SELECT wv.wave, s.bucket
+  FROM (SELECT DISTINCT wave FROM w) wv
+  CROSS JOIN (SELECT CAST(gs AS INT) AS bucket
+              FROM generate_series(0, 11) t(gs)) s
+),
+cw AS (SELECT wave, bucket, COUNT(*) AS n FROM w GROUP BY wave, bucket),
+cr AS (SELECT bucket, COUNT(*) AS n FROM w GROUP BY bucket),
+j AS (
+  SELECT s.wave, s.bucket,
+         COALESCE(cw.n, 0) AS n_wave,
+         COALESCE(cr.n, 0) AS n_ref
+  FROM spine s
+  LEFT JOIN cw ON s.wave = cw.wave AND s.bucket = cw.bucket
+  LEFT JOIN cr ON s.bucket = cr.bucket
+),
+tw AS (SELECT wave, SUM(n_wave) AS t_wave FROM j GROUP BY wave),
+tr AS (SELECT SUM(n_ref) AS t_ref FROM j WHERE wave = 0),
+p AS (
+  SELECT j.wave, j.bucket, j.n_wave, j.n_ref,
+         (CAST(j.n_wave AS DOUBLE) + 0.5) / (CAST(tw.t_wave AS DOUBLE) + 6.0)
+           AS p_wave,
+         (CAST(j.n_ref AS DOUBLE) + 0.5) / (CAST(tr.t_ref AS DOUBLE) + 6.0)
+           AS p_ref
+  FROM j JOIN tw ON j.wave = tw.wave CROSS JOIN tr
+)
+SELECT wave, bucket, n_wave, n_ref, p_wave, p_ref,
+       abs(p_wave - p_ref) AS l1_term,
+       (p_wave - p_ref) * (p_wave - p_ref) / p_ref AS chi2_term
+FROM p
+""",
     # per-event total occurrence counts under any micro-batch cut: the
     # redelivered users saw their events twice, the re-keyed rows once
     "stream_merge_mor": """
@@ -1541,6 +1724,7 @@ QUERIES = {
     "stream_user_profile": q_stream_user_profile,
     "stream_merge_sink": q_stream_merge_sink,
     "stream_merge_mor": q_stream_merge_mor,
+    "stream_drift_monitor": q_stream_drift_monitor,
     "stream_txn_sink": q_stream_txn_sink,
     "stream_mor_delete": q_stream_mor_delete,
     "stream_dlq": q_stream_dlq,
