@@ -5704,7 +5704,14 @@ def delta_apply_mv(mv_prev: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     fold in the exact scaled-long domain (``lscale``), so
     maintained == recomputed bit-for-bit, not approximately.  Feed
     source-agnostic: :func:`change_feed`, :func:`row_lineage_feed`, or
-    a CDC stream all produce the consumed shape."""
+    a CDC stream all produce the consumed shape.
+
+    Precondition: a non-null ``value`` column.  SQL SUM skips NULLs,
+    so a group whose rows are ALL null sums to NULL on recompute but
+    to 0 here (the coalesce in the fold) — supporting that case would
+    need a per-group non-null count carried in the view.  The
+    warehouse's silver contract already excludes null metrics; the
+    guard documents the boundary rather than hiding it."""
     from spark_spotify.functions.agg import lscale, unscale
 
     sign = F.when(

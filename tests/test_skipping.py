@@ -1038,3 +1038,26 @@ def test_describe_bloom_coverage_reports_staleness(spark, warehouse):
     assert optimize_table(spark, warehouse, "t", big, tag="g1") == 2
     rep = {r["col"]: r for r in describe_bloom_coverage(spark, warehouse, "t").collect()}
     assert rep["tag"]["uncovered"] == []
+
+
+def test_optimize_where_out_of_scope_is_noop(spark, warehouse):
+    """A scoped OPTIMIZE whose predicate proves no part in scope must
+    commit nothing — no new version, no part moved."""
+    from spark_spotify.etl.pipeline import (
+        _commit_append,
+        _current_version,
+        optimize_table,
+    )
+
+    for k in range(3):
+        df = spark.range(k * 10, (k + 1) * 10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        _commit_append(df, warehouse, "t", k + 1)
+    v0 = _current_version(warehouse, "t")
+    n = optimize_table(
+        spark, warehouse, "t", 1 << 40, tag="oos",
+        predicates=[("id", ">", 10_000)],
+    )
+    assert n == 0
+    assert _current_version(warehouse, "t") == v0
