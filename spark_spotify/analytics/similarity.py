@@ -630,10 +630,8 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell, dim)-keyed map-side-combinable aggregation — no
     corpus-sized shuffle anywhere; the per-vec_id row_number window
     partitions by vector, thousands of independent K-row windows."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
+    base = fan_out(emb).select(
         "vec_id", F.expr(E_SQL).alias("v"), _norm(E_SQL).alias("nrm")
     ).persist()
     cents = base.filter(F.col("vec_id") < N_CELLS).select(
@@ -641,24 +639,38 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cent_id")
-    )
 
     def assign(c: DataFrame) -> DataFrame:
-        return (
-            base.crossJoin(F.broadcast(c))
-            .withColumn(
-                "cos_c",
-                _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm")),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+        """(vec_id, cent_id, cos_c) argmax — max cos, centroid-id
+        tie-break — as a map-side-combinable max-of-struct over SLIM
+        scored rows: the n·K relation never carries the vector arrays
+        through a shuffle (the lesson sim_hard_negatives measured:
+        arrays-through-window tripled its probe); consumers re-attach
+        arrays by joining the n-row result back to ``base``."""
+        scored = base.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            (
+                _dot("v", "cvec") / (F.col("nrm") * F.col("cnrm"))
+            ).alias("cos_c"),
+            "cent_id",
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    F.col("cos_c"), (-F.col("cent_id")).alias("nc")
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            (-F.col("b.nc")).alias("cent_id"),
+            F.col("b.cos_c").alias("cos_c"),
         )
 
     for _ in range(KM_ITERS):
         dims = (
             assign(cents)
+            .join(base, "vec_id")
             .select(
                 F.col("cent_id").alias("cell"),
                 F.posexplode("v").alias("dim", "x"),
