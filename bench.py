@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "stream_dedup",
     "ana_treemap_norm",
     "agg_rollup_revenue",
+    "agg_decayed_popularity",
     "op_salted_segment_value",
     "ana_segment_split",
     "sim_ann_ivf_topk",
@@ -187,6 +188,7 @@ BENCH_QUERIES = [
     "agg_exact_median",
     "graph_triangle_count",
     "graph_label_propagation",
+    "graph_khop_reach",
     "agg_exact_quartiles",
     "op_asof_join",
     "etl_vacuum",

@@ -411,11 +411,88 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KHOP_ROUNDS = 3  # BFS frontier expansions
+KHOP_SEED_MAX = 5  # seed: customers with c_custkey <= this
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (BFS frontier expansion with a visited set)
+    over the customer↔supplier trade graph — the fourth canonical
+    distributed-graph shape here (after score propagation, contraction,
+    and label propagation), and the one recursive SQL expresses with
+    ``WITH RECURSIVE``: Spark has no recursive CTE, so the loop is a
+    driver-side iteration of frontier⋈edges joins with an anti-join
+    against the visited set, checkpointed per hop.  Seed: customers
+    with key ≤ {KHOP_SEED_MAX}; output: per hop distance, how many
+    customer and supplier nodes are first reached at that distance.
+
+    Scale shape per hop: one edges⋈frontier join keyed on the source
+    (frontier is delta-sized — broadcast when small, co-partitioned
+    with the edge layout otherwise) + one anti-join against visited
+    (node-table-sized, never edge-sized).  Visited and frontier are
+    one row per node; the edge list never shuffles on anything but its
+    layout key.  Exactly GraphFrames' BFS dataflow, spelled in plain
+    DataFrames."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = stable_checkpoint(
+        cs.unionByName(
+            cs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    frontier = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= KHOP_SEED_MAX)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    reached = stable_checkpoint(frontier)
+    for hop in range(1, KHOP_ROUNDS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        frontier = stable_checkpoint(nxt)
+        reached = stable_checkpoint(reached.unionByName(frontier))
+    return (
+        reached.groupBy("dist")
+        .agg(
+            F.sum(
+                ((F.col("node") % 2) == 0).cast("long")
+            ).alias("n_customers"),
+            F.sum(
+                ((F.col("node") % 2) == 1).cast("long")
+            ).alias("n_suppliers"),
+        )
+        .orderBy("dist")
+    )
+
+
 QUERIES = {
     "graph_pagerank_step": q_pagerank_step,
     "graph_pagerank_iter": q_pagerank_iter,
     "graph_triangle_count": q_triangle_count,
     "graph_label_propagation": q_label_propagation,
+    "graph_khop_reach": q_khop_reach,
 }
 
 def _pagerank_iter_oracle() -> str:
@@ -498,7 +575,49 @@ LIMIT {LP_TOP_K}
     )
 
 
+def _khop_oracle() -> str:
+    """Unrolled BFS replica of q_khop_reach — frontier per hop minus
+    everything already reached."""
+    ctes = [
+        """cs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "e AS (SELECT u, v FROM cs UNION ALL SELECT v AS u, u AS v FROM cs)",
+        f"""f0 AS (
+  SELECT c_custkey * 2 AS node FROM customer
+  WHERE c_custkey <= {KHOP_SEED_MAX}
+)""",
+        "r0 AS (SELECT node, 0 AS dist FROM f0)",
+    ]
+    for h in range(1, KHOP_ROUNDS + 1):
+        ctes.append(
+            f"""f{h} AS (
+  SELECT DISTINCT e.v AS node
+  FROM e JOIN f{h - 1} ON e.u = f{h - 1}.node
+  WHERE e.v NOT IN (SELECT node FROM r{h - 1})
+),
+r{h} AS (
+  SELECT node, dist FROM r{h - 1}
+  UNION ALL SELECT node, {h} AS dist FROM f{h}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT dist,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM r{KHOP_ROUNDS} GROUP BY dist ORDER BY dist
+"""
+    )
+
+
 ORACLE = {
+    "graph_khop_reach": _khop_oracle(),
     "graph_label_propagation": _label_prop_oracle(),
     "graph_pagerank_iter": _pagerank_iter_oracle(),
     "graph_triangle_count": f"""

@@ -1372,7 +1372,73 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+DECAY_CAP_DAYS = 20  # weights: 2^(CAP - days_ago), floor at 1
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity counters (half-life = 1 day) — the
+    trending/recency ranking every feed or content store maintains:
+    per event type, an exponentially-decayed event count and value sum
+    as of the corpus's last day.  EXACT integer arithmetic end-to-end:
+    the decay weight is the power of two ``2^(CAP - days_ago)``
+    (days past the {DECAY_CAP_DAYS}-day horizon contribute the floor
+    weight 1 — a deliberate cap, not an approximation error), value
+    joins in as exact cents, and each per-row product is cast to
+    DECIMAL(38,0) before the SUM so no row count can overflow —
+    associative, partitioning-independent, bit-identical to the
+    oracle.  One final division returns to double.  Scale shape: one
+    map-side-combinable groupBy over the scan; the decayed table is
+    group-cardinality-sized and REAGGREGATABLE day over day (add the
+    new day's weighted rows, halve yesterday's total — the standing
+    maintenance a 100 TB feed runs, same posture as the HLL rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    d_ago = F.datediff(F.col("d_max"), F.to_date("ts"))
+    w = F.pow(
+        F.lit(2.0),
+        F.greatest(
+            F.lit(DECAY_CAP_DAYS) - d_ago, F.lit(0)
+        ).cast("double"),
+    ).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    full = F.lit(float(100 * (1 << DECAY_CAP_DAYS)))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.sum(w.cast("decimal(38,0)")).alias("_wsum"),
+            F.sum((cents * w).cast("decimal(38,0)")).alias("_vsum"),
+        )
+        .select(
+            "event_type",
+            (F.col("_wsum").cast("double") / F.lit(float(1 << DECAY_CAP_DAYS)))
+            .alias("decayed_count"),
+            (F.col("_vsum").cast("double") / full).alias("decayed_value"),
+        )
+    )
+
+
+ORACLE_DECAYED = f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events),
+w AS (
+  SELECT event_type,
+         CAST(power(2, GREATEST({DECAY_CAP_DAYS}
+               - datediff('day', CAST(ts AS DATE), mx.d_max), 0))
+              AS BIGINT) AS wt,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(SUM(CAST(wt AS DECIMAL(38,0))) AS DOUBLE)
+         / {float(1 << DECAY_CAP_DAYS)} AS decayed_count,
+       CAST(SUM(CAST(cents * wt AS DECIMAL(38,0))) AS DOUBLE)
+         / {float(100 * (1 << DECAY_CAP_DAYS))} AS decayed_value
+FROM w GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "agg_decayed_popularity": q_decayed_popularity,
     "agg_rollup_revenue": q_rollup_revenue,
     "agg_grouping_sets_sales": q_grouping_sets_sales,
     "agg_cube_sales": q_cube_sales,
@@ -1396,6 +1462,7 @@ QUERIES = {
 }
 
 ORACLE["agg_kmv_set_ops"] = KMV_ORACLE
+ORACLE["agg_decayed_popularity"] = ORACLE_DECAYED
 
 # DPP changes WHICH partitions are read, never which rows qualify
 ORACLE["op_dpp_join"] = """
