@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "rel_value_range_join",
     "ana_rolling_value_7d",
     "ana_gap_fill",
+    "ana_ab_test",
     "dedup_cluster_assign",
     "stream_user_profile",
     "ana_props_json",

@@ -622,7 +622,72 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test — the experiment-analysis verb every
+    product-analytics warehouse runs: users split into variants by id
+    parity, the metric is purchase-event share, and the z statistic is
+    the classic pooled-proportion test.  ONE combinable scan produces
+    the four integer counts; the statistic is a fixed chain of IEEE
+    ops over them (every divide/multiply/sqrt correctly rounded, same
+    order in both engines → bit-identical, no tolerance needed).
+    Scale: a single map-side-combinable aggregate — the scan is the
+    whole cost at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (F.col("user_id") % 2) == 0
+    purch = F.col("event_type") == "purchase"
+    c = ev.agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum((~a).cast("long")).alias("n_b"),
+        F.sum((a & purch).cast("long")).alias("x_a"),
+        F.sum(((~a) & purch).cast("long")).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_b - p_a) / se).alias("z_score"),
+    )
+
+
 ORACLE = {
+    "ana_ab_test": """
+WITH c AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+  FROM events
+)
+SELECT n_a, n_b, x_a, x_b,
+       CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+       CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+       (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         AS z_score
+FROM c
+""",
     "ana_gap_fill": """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
@@ -1005,6 +1070,7 @@ QUERIES = {
     "ana_top_artists_month": q_top_artists_month,
     "ana_rolling_value_7d": q_rolling_value_7d,
     "ana_gap_fill": q_gap_fill,
+    "ana_ab_test": q_ab_test,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,
     "ana_top_users": q_top_users,
