@@ -641,17 +641,22 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((a & purch).cast("long")).alias("x_a"),
         F.sum(((~a) & purch).cast("long")).alias("x_b"),
     )
-    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
-    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
-    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
+    # try_divide == DuckDB's double division: x/0 -> NULL (not ANSI
+    # error, not IEEE Inf), so a degenerate corpus NULLs out in both
+    # engines identically; on non-degenerate input it is the same
+    # correctly-rounded IEEE op as '/'
+    p_a = F.try_divide(F.col("x_a").cast("double"), F.col("n_a").cast("double"))
+    p_b = F.try_divide(F.col("x_b").cast("double"), F.col("n_b").cast("double"))
+    p_pool = F.try_divide(
+        (F.col("x_a") + F.col("x_b")).cast("double"),
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
     se = F.sqrt(
         p_pool
         * (F.lit(1.0) - p_pool)
         * (
-            F.lit(1.0) / F.col("n_a").cast("double")
-            + F.lit(1.0) / F.col("n_b").cast("double")
+            F.try_divide(F.lit(1.0), F.col("n_a").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("n_b").cast("double"))
         )
     )
     return c.select(
@@ -661,7 +666,13 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_b",
         p_a.alias("p_a"),
         p_b.alias("p_b"),
-        ((p_b - p_a) / se).alias("z_score"),
+        # degenerate corpus (empty variant, or p_pool in {0,1}) → se = 0
+        # or NaN; emit NULL rather than NaN/Inf so the cross-engine hash
+        # never depends on NaN encoding (ADVICE r7) — same CASE in the
+        # oracle
+        F.when(se > F.lit(0.0), F.try_divide(p_b - p_a, se)).alias(
+            "z_score"
+        ),
     )
 
 
@@ -677,16 +688,19 @@ WITH c AS (
              THEN 1 ELSE 0 END) AS BIGINT) AS x_b
   FROM events
 )
-SELECT n_a, n_b, x_a, x_b,
-       CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-       CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-       (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-       / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+, s AS (
+  SELECT n_a, n_b, x_a, x_b,
+         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
               * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
-         AS z_score
-FROM c
+           AS se
+  FROM c
+)
+SELECT n_a, n_b, x_a, x_b, p_a, p_b,
+       CASE WHEN se > 0 THEN (p_b - p_a) / se ELSE NULL END AS z_score
+FROM s
 """,
     "ana_gap_fill": """
 WITH daily AS (

@@ -1319,29 +1319,31 @@ SELECT doc_id, lang, source,
        fail_reason = 'pass' AS keep
 FROM r
 """,
-    # same chain order as the Spark side: email -> url -> phone
+    # same chain order as the Spark side: email -> url -> phone; all
+    # three patterns interpolated from the SAME module constants the
+    # Spark side compiles, so an edit can never diverge the two engines
     "text_pii_redact": f"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
            regexp_replace(text, '{RE_EMAIL}', '[EMAIL]', 'g'),
-           'https?://[^ ]+', '[URL]', 'g'),
-         '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]', '[PHONE]', 'g') AS clean_text,
+           '{RE_URL}', '[URL]', 'g'),
+         '{RE_PHONE}', '[PHONE]', 'g') AS clean_text,
        CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
-       CAST(len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]'))
+       CAST(len(regexp_extract_all(text, '{RE_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{RE_PHONE}'))
             AS INT) AS n_phones
 FROM documents
 """,
     "text_pii_scan": f"""
 SELECT doc_id, source,
        CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
-       CAST(len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]'))
+       CAST(len(regexp_extract_all(text, '{RE_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{RE_PHONE}'))
             AS INT) AS n_phones,
        (len(regexp_extract_all(text, '{RE_EMAIL}'))
-        + len(regexp_extract_all(text, 'https?://[^ ]+'))
-        + len(regexp_extract_all(text, '[+]?[0-9][0-9()\\- ]{{7,}}[0-9]')))
+        + len(regexp_extract_all(text, '{RE_URL}'))
+        + len(regexp_extract_all(text, '{RE_PHONE}')))
        > 0 AS has_pii
 FROM documents
 """,

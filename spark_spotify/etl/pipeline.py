@@ -5714,10 +5714,26 @@ def delta_apply_mv(mv_prev: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     guard documents the boundary rather than hiding it."""
     from spark_spotify.functions.agg import lscale, unscale
 
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"),
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+    # a malformed/future change type must FAIL the maintenance job, not
+    # silently fold as a delete and corrupt the view (ADVICE r7)
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("delta_apply_mv: unknown _change_type "),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        )
+    )
     delta = feed.groupBy(key).agg(
         F.sum(sign * lscale(F.col("value"))).alias("_d_sum"),
         F.sum(sign.cast("long")).alias("_d_n"),
