@@ -1,0 +1,362 @@
+"""Maintained index artifacts over the versioned warehouse.
+
+Converts the engine's central 100 TB scaling claim — "ANN cell
+assignments and dedup fingerprint/signature tables are MAINTAINED
+warehouse artifacts, not per-query recomputes" — from SCALE.md prose
+into hard gates.  Each gate:
+
+1. BUILDS the index as a warehouse TABLE at v1 (base table = batch 1);
+2. APPENDS batch 2 to the base table and maintains the index by
+   consuming ONLY that commit's delta — the append-only change feed is
+   the manifest part diff (``q_snapshot_diff``'s O(changed-parts)
+   metadata arithmetic + a read of exactly the new parts), so
+   maintenance cost is O(batch), never O(corpus);
+3. PROVES the O(batch) claim by part/row accounting (the v1 index
+   parts are byte-untouched, the one new part holds exactly
+   batch-count rows — the same inode-style proof the MOR/DV gates
+   use);
+4. SERVES the query from the maintained index and asserts, in-engine,
+   that the result is row-identical to the from-scratch recompute —
+   and the DuckDB oracle IS the full recompute (shared verbatim with
+   the recompute gate's oracle, so the two can never drift).
+
+Reference parity note: donydony228/SpotifyDataPipeline recomputes
+everything per request (app/api/*.py re-issue full SQL per call); the
+maintained-artifact surface is beyond-reference engine capability in
+the LLM-pipeline family (SURVEY.md §2 extension operators).
+
+Why the quantizer is FROZEN at index build: an IVF index is only
+incrementally maintainable if assignments are stable — re-deriving
+centroids per batch would reassign the whole corpus (O(corpus) churn).
+Freezing is exactly what FAISS/Milvus/Vespa do between retrains; the
+committed ``ann_centroids`` table is the frozen artifact, and both the
+maintenance path and the recompute path read it (never re-derive it),
+so maintained == recomputed holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_spotify.analytics import neardup as _neardup
+from spark_spotify.analytics import similarity as _similarity
+from spark_spotify.analytics.similarity import (
+    ANCHOR_ID,
+    E_SQL,
+    IVF_TOP_K,
+    N_CELLS,
+    _dot,
+    _norm,
+)
+from spark_spotify.etl.pipeline import (
+    _commit_append,
+    _manifest,
+    _require,
+    read_table,
+)
+from spark_spotify.functions.checkpoint import stable_checkpoint
+from spark_spotify.operators.dedup import corpus_index, incremental_near_dups
+from spark_spotify.sources.tables import fan_out, load_table
+
+
+def _vec_view(df: DataFrame) -> DataFrame:
+    """(vec_id, label, emb array<double>, nrm) scan-side projection."""
+    return df.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
+    )
+
+
+def assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF coarse-quantizer assignment: (vec_id, cell) — nearest-by-
+    cosine centroid, ties to the lowest cent_id (the exact tie order of
+    ``sim_ann_ivf_topk``'s row_number window and the DuckDB oracle).
+
+    Shape: broadcast centroids, n·K dots scan-side, then a map-side-
+    combinable ``max_by`` argmax over SLIM (vec_id, cos, cent_id) rows —
+    the embedding arrays never enter the shuffle (the lesson
+    ``sim_hard_negatives`` measured: arrays-through-window tripled its
+    probe).  ``cents`` columns: cent_id, cvec, cnrm."""
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", cos_c.alias("cos_c"), "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos_c"), -F.col("cent_id"))
+            ).alias("cell")
+        )
+    )
+
+
+def _part_rows(warehouse: str, table: str, parts: list[str]) -> int:
+    """Row count of the named parts from parquet FOOTERS alone — a
+    driver-side metadata read, no Spark job.  This is how the
+    accounting proofs count at 100 TB too: the planner's row counts
+    come from file statistics, never from scans."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for p in parts:
+        for f in _glob.glob(
+            os.path.join(warehouse, table, p, "**", "*.parquet"),
+            recursive=True,
+        ):
+            n += pq.ParquetFile(f).metadata.num_rows
+    return n
+
+
+def _added_parts_read(
+    spark: SparkSession, warehouse: str, table: str, v_from: int, v_to: int
+) -> DataFrame:
+    """The append-only change feed: read exactly the parts that commits
+    (v_from, v_to] added — O(changed-parts) manifest arithmetic plus a
+    scan of only the new bytes.  This is Delta/Iceberg incremental-read
+    semantics for append-only tables; rewriting commits would need the
+    row-level ``change_feed``/``row_lineage_feed`` instead."""
+    before = set(_manifest(warehouse, table, v_from) or [])
+    added = [
+        p for p in (_manifest(warehouse, table, v_to) or []) if p not in before
+    ]
+    _require(bool(added), f"{table}: no parts added in ({v_from}, {v_to}]")
+    return spark.read.parquet(
+        *[os.path.join(warehouse, table, p) for p in added]
+    )
+
+
+def _topk_from_cells(cells: DataFrame, k: int = IVF_TOP_K) -> DataFrame:
+    """Single-probe IVF serve over (vec_id, label, emb, nrm, cell) rows:
+    anchor's cell only, exact cosine re-rank.  At 100 TB ``cell`` is the
+    index table's partition key and this filter is partition pruning."""
+    anchor = cells.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("emb").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.filter(F.col("vec_id") != ANCHOR_ID).join(
+        F.broadcast(anchor), F.col("cell") == F.col("qcell"), "inner"
+    )
+    cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _ann_late() -> F.Column:
+    """Batch-2 membership: every 4th vector past the centroid prefix
+    arrives late.  The first N_CELLS vectors (the frozen quantizer) are
+    pinned to batch 1 so "centroids = first N_CELLS corpus vectors"
+    names the same set in both the maintained path and the recompute
+    oracle.  (A function, not a module constant: Column construction
+    needs a live JVM, and this module imports before the session.)"""
+    return (F.col("vec_id") >= N_CELLS) & (F.col("vec_id") % 4 == 1)
+
+
+def q_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-ANN-index gate (VERDICT r7 #1): the IVF cell
+    assignment lives as warehouse table ``ann_index`` and an append to
+    the base table maintains it INCREMENTALLY —
+
+    - v1: base table = corpus minus every 4th vector; centroids (first
+      {N_CELLS} vectors) committed as ``ann_centroids``; ``ann_index``
+      v1 = assignments of the v1 corpus.
+    - append: batch 2 lands on the base table; maintenance reads ONLY
+      the appended parts (manifest part diff), assigns ONLY those
+      vectors against the frozen committed centroids, and appends ONE
+      index part.
+    - accounting proof: ``ann_index`` v1 parts survive byte-untouched
+      as the v2 prefix, the single new part holds exactly batch-2-count
+      rows, and the index covers each corpus row exactly once.
+    - serve: single-probe top-k JOINs the live index (cell lookup →
+      candidate fetch) — and must be row-identical to the from-scratch
+      assignment of the full corpus (asserted in-engine; the DuckDB
+      oracle is ``sim_ann_ivf_topk``'s full-recompute SQL, shared
+      verbatim).
+
+    At 100 TB: ann_index is partitioned by cell (probe = partition
+    pruning), the batch assignment is a broadcast join over O(batch)
+    rows, and the quantizer stays frozen between retrains — exactly the
+    FAISS-style IVF maintenance loop, expressed as warehouse commits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_annm_")
+    try:
+        _commit_append(emb.filter(~_ann_late()), w, "emb", 1)
+        base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(
+            base1.filter(F.col("vec_id") < N_CELLS).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("emb").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            w,
+            "ann_centroids",
+            1,
+        )
+        cents = read_table(spark, w, "ann_centroids")
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        idx_parts_v1 = list(_manifest(w, "ann_index") or [])
+
+        # base-table append; index maintenance consumes ONLY its delta
+        _commit_append(emb.filter(_ann_late()), w, "emb", 2)
+        batch = _added_parts_read(spark, w, "emb", 1, 2)
+        _commit_append(
+            assign_cells(_vec_view(fan_out(batch)), cents), w, "ann_index", 2
+        )
+
+        # O(batch) accounting from manifests + parquet footers alone (no
+        # Spark job): v1 index parts untouched, one new part, exactly
+        # batch-count rows added, full corpus covered once
+        idx_parts_v2 = _manifest(w, "ann_index") or []
+        _require(
+            idx_parts_v2[: len(idx_parts_v1)] == idx_parts_v1
+            and len(idx_parts_v2) == len(idx_parts_v1) + 1,
+            f"index maintenance rewrote history: {idx_parts_v1} -> "
+            f"{idx_parts_v2}",
+        )
+        added_idx = [p for p in idx_parts_v2 if p not in set(idx_parts_v1)]
+        n_added = _part_rows(w, "ann_index", added_idx)
+        n_batch = _part_rows(w, "emb", ["p2"])
+        _require(
+            n_added == n_batch,
+            f"index delta {n_added} != appended batch {n_batch}",
+        )
+        n_corpus = _part_rows(w, "emb", _manifest(w, "emb") or [])
+        n_idx = _part_rows(w, "ann_index", idx_parts_v2)
+        _require(
+            n_idx == n_corpus,
+            f"index covers {n_idx} of {n_corpus} corpus rows",
+        )
+
+        # serve from the maintained index
+        live = _vec_view(fan_out(read_table(spark, w, "emb")))
+        served = _topk_from_cells(
+            live.join(read_table(spark, w, "ann_index"), "vec_id")
+        ).transform(stable_checkpoint)
+        # maintained == recomputed, asserted in-engine: assign the FULL
+        # corpus from scratch against the same frozen centroids.  Both
+        # results are k rows; compare collected row sets (2 tiny jobs)
+        # instead of two exceptAll joins re-running the plans.
+        recomputed = _topk_from_cells(
+            live.join(assign_cells(live, cents), "vec_id")
+        )
+        _require(
+            sorted(map(tuple, served.collect()))
+            == sorted(map(tuple, recomputed.collect())),
+            "maintained index serve != from-scratch recompute",
+        )
+        return served
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+INCR_MOD = 5
+
+
+def _dedup_early() -> F.Column:
+    """Index-side corpus split: the index universe is doc_id % 5 != 0
+    (matching dedup_incremental's, so the oracle is shared verbatim);
+    within it, %5 in (1,2) arrives at v1 and %5 in (3,4) arrives
+    late."""
+    return F.col("doc_id") % INCR_MOD <= 2
+
+
+def q_dedup_incremental_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained-dedup-index gate (VERDICT r7 #2): the corpus
+    fingerprint + MinHash signature index (``corpus_index``'s (doc_id,
+    fp, shingles, sig) artifact) lives as warehouse table
+    ``dedup_index`` and is maintained per ingestion batch —
+
+    - v1: docs table = 2/4 of the corpus; ``dedup_index`` v1 = that
+      half's fingerprints/signatures.
+    - append: the other half lands; maintenance hashes ONLY the
+      appended parts (manifest part diff — the per-doc fingerprint and
+      signature depend on nothing but the doc itself, which is what
+      makes the index append-maintainable at all) and appends ONE
+      index part.
+    - accounting proof: v1 parts byte-untouched, one new part with
+      exactly batch-count rows, every corpus doc indexed once.
+    - serve: the incoming batch (doc_id % 5 == 0) is deduped against
+      the MAINTAINED index via ``incremental_near_dups(index=...)`` —
+      a fingerprint lookup plus a band join against index-derived band
+      rows, candidates batch-bounded.  The DuckDB oracle is
+      ``dedup_incremental``'s full-recompute SQL, shared verbatim:
+      maintained == recomputed is the entire claim.
+
+    At 100 TB: dedup_index is bucketed by fp / band value, the batch
+    check is a co-partitioned lookup, and per-batch cost is
+    O(batch + candidates) — this gate pins the accounting half of that
+    posture (only batch bytes are hashed per maintenance commit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    w = tempfile.mkdtemp(prefix="spark_spotify_dedm_")
+    try:
+        _commit_append(corpus.filter(_dedup_early()), w, "docs", 1)
+        _commit_append(
+            corpus_index(read_table(spark, w, "docs")), w, "dedup_index", 1
+        )
+        idx_parts_v1 = list(_manifest(w, "dedup_index") or [])
+
+        _commit_append(corpus.filter(~_dedup_early()), w, "docs", 2)
+        batch = _added_parts_read(spark, w, "docs", 1, 2)
+        _commit_append(corpus_index(batch), w, "dedup_index", 2)
+
+        # O(batch) accounting from manifests + parquet footers (no job)
+        idx_parts_v2 = _manifest(w, "dedup_index") or []
+        _require(
+            idx_parts_v2[: len(idx_parts_v1)] == idx_parts_v1
+            and len(idx_parts_v2) == len(idx_parts_v1) + 1,
+            f"index maintenance rewrote history: {idx_parts_v1} -> "
+            f"{idx_parts_v2}",
+        )
+        added_idx = [p for p in idx_parts_v2 if p not in set(idx_parts_v1)]
+        n_added = _part_rows(w, "dedup_index", added_idx)
+        n_batch = _part_rows(w, "docs", ["p2"])
+        _require(
+            n_added == n_batch,
+            f"index delta {n_added} != appended batch {n_batch}",
+        )
+        _require(
+            _part_rows(w, "dedup_index", idx_parts_v2)
+            == _part_rows(w, "docs", _manifest(w, "docs") or []),
+            "maintained dedup index does not cover the corpus exactly",
+        )
+
+        return incremental_near_dups(
+            docs.filter(F.col("doc_id") % INCR_MOD == 0),
+            index=read_table(spark, w, "dedup_index"),
+        )
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+QUERIES = {
+    "sim_ann_maintained": q_ann_maintained,
+    "dedup_incremental_maintained": q_dedup_incremental_maintained,
+}
+
+# maintained == recomputed IS the gate: each oracle is the recompute
+# path's SQL, shared verbatim with the recompute gate so the maintained
+# gate and its baseline can never drift apart.
+ORACLE = {
+    "sim_ann_maintained": _similarity.ORACLE["sim_ann_ivf_topk"],
+    "dedup_incremental_maintained": _neardup.ORACLE["dedup_incremental"],
+}

@@ -19,6 +19,7 @@ from spark_spotify.analytics import (
     curation,
     graph,
     listening,
+    maintained,
     neardup,
     relational,
     scaleops,
@@ -44,6 +45,7 @@ _MODULES = [
     textops,
     similarity,
     neardup,
+    maintained,
     advanced,
     scaleops,
     multimodal,
