@@ -1,0 +1,111 @@
+"""OPTIMIZE ... ZORDER BY: layout-only contract (rows identical), both
+columns become prunable, composition with row tracking and deletion
+vectors (the rewrite must materialize DVs and carry stable row ids)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_spotify.etl import pipeline as P
+from spark_spotify.etl.pipeline import (
+    _commit_append,
+    _manifest,
+    delete_rows,
+    enable_row_tracking,
+    optimize_table,
+    prune_parts,
+    read_table,
+    read_table_with_row_ids,
+)
+
+
+@pytest.fixture()
+def warehouse():
+    path = tempfile.mkdtemp(prefix="spark_spotify_test_zo_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _grid_table(spark, warehouse, n=4096):
+    """n rows over a (a, b) grid, committed as 4 parts that each span
+    the FULL range of both columns."""
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") / 64).cast("long")).alias("b"),
+    )
+    for k in range(4):
+        _commit_append(df.filter(F.col("id") % 4 == k), warehouse, "t", k + 1)
+    return df
+
+
+def test_zorder_prunes_both_columns_rows_unchanged(spark, warehouse):
+    df = _grid_table(spark, warehouse)
+    before = sorted(map(tuple, read_table(spark, warehouse, "t").collect()))
+    n = optimize_table(
+        spark, warehouse, "t", 4096, tag="z", zorder_by=("a", "b")
+    )
+    assert n == 4
+    parts = _manifest(warehouse, "t") or []
+    assert len(parts) >= 4 and all(p.startswith("ozz") for p in parts)
+    ka, _ = prune_parts(warehouse, "t", [("a", "=", 5)])
+    kb, _ = prune_parts(warehouse, "t", [("b", "=", 5)])
+    kab, _ = prune_parts(warehouse, "t", [("a", "=", 5), ("b", "=", 5)])
+    assert len(ka) < len(parts)
+    assert len(kb) < len(parts)
+    assert len(kab) <= min(len(ka), len(kb))
+    after = sorted(map(tuple, read_table(spark, warehouse, "t").collect()))
+    assert before == after
+
+
+def test_zorder_materializes_dvs_and_keeps_row_ids(spark, warehouse):
+    _grid_table(spark, warehouse)
+    enable_row_tracking(warehouse, "t")
+    ids_before = {
+        r["row_id"]
+        for r in read_table_with_row_ids(spark, warehouse, "t")
+        .filter(F.col("a") != 3)
+        .collect()
+    }
+    # MOR delete leaves a deletion vector; the zorder rewrite must
+    # materialize it (deleted rows gone from the new parts' bytes)
+    delete_rows(spark, warehouse, "t", F.col("a") == 3, "d1", mode="mor")
+    optimize_table(spark, warehouse, "t", 1 << 20, tag="z", zorder_by=("a", "b"))
+    m = P._read_manifest_file(warehouse, "t", P._current_version(warehouse, "t"))
+    assert not m["dv"], "zorder rewrite must materialize deletion vectors"
+    out = read_table_with_row_ids(spark, warehouse, "t")
+    assert out.filter(F.col("a") == 3).count() == 0
+    assert {r["row_id"] for r in out.collect()} == ids_before
+
+
+def test_zorder_scoped_by_predicate_leaves_rest_untouched(spark, warehouse):
+    import os
+
+    _grid_table(spark, warehouse)
+    # scope to a <= 31: all four parts overlap (each spans the full a
+    # range), so everything is rewritten; then scope a second run to an
+    # empty range -> no-op
+    n = optimize_table(
+        spark, warehouse, "t", 1 << 20, tag="z",
+        predicates=[("a", "<=", 63)], zorder_by=("a", "b"),
+    )
+    assert n == 4
+    parts1 = _manifest(warehouse, "t") or []
+    inos = {
+        p: os.stat(
+            os.path.join(warehouse, "t", p)
+        ).st_ino
+        for p in parts1
+    }
+    n2 = optimize_table(
+        spark, warehouse, "t", 1 << 20, tag="z2",
+        predicates=[("a", ">", 63)], zorder_by=("a", "b"),
+    )
+    assert n2 == 0
+    assert (_manifest(warehouse, "t") or []) == parts1
+    for p, ino in inos.items():
+        assert os.stat(os.path.join(warehouse, "t", p)).st_ino == ino
