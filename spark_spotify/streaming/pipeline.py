@@ -1465,6 +1465,146 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, base, "rep")
 
 
+def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consumer over the ROW-LINEAGE change feed (VERDICT r7
+    #6) — ``q_stream_cdf_follow`` composed with row tracking: the
+    replica follows a source that undergoes a COW delete, a COW MERGE
+    and a WHOLE-TABLE COMPACTION *mid-stream*, and stays consistent
+    because the feed is keyed by the stable ``row_id``, never by file
+    order or a business key.  Run 1 consumes the v0 snapshot (insert
+    rows); the source then churns (three commits, two of which rewrite
+    every byte of the table); run 2 restarts from the checkpoint and
+    applies exactly the row-lineage feed — which contains ONLY the
+    logical changes (the compaction's full physical rewrite contributes
+    zero rows, asserted upstream by etl_cdf_row_lineage; here the gate
+    asserts the applied-row count equals the feed and the replica
+    equals the head snapshot INCLUDING ids).  This is Delta's
+    ``readChangeFeed`` + row-id lineage consumed by Structured
+    Streaming: replication stays O(changes) per trigger while OPTIMIZE
+    and MERGE churn the physical layout underneath.
+
+    Oracle: the from-scratch recompute of the head state — shared
+    verbatim with ``etl_cdf_row_lineage``."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        DELETE_USER,
+        MERGE_INSERT_USER,
+        MERGE_UPDATE_USER,
+        _commit,
+        _commit_append,
+        _current_version,
+        _require,
+        apply_change_feed,
+        compact_table,
+        delete_rows,
+        enable_row_tracking,
+        merge_rows,
+        read_table,
+        read_table_with_row_ids,
+        row_lineage_feed,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="spark_spotify_rowfollow_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    _commit_append(ev.filter(F.col("event_id") % 2 == 0), base, "src", 1)
+    _commit_append(ev.filter(F.col("event_id") % 2 == 1), base, "src", 2)
+    enable_row_tracking(base, "src")
+    v0 = _current_version(base, "src")
+    s0 = read_table_with_row_ids(spark, base, "src", v0)
+    feed1 = s0.select(F.lit("insert").alias("_change_type"), *s0.columns)
+
+    src_dir = _os.path.join(base, "feed")
+    _os.makedirs(src_dir)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src_dir, f"{name}.parquet"))
+
+    land(feed1, "b1")
+    applied: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        # idempotent replay guard: replica version doubles as the
+        # txnVersion (same protocol as q_stream_cdf_follow)
+        if _current_version(base, "rep") >= batch_id + 1:
+            return
+        replica = read_table(ss, base, "rep")
+        if replica is None:
+            replica = batch_df.drop("_change_type").limit(0)
+        applied[batch_id] = batch_df.count()
+        _commit(
+            apply_change_feed(replica, batch_df, "row_id"),
+            base,
+            "rep",
+            batch_id + 1,
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(feed1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    # MID-STREAM churn: COW delete, COW MERGE (update + re-keyed
+    # inserts), then a whole-table compaction — two full physical
+    # rewrites land between the consumer's two runs
+    delete_rows(
+        spark, base, "src", F.col("user_id") == DELETE_USER, "d1"
+    )
+    live = read_table(spark, base, "src")
+    src_delta = (
+        live.filter(F.col("user_id") == MERGE_UPDATE_USER)
+        .withColumn("value", F.col("value") * 2)
+        .unionByName(
+            live.filter(F.col("user_id") == MERGE_INSERT_USER).withColumn(
+                "event_id", -(F.col("event_id") + F.lit(1))
+            )
+        )
+    )
+    merge_rows(spark, base, "src", src_delta, "event_id", "m1")
+    compact_table(spark, base, "src", "z")
+    feed2 = row_lineage_feed(spark, base, "src", v0)
+    n2 = feed2.count()
+    land(feed2.select(*feed1.columns), "b2")
+    run()
+    _require(
+        applied.get(1, 0) == n2,
+        f"restart must apply exactly the row feed ({applied} vs {n2})",
+    )
+    # the replica carries the source's STABLE ids: equality holds
+    # row-for-row including row_id, through both physical rewrites
+    rep = read_table(spark, base, "rep")
+    head = read_table_with_row_ids(spark, base, "src").select(*rep.columns)
+    _require(
+        rep.exceptAll(head).count() == 0
+        and head.exceptAll(rep).count() == 0,
+        "replica diverged from the head snapshot under row-id lineage",
+    )
+    return rep.drop("row_id")
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
@@ -1735,10 +1875,15 @@ QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_late_data": q_stream_late_data,
     "stream_cdf_follow": q_stream_cdf_follow,
+    "stream_cdf_row_follow": q_stream_cdf_row_follow,
 }
 
 # the replica reconstructed purely from the change feed must equal the
 # live gold table — the full daily-stats SQL
+from spark_spotify.etl import pipeline as _etlp  # noqa: E402
 from spark_spotify.etl import stats as _stats  # noqa: E402
 
 ORACLE["stream_cdf_follow"] = _stats.ORACLE["etl_daily_stats"]
+# the row-lineage follower reconstructs the head state exactly — shared
+# verbatim with the producer-side gate so the two can never drift
+ORACLE["stream_cdf_row_follow"] = _etlp.ORACLE["etl_cdf_row_lineage"]
