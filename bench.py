@@ -233,6 +233,11 @@ BENCH_QUERIES = [
     "op_dpp_join",
     "etl_clone",
     "curate_pack_bpe",
+    "sim_ann_maintained",
+    "dedup_incremental_maintained",
+    "etl_optimize_zorder",
+    "stream_cdf_row_follow",
+    "mm_real_decode",
 ]
 
 
