@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "etl_optimize_zorder",
     "stream_cdf_row_follow",
     "mm_real_decode",
+    "sim_ann_maintained_delete",
+    "sim_ann_partition_prune",
 ]
 
 

@@ -57,6 +57,8 @@ from spark_spotify.etl.pipeline import (
     _commit_append,
     _manifest,
     _require,
+    change_feed,
+    delete_rows,
     read_table,
 )
 from spark_spotify.functions.checkpoint import stable_checkpoint
@@ -348,15 +350,208 @@ def q_dedup_incremental_maintained(
         shutil.rmtree(w, ignore_errors=True)
 
 
+def q_ann_maintained_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under DELETE — the erasure half of the
+    maintained-ANN contract (``sim_ann_maintained`` covers appends): a
+    GDPR-style deletion on the base table must propagate to the index
+    WITHOUT rewriting either table.
+
+    - the full corpus lands as ``emb`` v1; frozen centroids + cell
+      index built as in ``sim_ann_maintained``;
+    - the erasure batch (every 7th vector above the centroid prefix)
+      is deleted from the base table MERGE-ON-READ: a deletion-vector
+      sidecar, zero part rewrites;
+    - index maintenance consumes the row-level change feed between the
+      two base versions (all ``delete`` rows, asserted), and applies
+      the same erasure to the index AS ITS OWN MOR DELETE — sidecar
+      bytes O(deleted rows), every index part byte-untouched
+      (inode-proven for BOTH tables);
+    - serve from the maintained index must equal the from-scratch
+      recompute over the head corpus (asserted in-engine; the oracle
+      is the recompute SQL over the corpus minus the erased set).
+
+    At 100 TB this is the shape that makes takedowns affordable: base
+    and index each write O(deleted) sidecar bytes, and the next
+    OPTIMIZE materializes both away."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_annd_")
+    try:
+        _commit_append(emb, w, "emb", 1)
+        base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(
+            base1.filter(F.col("vec_id") < N_CELLS).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("emb").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            w,
+            "ann_centroids",
+            1,
+        )
+        cents = read_table(spark, w, "ann_centroids")
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+
+        def _inodes(table: str) -> dict:
+            out = {}
+            tdir = os.path.join(w, table)
+            for p in _manifest(w, table) or []:
+                for root, _d, files in os.walk(os.path.join(tdir, p)):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            out[f"{p}/{f}"] = os.stat(
+                                os.path.join(root, f)
+                            ).st_ino
+            return out
+
+        base_inos = _inodes("emb")
+        idx_inos = _inodes("ann_index")
+        erase = (F.col("vec_id") >= N_CELLS) & (F.col("vec_id") % 7 == 3)
+        delete_rows(spark, w, "emb", erase, "er1", mode="mor")
+        # row feed between the two base versions: pure deletes.  SLIM
+        # projection — classifying deletes needs the key only, and a
+        # full-column diff would drag the 64-double arrays through the
+        # full-outer join for nothing (measured ~2x on this gate).
+        feed = change_feed(
+            read_table(spark, w, "emb", version=1).select("vec_id", "label"),
+            read_table(spark, w, "emb").select("vec_id", "label"),
+            "vec_id",
+        )
+        kinds = {
+            r["_change_type"]
+            for r in feed.select("_change_type").distinct().collect()
+        }
+        _require(
+            kinds == {"delete"},
+            f"erasure feed carries non-delete rows: {kinds}",
+        )
+        # delta-sized by the erasure contract (same posture as the DV
+        # part-id collects at etl/pipeline.py:4530)
+        gone = [r["vec_id"] for r in feed.select("vec_id").collect()]
+        _require(bool(gone), "erasure batch unexpectedly empty")
+        delete_rows(
+            spark,
+            w,
+            "ann_index",
+            F.col("vec_id").isin(gone),
+            "ixd",
+            mode="mor",
+        )
+        _require(
+            _inodes("emb") == base_inos
+            and _inodes("ann_index") == idx_inos,
+            "MOR erasure rewrote part bytes",
+        )
+        # serve from the maintained (DV-filtered) index vs recompute
+        live = _vec_view(fan_out(read_table(spark, w, "emb")))
+        served = _topk_from_cells(
+            live.join(read_table(spark, w, "ann_index"), "vec_id")
+        ).transform(stable_checkpoint)
+        recomputed = _topk_from_cells(
+            live.join(assign_cells(live, cents), "vec_id")
+        )
+        _require(
+            sorted(map(tuple, served.collect()))
+            == sorted(map(tuple, recomputed.collect())),
+            "maintained index serve != post-delete recompute",
+        )
+        return served
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+def q_ann_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-partitioned index layout — converts the standing docstring
+    claim "at 100 TB the cell id is the partition key and probing is
+    partition pruning" (``sim_ann_ivf_topk``) into a manifest-gated
+    proof: the cell index is committed ONE PART PER CELL, the query
+    vector is quantized against the frozen centroids (a broadcast
+    compute, never a corpus lookup), and ``prune_parts`` proves from
+    the manifest alone that exactly ONE index part can contain the
+    probed cell — the serve opens 1/{N_CELLS} of the index, which is
+    precisely what FAISS's inverted lists buy.  Candidate embeddings
+    are then fetched by a vec_id join against the base table and
+    exactly re-ranked.  Result must be row-identical to the
+    single-probe recompute (oracle shared verbatim with
+    ``sim_ann_ivf_topk``)."""
+    import glob as _glob
+
+    from spark_spotify.etl.pipeline import _swing, prune_parts
+    from spark_spotify.etl.pipeline import read_table_where
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_annp_")
+    try:
+        _commit_append(emb, w, "emb", 1)
+        vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
+        cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+        _commit_append(cents, w, "ann_centroids", 1)
+        cents_t = read_table(spark, w, "ann_centroids")
+        # clustered index layout: one part per cell; files keep the cell
+        # column (duplicated partition key) so footer stats drive pruning
+        assign = assign_cells(vecs, cents_t)
+        tmp = os.path.join(w, "_ix_out")
+        (
+            assign.withColumn("cell_pk", F.col("cell"))
+            .repartition("cell_pk")
+            .write.partitionBy("cell_pk")
+            .parquet(tmp)
+        )
+        os.makedirs(os.path.join(w, "ann_index"))
+        parts = []
+        for d in sorted(_glob.glob(os.path.join(tmp, "cell_pk=*"))):
+            c = int(d.rsplit("=", 1)[1])
+            pname = f"cell{c}"
+            os.rename(d, os.path.join(w, "ann_index", pname))
+            parts.append(pname)
+        _swing(w, "ann_index", sorted(parts))
+        # quantize the QUERY vector against the frozen centroids — the
+        # serving path computes the probe cell, it never scans for it
+        anchor = vecs.filter(F.col("vec_id") == ANCHOR_ID)
+        qcell = assign_cells(anchor, cents_t).collect()[0]["cell"]
+        kept, _ = prune_parts(w, "ann_index", [("cell", "=", qcell)])
+        _require(
+            kept == [f"cell{qcell}"],
+            f"cell probe kept {kept}, expected exactly cell{qcell}",
+        )
+        cand = read_table_where(
+            spark, w, "ann_index", [("cell", "=", qcell)]
+        ).select("vec_id", "cell")
+        # materialize before the temp warehouse is torn down
+        return _topk_from_cells(vecs.join(cand, "vec_id")).transform(
+            stable_checkpoint
+        )
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
+    "sim_ann_maintained_delete": q_ann_maintained_delete,
+    "sim_ann_partition_prune": q_ann_partition_prune,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
 }
 
 # maintained == recomputed IS the gate: each oracle is the recompute
 # path's SQL, shared verbatim with the recompute gate so the maintained
-# gate and its baseline can never drift apart.
+# gate and its baseline can never drift apart.  The delete gate's
+# oracle is the same recompute over the corpus MINUS the erased set —
+# derived mechanically from the shared SQL (single substitution point,
+# guarded below) so an edit to the base oracle flows through.
+_IVF_SQL = _similarity.ORACLE["sim_ann_ivf_topk"]
+if _IVF_SQL.count("FROM embeddings") != 1:  # guard the substitution
+    raise RuntimeError("sim_ann_ivf_topk oracle shape changed")
+
 ORACLE = {
-    "sim_ann_maintained": _similarity.ORACLE["sim_ann_ivf_topk"],
+    "sim_ann_maintained": _IVF_SQL,
+    "sim_ann_partition_prune": _IVF_SQL,
+    "sim_ann_maintained_delete": _IVF_SQL.replace(
+        "FROM embeddings",
+        "FROM (SELECT * FROM embeddings "
+        f"WHERE NOT (vec_id >= {N_CELLS} AND vec_id % 7 = 3))",
+    ),
     "dedup_incremental_maintained": _neardup.ORACLE["dedup_incremental"],
 }
