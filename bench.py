@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "mm_real_decode",
     "sim_ann_maintained_delete",
     "sim_ann_partition_prune",
+    "stream_ann_maintain",
 ]
 
 

@@ -528,10 +528,125 @@ def q_ann_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the ANN cell index — the maintained-
+    index contract driven by Structured Streaming instead of batch
+    commits: embedding arrivals land as a checkpointed file stream
+    (``maxFilesPerTrigger=1``), the frozen quantizer is committed
+    BEFORE the stream starts (the retrain boundary), and each
+    micro-batch is assigned against those centroids and appended to
+    the index table under the replica-version idempotency guard
+    (foreachBatch is at-least-once; index version batch_id+1 already
+    committed ⇒ the batch already applied — the same txnVersion
+    protocol as ``stream_cdf_follow``).  Run 1 indexes arrival 1;
+    arrival 2 lands; run 2 RESTARTS from the checkpoint and assigns
+    exactly the new vectors (asserted); a third restart with no new
+    arrivals applies nothing (asserted).  After the drain the index
+    covers the corpus exactly once (footer accounting) and the serve
+    equals the from-scratch recompute — the oracle is
+    ``sim_ann_ivf_topk``'s full-recompute SQL, shared verbatim.
+
+    At 100 TB this is the live half of the FAISS-style loop: the
+    ingestion stream maintains inverted lists incrementally per
+    trigger, cost O(arrivals), while searches read the committed
+    snapshot."""
+    import atexit
+    import glob as _glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="spark_spotify_annstream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "arrivals")
+    os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{name}.parquet"))
+
+    land(emb.filter(~_ann_late()), "b1")
+    # frozen quantizer from the first arrival, committed up front
+    first = _vec_view(spark.read.parquet(os.path.join(src, "b1.parquet")))
+    _commit_append(
+        first.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        ),
+        base,
+        "ann_centroids",
+        1,
+    )
+    cents = read_table(spark, base, "ann_centroids")
+    applied: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_spotify.etl.pipeline import _current_version
+
+        if _current_version(base, "ann_index") >= batch_id + 1:
+            return
+        applied[batch_id] = batch_df.count()
+        _commit_append(
+            assign_cells(_vec_view(batch_df), cents),
+            base,
+            "ann_index",
+            batch_id + 1,
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    land(emb.filter(_ann_late()), "b2")
+    run()
+    n2 = _part_rows(base, "ann_index", ["p2"])
+    _require(
+        applied.get(1, 0) == n2 and n2 > 0,
+        f"restart must index exactly arrival 2 ({applied} vs {n2})",
+    )
+    before = dict(applied)
+    run()  # no new arrivals: the checkpointed stream applies nothing
+    _require(applied == before, "idle restart re-applied batches")
+    idx_parts = _manifest(base, "ann_index") or []
+    n_idx = _part_rows(base, "ann_index", idx_parts)
+    corpus = _vec_view(fan_out(spark.read.parquet(src)))
+    n_corpus = _part_rows(base, "arrivals", [""])  # all files under src
+    _require(
+        n_idx == n_corpus,
+        f"index covers {n_idx} of {n_corpus} streamed vectors",
+    )
+    served = _topk_from_cells(
+        corpus.join(read_table(spark, base, "ann_index"), "vec_id")
+    ).transform(stable_checkpoint)
+    recomputed = _topk_from_cells(
+        corpus.join(assign_cells(corpus, cents), "vec_id")
+    )
+    _require(
+        sorted(map(tuple, served.collect()))
+        == sorted(map(tuple, recomputed.collect())),
+        "stream-maintained index serve != from-scratch recompute",
+    )
+    return served
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
+    "stream_ann_maintain": q_stream_ann_maintain,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
 }
 
@@ -548,6 +663,7 @@ if _IVF_SQL.count("FROM embeddings") != 1:  # guard the substitution
 ORACLE = {
     "sim_ann_maintained": _IVF_SQL,
     "sim_ann_partition_prune": _IVF_SQL,
+    "stream_ann_maintain": _IVF_SQL,
     "sim_ann_maintained_delete": _IVF_SQL.replace(
         "FROM embeddings",
         "FROM (SELECT * FROM embeddings "
