@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "sim_ann_maintained_delete",
     "sim_ann_partition_prune",
     "stream_ann_maintain",
+    "dedup_band_lookup",
 ]
 
 

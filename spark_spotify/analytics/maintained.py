@@ -642,12 +642,180 @@ def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served
 
 
+def q_dedup_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-partitioned band lookup — the final clause of the maintained-
+    dedup posture ("the per-batch check is a co-partitioned lookup",
+    VERDICT r7 #2): the corpus MinHash band rows live as a BUCKETED
+    warehouse table keyed by band value, the incoming batch's band rows
+    are bucketed the same way, and candidate generation joins the two
+    with ZERO shuffle Exchange nodes — asserted on the executed plan
+    (broadcasts excluded; the corpus-side shuffle is paid once at
+    maintenance time, exactly op_bucketed_join's contract applied to
+    the dedup index).  The over-full-bucket guard is two bucketed
+    (shuffle-free) per-side counts full-outer-joined on the SAME
+    bucketed key.  Verify and verdict are identical to
+    ``dedup_incremental``; the oracle is shared verbatim — same
+    candidates, same precedence, bit-identical output, different (and
+    plan-proven) physical shape."""
+    import atexit
+
+    from pyspark.sql import Window
+
+    from spark_spotify.operators.dedup import (
+        MAX_BAND_BUCKET,
+        JACCARD_THRESHOLD,
+        band_rows,
+        normalized_fingerprint,
+        signatures,
+    )
+    from spark_spotify.sources.warehouse import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    sfx = f"pid{os.getpid()}"
+    root = "/tmp/spark_spotify_bandlkp"
+    base = f"{root}/{sfx}"
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    os.utime(root)  # keep the orphan sweep's idle clock fresh
+
+    def bv_rows(sig: DataFrame) -> DataFrame:
+        return band_rows(sig).select(
+            "doc_id",
+            F.concat_ws("#", F.col("band"), F.col("band_val")).alias("bv"),
+        )
+
+    # maintenance side: corpus signatures + bucketed band table (paid
+    # once per corpus batch in production — the gate times the whole
+    # layout-then-lookup pipeline, like op_bucketed_join)
+    sig_old = signatures(corpus).persist()
+    write_bucketed(
+        bv_rows(sig_old),
+        f"dedup_bands_old_{sfx}",
+        f"{base}/bands_old",
+        ["bv"],
+    )
+    sig_new = signatures(batch).persist()
+    write_bucketed(
+        bv_rows(sig_new),
+        f"dedup_bands_new_{sfx}",
+        f"{base}/bands_new",
+        ["bv"],
+    )
+    bo = spark.table(f"dedup_bands_old_{sfx}")
+    bn = spark.table(f"dedup_bands_new_{sfx}")
+    cnt_o = bo.groupBy("bv").agg(F.count(F.lit(1)).alias("_no"))
+    cnt_n = bn.groupBy("bv").agg(F.count(F.lit(1)).alias("_nn"))
+    z = F.lit(0).cast("long")
+    over_plan = (
+        cnt_o.join(cnt_n, "bv", "full_outer")
+        .filter(
+            (F.coalesce("_no", z) + F.coalesce("_nn", z)) > MAX_BAND_BUCKET
+        )
+        .select("bv")
+    )
+
+    def pairs_of(over: DataFrame) -> DataFrame:
+        return (
+            bn.join(F.broadcast(over), "bv", "left_anti")
+            .withColumnRenamed("doc_id", "new_id")
+            .join(
+                bo.join(F.broadcast(over), "bv", "left_anti")
+                .withColumnRenamed("doc_id", "old_id"),
+                "bv",
+            )
+            .select("new_id", "old_id")
+        )
+
+    # the plan proof: candidate generation over the bucketed layout has
+    # no shuffle Exchange anywhere — the bucket-count guard, the anti
+    # joins, and the band equi-join all reuse the write-time bucketing
+    # (BroadcastExchange of the tiny offender set is fine)
+    import re as _re
+
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        pairs_of(over_plan)._jdf.queryExecution(), "formatted"
+    )
+    _require(
+        _re.search(r"\(\d+\) Exchange\b", plan) is None,
+        "bucketed band lookup plans a shuffle Exchange",
+    )
+    over = over_plan.transform(stable_checkpoint)
+    cand = pairs_of(over).distinct()
+    # verify + verdict: identical logic to incremental_near_dups
+    exact = (
+        batch.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+        .join(
+            corpus.select(
+                normalized_fingerprint(F.col("text")).alias("fp"),
+                F.col("doc_id").alias("old_id"),
+            ),
+            "fp",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_id"))
+    )
+    nc = F.size(F.array_intersect("sh_n", "sh_o"))
+    jac = F.round(nc / (F.size("sh_n") + F.size("sh_o") - nc), 3)
+    scored = (
+        cand.join(
+            sig_new.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("shingles").alias("sh_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            sig_old.select(
+                F.col("doc_id").alias("old_id"),
+                F.col("shingles").alias("sh_o"),
+            ),
+            "old_id",
+        )
+        .withColumn("jaccard", jac)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("near_id"),
+            "jaccard",
+        )
+    )
+    is_near = F.col("jaccard") >= JACCARD_THRESHOLD
+    out = (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("drop_exact"))
+            .when(is_near, F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.when(F.col("exact_id").isNotNull(), F.col("exact_id"))
+            .when(is_near, F.col("near_id"))
+            .alias("match_id"),
+            F.when(F.col("exact_id").isNull() & is_near, F.col("jaccard"))
+            .alias("match_jaccard"),
+        )
+        .transform(stable_checkpoint)
+    )
+    sig_old.unpersist()
+    sig_new.unpersist()
+    return out
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
     "stream_ann_maintain": q_stream_ann_maintain,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
+    "dedup_band_lookup": q_dedup_band_lookup,
 }
 
 # maintained == recomputed IS the gate: each oracle is the recompute
@@ -670,4 +838,5 @@ ORACLE = {
         f"WHERE NOT (vec_id >= {N_CELLS} AND vec_id % 7 = 3))",
     ),
     "dedup_incremental_maintained": _neardup.ORACLE["dedup_incremental"],
+    "dedup_band_lookup": _neardup.ORACLE["dedup_incremental"],
 }
