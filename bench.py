@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "sim_ann_partition_prune",
     "stream_ann_maintain",
     "dedup_band_lookup",
+    "sim_ann_index_optimize",
+    "sim_ann_ivf_multiprobe",
 ]
 
 

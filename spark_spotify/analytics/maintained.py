@@ -809,10 +809,80 @@ def q_dedup_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ann_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LAYOUT MAINTENANCE — the round-8 pieces composed: a cell
+    index that grew through three stream-style APPENDS (each append
+    spans every cell, so per-part stats can prune nothing: the natural
+    arrival layout) is re-clustered by ``optimize_table(zorder_by=
+    ("cell", "vec_id"))`` into Z-ranges, after which the anchor-cell
+    probe provably prunes parts again (``prune_parts``, manifest-only).
+    This is the operational loop a 100 TB vector store actually runs —
+    the ingest stream appends unclustered, OPTIMIZE periodically
+    restores the partition-pruning property the serving path depends
+    on — and the serve stays row-identical through the rewrite (oracle
+    shared verbatim with ``sim_ann_ivf_topk``)."""
+    from spark_spotify.etl.pipeline import optimize_table, prune_parts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_annopt_")
+    try:
+        _commit_append(emb, w, "emb", 1)
+        vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
+        cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+        _commit_append(cents, w, "ann_centroids", 1)
+        cents_t = read_table(spark, w, "ann_centroids")
+        assign = assign_cells(vecs, cents_t)
+        # three appends, each spanning every cell — arrival layout
+        for k in range(3):
+            _commit_append(
+                assign.filter(F.col("vec_id") % 3 == k), w, "ann_index", k + 1
+            )
+        qcell = assign_cells(
+            vecs.filter(F.col("vec_id") == ANCHOR_ID), cents_t
+        ).collect()[0]["cell"]
+        pre, _ = prune_parts(w, "ann_index", [("cell", "=", qcell)])
+        _require(
+            len(pre) == 3, "arrival layout was already cell-prunable"
+        )
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for p in (_manifest(w, "ann_index") or [])
+            for root, _d, files in os.walk(os.path.join(w, "ann_index", p))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n = optimize_table(
+            spark,
+            w,
+            "ann_index",
+            max(total // N_CELLS, 1),  # ~one Z-range per cell
+            tag="ix",
+            zorder_by=("cell", "vec_id"),
+        )
+        _require(n == 3, f"index optimize rewrote {n} parts, expected 3")
+        parts = _manifest(w, "ann_index") or []
+        kept, _ = prune_parts(w, "ann_index", [("cell", "=", qcell)])
+        _require(
+            len(kept) < len(parts),
+            "cell probe prunes nothing post-OPTIMIZE",
+        )
+        served = _topk_from_cells(
+            vecs.join(read_table(spark, w, "ann_index"), "vec_id")
+        ).transform(stable_checkpoint)
+        return served
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
+    "sim_ann_index_optimize": q_ann_index_optimize,
     "stream_ann_maintain": q_stream_ann_maintain,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
     "dedup_band_lookup": q_dedup_band_lookup,
@@ -832,6 +902,7 @@ ORACLE = {
     "sim_ann_maintained": _IVF_SQL,
     "sim_ann_partition_prune": _IVF_SQL,
     "stream_ann_maintain": _IVF_SQL,
+    "sim_ann_index_optimize": _IVF_SQL,
     "sim_ann_maintained_delete": _IVF_SQL.replace(
         "FROM embeddings",
         "FROM (SELECT * FROM embeddings "

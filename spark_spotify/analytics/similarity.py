@@ -367,6 +367,74 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``nprobe={IVF_NPROBE}`` — the recall/cost dial every
+    IVF deployment exposes (FAISS ``nprobe``), the inverted-file twin
+    of ``sim_ann_lsh_multiprobe``: the query probes its NPROBE
+    nearest cells instead of one, recovering neighbors that fell just
+    across a Voronoi boundary at NPROBE/N_CELLS of the corpus scanned.
+    Assignment is the shared coarse-quantizer argmax
+    (``sim_ann_ivf_topk``); the probe list is the anchor's top-NPROBE
+    centroids by cosine (ties to the lower cent_id), broadcast as
+    NPROBE rows; candidates come from one equi-join on the cell id —
+    at 100 TB, NPROBE partition reads instead of one.  Ties and
+    rounding identical to the single-probe gate, so the oracle replays
+    the probe ranking exactly."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("emb"),
+        _norm(E_SQL).alias("nrm"),
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "emb", "nrm", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") == ANCHOR_ID) & (F.col("rn") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("cent_id").alias("probe"),
+            F.col("emb").alias("q"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cand = cells.filter(F.col("vec_id") != ANCHOR_ID).join(
+        F.broadcast(probes), F.col("cell") == F.col("probe"), "inner"
+    )
+    cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOP_K)
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training — for EVERY vector,
     the most-similar vector carrying a DIFFERENT label: the pair-mining
@@ -1252,6 +1320,38 @@ WHERE cells.vec_id <> {ANCHOR_ID}
 ORDER BY cosine_sim DESC, cells.vec_id ASC
 LIMIT {IVF_TOP_K}
 """,
+    "sim_ann_ivf_multiprobe": f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
+  WHERE vec_id < {N_CELLS}
+),
+r AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           {_sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) DESC,
+           c.cent_id ASC) AS rn
+  FROM v CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, label, e, nrm, cent_id AS cell FROM r WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id AS probe, e AS q, nrm AS qn FROM r
+  WHERE vec_id = {ANCHOR_ID} AND rn <= {IVF_NPROBE}
+)
+SELECT cells.vec_id, cells.label, cells.cell,
+       round({_sql_dot('cells.e', 'probes.q')} / (cells.nrm * probes.qn), 6)
+         AS cosine_sim
+FROM cells JOIN probes ON cells.cell = probes.probe
+WHERE cells.vec_id <> {ANCHOR_ID}
+ORDER BY cosine_sim DESC, cells.vec_id ASC
+LIMIT {IVF_TOP_K}
+""",
     "sim_ann_ivfpq_topk": f"""
 WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -1658,6 +1758,7 @@ QUERIES = {
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
+    "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "sim_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "sim_ann_batch_topk": q_ann_batch_topk,
     "sim_kmeans_step": q_kmeans_step,
