@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "dedup_band_lookup",
     "sim_ann_index_optimize",
     "sim_ann_ivf_multiprobe",
+    "rel_ship_priority",
+    "rel_big_order_customers",
+    "curate_dataset_card",
 ]
 
 

@@ -456,7 +456,78 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the per-(source, lang) release statistics every
+    training-data drop ships alongside the shards: document and token
+    counts, mean document length, corpus share, and the exact-duplicate
+    count (non-canonical docs under the engine-wide normalized
+    fingerprint — the same ``normalized_fingerprint`` every dedup stage
+    keys on, so the card's dup number agrees with what
+    ``curate_keep_canonical`` would drop).
+
+    Scale shape: one scan computes tokens + fingerprint per row; the
+    duplicate flag is a fingerprint-partitioned min-window (the
+    election ``mm_payload_dedup``/``curate_keep_canonical`` already
+    run); the rollup is a map-side-combinable two-key groupBy, and the
+    corpus-share denominator is a window over the GROUPED rows
+    (stratum-cardinality-sized, never the corpus)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_toks"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    flagged = base.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(wfp)
+    )
+    g = flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_exact_dups"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("avg_tokens"),
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy()),
+            4,
+        ).alias("doc_share"),
+        "n_exact_dups",
+    )
+
+
 ORACLE = {
+    "curate_dataset_card": """
+WITH b AS (
+  SELECT doc_id, source, lang,
+         len(string_split(trim(text), ' ')) AS n_toks,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+f AS (
+  SELECT *, doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup FROM b
+),
+g AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dups
+  FROM f GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens / n_docs, 2) AS avg_tokens,
+       round(n_docs / SUM(n_docs) OVER (), 4) AS doc_share,
+       n_exact_dups
+FROM g
+""",
     "curate_global_shuffle": f"""
 WITH k AS (
   SELECT doc_id, source,
@@ -683,6 +754,7 @@ QUERIES = {
     "curate_release_manifest": q_release_manifest,
     "curate_mix_epochs": q_mix_epochs,
     "curate_global_shuffle": q_global_shuffle,
+    "curate_dataset_card": q_dataset_card,
 }
 
 # the manifest oracle composes the quality-gate and exact-dedup oracles

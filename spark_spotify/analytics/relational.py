@@ -33,6 +33,13 @@ _SQL_MONEY = (
 
 Q1_CUTOFF = "2000-12-01"
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = "1998-01-01"
+Q3_TOP = 10
+
+Q18_MIN_QTY = 150
+Q18_TOP = 100
+
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
@@ -501,6 +508,34 @@ JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
 WHERE n1.n_name <> n2.n_name
 GROUP BY supp_nation, cust_nation, ship_year
 """,
+    "rel_ship_priority": f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUT} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUT} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT {Q3_TOP}
+""",
+    "rel_big_order_customers": f"""
+WITH po AS (
+  SELECT l_orderkey,
+         {SQL_DSUM.format(x='l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {SQL_DSUM.format(x='l_quantity')} > {Q18_MIN_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, po.total_qty
+FROM po
+JOIN orders o ON po.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT {Q18_TOP}
+""",
     "rel_star_revenue": f"""
 SELECT r.r_name, n.n_name,
   CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue,
@@ -597,6 +632,83 @@ LIMIT 15
 """,
 }
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-{Q3_TOP}
+    for one market segment — orders placed before the cut whose
+    lineitems ship after it.  Both date predicates push down to the
+    scans; the customer side is a broadcast SEMI join (only membership
+    in the segment matters — no customer columns survive, so Catalyst
+    never carries them); revenue folds as exact scale-6 money longs and
+    the top-k runs as TakeOrderedAndProject with a fully deterministic
+    tie order (revenue DESC, o_orderdate ASC, l_orderkey ASC), so both
+    engines elect the same rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_CUT
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_CUT
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            lsum_scaled(
+                lmoney(F.col("l_extendedprice"), F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(Q3_TOP)
+    )
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds {Q18_MIN_QTY}, with the owning customer
+    and the order's quantity total.  The classic IN-(grouped-subquery)
+    spelled Spark-first: ONE lineitem aggregation serves both the
+    HAVING filter and the output total (TPC-H's formulation scans
+    lineitem twice; Catalyst cannot merge them, so the single-pass
+    rewrite is the 100 TB shape — the fact table is read once), then
+    order/customer attach by equi-joins (customer broadcast at dim
+    ratio).  Quantities fold as exact scaled longs; ORDER BY
+    o_totalprice DESC with o_orderkey tie-break keeps the top-k
+    deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(lsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(Q18_TOP)
+    )
+
+
 def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): bilateral trade volume between
     every DISTINCT (supplier nation, customer nation) pair per ship
@@ -665,4 +777,6 @@ QUERIES = {
     "rel_customer_setops": q_customer_setops,
     "rel_value_range_join": q_value_range_join,
     "rel_click_purchase_full": q_click_purchase_full,
+    "rel_ship_priority": q_ship_priority,
+    "rel_big_order_customers": q_big_order_customers,
 }
