@@ -247,6 +247,10 @@ BENCH_QUERIES = [
     "rel_ship_priority",
     "rel_big_order_customers",
     "curate_dataset_card",
+    "curate_k_anonymity",
+    "ana_resample_ohlc",
+    "sim_matryoshka_audit",
+    "etl_refs",
 ]
 
 

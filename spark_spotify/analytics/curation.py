@@ -456,6 +456,43 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+K_ANON_LEN_BUCKET = 200  # chars per length bucket
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs NEXT TO content PII scanning
+    (``text_pii_scan`` finds identifiers in the text; this finds
+    re-identification risk in the METADATA): any quasi-identifier
+    combination shared by fewer than {K_ANON} documents can single a
+    contributor out, so those strata are flagged for suppression or
+    generalization before release.  QI here = (source, lang,
+    length-bucket) — the release-manifest attributes an adversary can
+    observe.  Scale shape: ONE map-side-combinable groupBy over scan-
+    derived columns; output is stratum-cardinality-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "source",
+            "lang",
+            F.floor(
+                F.length(F.trim(F.col("text"))) / K_ANON_LEN_BUCKET
+            )
+            .cast("int")
+            .alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "lang",
+            "len_bucket",
+            "n_docs",
+            (F.col("n_docs") >= K_ANON).alias("k_anonymous"),
+        )
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card — the per-(source, lang) release statistics every
     training-data drop ships alongside the shards: document and token
@@ -504,6 +541,16 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "curate_k_anonymity": f"""
+SELECT source, lang,
+       CAST(floor(length(trim(text)) / {K_ANON_LEN_BUCKET}) AS INT)
+         AS len_bucket,
+       COUNT(*) AS n_docs,
+       COUNT(*) >= {K_ANON} AS k_anonymous
+FROM documents
+GROUP BY source, lang,
+         CAST(floor(length(trim(text)) / {K_ANON_LEN_BUCKET}) AS INT)
+""",
     "curate_dataset_card": """
 WITH b AS (
   SELECT doc_id, source, lang,
@@ -755,6 +802,7 @@ QUERIES = {
     "curate_mix_epochs": q_mix_epochs,
     "curate_global_shuffle": q_global_shuffle,
     "curate_dataset_card": q_dataset_card,
+    "curate_k_anonymity": q_k_anonymity,
 }
 
 # the manifest oracle composes the quality-gate and exact-dedup oracles

@@ -622,6 +622,30 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, hour) OHLC resample — the downsampling verb every
+    time-series store ships (candlesticks, sensor rollups): open/close
+    are the values at the bucket's earliest/latest event (ties broken
+    by event_id, so the election is total and engine-portable),
+    high/low the bucket extremes.  ONE map-side-combinable aggregate —
+    ``min_by``/``max_by`` over a (ts, event_id) struct, no window, no
+    per-bucket sort — so at 100 TB the only shuffle is the (user, hour)
+    groupBy and partial aggregation collapses each bucket to one row
+    scan-side.  OHLC values are COPIED doubles (no arithmetic), so
+    cross-engine equality is exact, not approximate."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B z-test — the experiment-analysis verb every
     product-analytics warehouse runs: users split into variants by id
@@ -677,6 +701,23 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    "ana_resample_ohlc": """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY user_id, hour
+""",
     "ana_ab_test": """
 WITH c AS (
   SELECT
@@ -1085,6 +1126,7 @@ QUERIES = {
     "ana_rolling_value_7d": q_rolling_value_7d,
     "ana_gap_fill": q_gap_fill,
     "ana_ab_test": q_ab_test,
+    "ana_resample_ohlc": q_resample_ohlc,
     "ana_heatmap": q_heatmap,
     "ana_period_ratio": q_period_ratio,
     "ana_top_users": q_top_users,

@@ -367,6 +367,58 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16  # served prefix width (Matryoshka truncation)
+
+
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit — modern embedding stacks serve a
+    PREFIX of each vector (MRL) to cut memory/IO 4× and re-rank with
+    the full vector; the operational question is how much recall the
+    prefix costs.  The audit: exact top-{TOP_K} under the {MRL_DIM}-dim
+    prefix, each hit annotated with its membership in the full
+    {EMB_DIM}-dim top-{TOP_K} — recall@k is the count of TRUE rows,
+    and the FALSE rows are exactly the candidates a full-vector
+    re-rank stage would demote.  Both searches are the broadcast-
+    anchor scan shape of ``sim_ann_cosine_topk``; at 100 TB with the
+    prefix stored as its own column the truncated scan reads 1/4 of
+    the vector bytes.  Same fold/rounding discipline as every vector
+    gate, so both engines elect identical rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.expr(E_SQL).alias("e"))
+    anchor = v.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("e").alias("q")
+    )
+    others = v.filter(F.col("vec_id") != ANCHOR_ID).crossJoin(
+        F.broadcast(anchor)
+    )
+    cos_full = _dot("e", "q") / (_norm("e") * _norm("q"))
+    full_ids = (
+        others.select(
+            "vec_id", F.round(cos_full, 6).alias("_c")
+        )
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+        .withColumn("_in_full", F.lit(True))
+    )
+    cos16 = _dot("e", "q", MRL_DIM) / (
+        _norm("e", MRL_DIM) * _norm("q", MRL_DIM)
+    )
+    trunc = (
+        others.select(
+            "vec_id", "label", F.round(cos16, 6).alias("cosine_trunc")
+        )
+        .orderBy(F.desc("cosine_trunc"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+    return trunc.join(F.broadcast(full_ids), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "cosine_trunc",
+        F.coalesce(F.col("_in_full"), F.lit(False)).alias("in_full_topk"),
+    )
+
+
 IVF_NPROBE = 2
 
 
@@ -1320,6 +1372,36 @@ WHERE cells.vec_id <> {ANCHOR_ID}
 ORDER BY cosine_sim DESC, cells.vec_id ASC
 LIMIT {IVF_TOP_K}
 """,
+    "sim_matryoshka_audit": f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         list_slice(embedding::DOUBLE[], 1, {MRL_DIM}) AS e16
+  FROM embeddings
+),
+q AS (
+  SELECT e AS qf, e16 AS q16 FROM v WHERE vec_id = {ANCHOR_ID}
+),
+fk AS (
+  SELECT vec_id FROM (
+    SELECT v.vec_id,
+           round({_sql_dot('v.e', 'q.qf')}
+                 / (sqrt({_sql_dot('v.e', 'v.e')})
+                    * sqrt({_sql_dot('q.qf', 'q.qf')})), 6) AS c
+    FROM v CROSS JOIN q WHERE v.vec_id <> {ANCHOR_ID}
+    ORDER BY c DESC, v.vec_id ASC LIMIT {TOP_K})
+),
+tr AS (
+  SELECT v.vec_id, v.label,
+         round({_sql_dot('v.e16', 'q.q16')}
+               / (sqrt({_sql_dot('v.e16', 'v.e16')})
+                  * sqrt({_sql_dot('q.q16', 'q.q16')})), 6) AS cosine_trunc
+  FROM v CROSS JOIN q WHERE v.vec_id <> {ANCHOR_ID}
+  ORDER BY cosine_trunc DESC, v.vec_id ASC LIMIT {TOP_K}
+)
+SELECT tr.vec_id, tr.label, tr.cosine_trunc,
+       fk.vec_id IS NOT NULL AS in_full_topk
+FROM tr LEFT JOIN fk ON tr.vec_id = fk.vec_id
+""",
     "sim_ann_ivf_multiprobe": f"""
 WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -1759,6 +1841,7 @@ QUERIES = {
     "sim_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "sim_ann_ivf_topk": q_ann_ivf_topk,
     "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "sim_matryoshka_audit": q_matryoshka_audit,
     "sim_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "sim_ann_batch_topk": q_ann_batch_topk,
     "sim_kmeans_step": q_kmeans_step,

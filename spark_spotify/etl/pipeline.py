@@ -2381,6 +2381,71 @@ def q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+_REF_PREFIX = "_ref."
+
+
+def tag_version(
+    warehouse: str, table: str, name: str, version: int | None = None
+) -> int:
+    """Iceberg-style TAG — a named, immutable ref pinning a snapshot
+    version (``CREATE TAG release-v1 AS OF VERSION n``): the handle a
+    reproducible training run or audit keeps instead of a raw version
+    number.  One metadata file (``_ref.{{name}}`` holding the version),
+    claimed put-if-absent (O_CREAT|O_EXCL) so two writers can never
+    own the same name — tags are immutable; re-pointing is
+    drop + re-create.  :func:`vacuum_table` retains every tagged
+    version automatically, so a tag is a GC root, exactly Iceberg's
+    ``expire_snapshots`` contract.  Returns the pinned version."""
+    import re as _re
+
+    _require(
+        bool(_re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name)),
+        f"invalid tag name {name!r}",
+    )
+    vs = _versions(warehouse, table)
+    _require(bool(vs), f"{table}: tag on an uncommitted table")
+    v = vs[-1] if version is None else version
+    _require(v in vs, f"{table}: no committed version {v}")
+    fd = os.open(
+        os.path.join(warehouse, table, f"{_REF_PREFIX}{name}"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(v))
+    return v
+
+
+def list_tags(warehouse: str, table: str) -> dict[str, int]:
+    """Name -> pinned version for every tag on the table."""
+    tdir = os.path.join(warehouse, table)
+    out: dict[str, int] = {}
+    if not os.path.isdir(tdir):
+        return out
+    for entry in os.listdir(tdir):
+        if entry.startswith(_REF_PREFIX):
+            with open(os.path.join(tdir, entry)) as fh:
+                out[entry[len(_REF_PREFIX) :]] = int(fh.read().strip())
+    return out
+
+
+def drop_tag(warehouse: str, table: str, name: str) -> None:
+    """Remove a tag; its snapshot becomes reclaimable at the next
+    vacuum unless otherwise retained."""
+    path = os.path.join(warehouse, table, f"{_REF_PREFIX}{name}")
+    _require(os.path.exists(path), f"{table}: no tag {name!r}")
+    os.remove(path)
+
+
+def read_table_tag(
+    spark: SparkSession, warehouse: str, table: str, name: str
+) -> DataFrame:
+    """Snapshot read at a named tag (``VERSION AS OF`` resolved through
+    the ref) — raises if the tag does not exist."""
+    tags = list_tags(warehouse, table)
+    _require(name in tags, f"{table}: no tag {name!r}")
+    return read_table(spark, warehouse, table, version=tags[name])
+
+
 def vacuum_table(
     warehouse: str,
     table: str,
@@ -2407,7 +2472,12 @@ def vacuum_table(
     vs = _versions(warehouse, table)
     if not vs:
         return []
-    retained = set(retain_versions or ()) | {vs[-1]}
+    # tags are GC roots (Iceberg expire_snapshots semantics)
+    retained = (
+        set(retain_versions or ())
+        | {vs[-1]}
+        | set(list_tags(warehouse, table).values())
+    )
     if retain_hours is not None:
         horizon = time.time() - retain_hours * 3600.0
         for v in vs:
@@ -2440,6 +2510,55 @@ def vacuum_table(
             shutil.rmtree(os.path.join(tdir, entry))
             removed.append(entry)
     return sorted(removed)
+
+
+def q_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg TAGS) gate: batch 1 lands and is tagged
+    ``release-v1``; batch 2 appends; a whole-table compaction makes the
+    pre-compaction parts otherwise-garbage.  Then, with NO explicit
+    retention pins, vacuum must reclaim exactly the part only the
+    UNTAGGED intermediate snapshot referenced — the tagged v1 and the
+    live head are GC roots — and the tag must still read its exact
+    snapshot afterwards (the oracle: the batch-1 universe).  A second
+    claim of the same tag name fails (tags are immutable,
+    put-if-absent); dropping the tag and vacuuming again reclaims the
+    batch-1 part, proving the tag was the only thing keeping it alive.
+    This is the reproducible-training-run contract: pin a release by
+    name, GC everything else, replay the release forever."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_refs_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        tag_version(w, "t", "release-v1")
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        compact_table(spark, w, "t", "z")
+        try:
+            tag_version(w, "t", "release-v1")
+            _require(False, "duplicate tag name was claimable")
+        except FileExistsError:
+            pass
+        removed = vacuum_table(w, "t")
+        _require(
+            removed == ["p2"],
+            f"vacuum reclaimed {removed}, expected exactly ['p2']",
+        )
+        out = read_table_tag(spark, w, "t", "release-v1").transform(
+            stable_checkpoint
+        )
+        drop_tag(w, "t", "release-v1")
+        removed2 = vacuum_table(w, "t")
+        _require(
+            removed2 == ["p1"],
+            f"post-drop vacuum reclaimed {removed2}, expected ['p1']",
+        )
+        return out
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 def restore_table(warehouse: str, table: str, to_version: int) -> int:
@@ -6307,6 +6426,7 @@ QUERIES = {
     "etl_merge_full": q_merge_full,
     "etl_merge_evolve": q_merge_evolve,
     "etl_vacuum": q_vacuum,
+    "etl_refs": q_refs,
     "etl_restore": q_restore,
     "etl_clone": q_clone,
     "etl_constraints": q_constraints,
@@ -6582,6 +6702,10 @@ FROM events e""",
     # vacuum changes the physical layout only (and only of UNRETAINED
     # snapshots) — the live table is the unmodified star join
     "etl_vacuum": _fact.ORACLE["etl_fact_star"],
+    # a tag read replays its pinned snapshot: the batch-1 universe
+    "etl_refs": """
+SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+""",
     # RESTORE undoes the incident delete completely — the live table is
     # the unmodified star join, and vacuum reclaims only the rewrites
     "etl_restore": _fact.ORACLE["etl_fact_star"],
