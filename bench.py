@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "ana_resample_ohlc",
     "sim_matryoshka_audit",
     "etl_refs",
+    "etl_clone_deep",
+    "rel_late_shippers",
+    "rel_top_supplier_share",
 ]
 
 

@@ -40,6 +40,13 @@ Q3_TOP = 10
 Q18_MIN_QTY = 150
 Q18_TOP = 100
 
+Q4_START = "1996-01-01"
+Q4_END = "1997-01-01"
+Q4_LATE_DAYS = 90
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
@@ -508,6 +515,28 @@ JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
 WHERE n1.n_name <> n2.n_name
 GROUP BY supp_nation, cust_nation, ship_year
 """,
+    "rel_late_shippers": f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q4_END} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o.o_orderpriority
+""",
+    "rel_top_supplier_share": f"""
+WITH r AS (
+  SELECT l_suppkey, CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, revenue FROM r
+WHERE revenue = (SELECT MAX(revenue) FROM r)
+""",
     "rel_ship_priority": f"""
 SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
        CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS revenue
@@ -671,6 +700,64 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): per priority, the
+    count of one year's orders with AT LEAST ONE lineitem shipped more
+    than {Q4_LATE_DAYS} days after the order date.  The correlated
+    EXISTS subquery spelled Spark-first: a LEFT SEMI join whose
+    condition carries BOTH the key equality and the lateness predicate
+    — each order contributes once no matter how many late lines it has
+    (the semantics a plain inner join + distinct would need an extra
+    shuffle to recover), and the date window pushes down to the orders
+    scan.  At 100 TB the semi join is the shape: the lineitem side
+    never materializes join output wider than the probe."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_START) & (F.col("o_orderdate") < Q4_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    returning EVERY supplier achieving the maximum — the correlated
+    ``= (SELECT MAX(...))`` subquery as a window max over the ALREADY
+    AGGREGATED supplier relation (one extra O(suppliers) pass; the
+    naive spelling rescans lineitem).  Revenue folds as exact scaled
+    longs, so the max-tie set is identical across engines — the reason
+    Q15's ties are safe to return at all."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        lsum_scaled(
+            lmoney(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("revenue")
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("_mx", F.max("revenue").over(w))
+        .filter(F.col("revenue") == F.col("_mx"))
+        .select("l_suppkey", "revenue")
+    )
+
+
 def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     lineitem quantity exceeds {Q18_MIN_QTY}, with the owning customer
@@ -779,4 +866,6 @@ QUERIES = {
     "rel_click_purchase_full": q_click_purchase_full,
     "rel_ship_priority": q_ship_priority,
     "rel_big_order_customers": q_big_order_customers,
+    "rel_late_shippers": q_late_shippers,
+    "rel_top_supplier_share": q_top_supplier_share,
 }

@@ -2773,6 +2773,7 @@ def clone_table(
     dst_warehouse: str,
     dst: str,
     version: int | None = None,
+    deep: bool = False,
 ) -> int:
     """SHALLOW CLONE — Delta ``CREATE TABLE ... CLONE``: a new table
     whose v1 references the SOURCE's bytes with zero data copy (hard
@@ -2806,7 +2807,10 @@ def clone_table(
         shutil.copytree(
             os.path.join(sdir, p),
             dst_p,
-            copy_function=os.link,  # zero-copy: hard links, not bytes
+            # shallow (default): zero-copy hard links; deep: real byte
+            # copies whose lifetime is fully independent of the source
+            # (Delta DEEP CLONE — the archival/DR copy)
+            copy_function=shutil.copy2 if deep else os.link,
         )
     return _swing(
         dst_warehouse,
@@ -2862,6 +2866,46 @@ def q_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_table(spark, cw, "fact").transform(stable_checkpoint)
     finally:
         shutil.rmtree(cw, ignore_errors=True)
+
+
+def q_clone_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP-CLONE gate — the archival / disaster-recovery copy, the
+    inverse contract of ``etl_clone``: the clone's bytes must be fully
+    INDEPENDENT of the source.  Proven both ways: (1) no clone file
+    shares an inode with its source twin (real copies, where the
+    shallow gate requires equality); (2) the source table is then
+    physically DESTROYED — every part directory removed, the disaster
+    the deep copy exists for — and the clone still reads its exact
+    snapshot, carrying the source's full schema state.  Oracle: the
+    cloned universe recomputed from scratch."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = tempfile.mkdtemp(prefix="spark_spotify_dclo_")
+    try:
+        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
+        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        clone_table(w, "t", w, "t_archive", deep=True)
+        sdir, ddir = os.path.join(w, "t"), os.path.join(w, "t_archive")
+        for p in _manifest(w, "t") or []:
+            for f in os.listdir(os.path.join(sdir, p)):
+                if f.endswith(".parquet"):
+                    _require(
+                        os.stat(os.path.join(sdir, p, f)).st_ino
+                        != os.stat(os.path.join(ddir, p, f)).st_ino,
+                        "deep clone shares source inodes",
+                    )
+        # the disaster: the source's data is physically destroyed
+        for p in _manifest(w, "t") or []:
+            shutil.rmtree(os.path.join(sdir, p))
+        return read_table(spark, w, "t_archive").transform(
+            stable_checkpoint
+        )
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
 
 
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6429,6 +6473,7 @@ QUERIES = {
     "etl_refs": q_refs,
     "etl_restore": q_restore,
     "etl_clone": q_clone,
+    "etl_clone_deep": q_clone_deep,
     "etl_constraints": q_constraints,
     "etl_generated_columns": q_generated_columns,
     "etl_txn_multi_table": q_txn_multi_table,
@@ -6711,6 +6756,10 @@ SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
     "etl_restore": _fact.ORACLE["etl_fact_star"],
     # a delete on the CLONE behaves exactly like a delete on a table
     # (the source's untouchedness is gate-asserted)
+    # the deep clone replays its snapshot after source destruction
+    "etl_clone_deep": """
+SELECT event_id, user_id, value FROM events
+""",
     "etl_clone": _fact.ORACLE["etl_fact_star"]
     + f"""
 WHERE e.user_id <> {DELETE_USER}
