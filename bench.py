@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "etl_clone_deep",
     "rel_late_shippers",
     "rel_top_supplier_share",
+    "sim_ann_pq_maintained",
 ]
 
 

@@ -642,6 +642,207 @@ def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served
 
 
+def _pq_sub(vecs: DataFrame) -> DataFrame:
+    """(vec_id, s, v) sub-vector rows from a (vec_id, emb) view —
+    the PQ decomposition shared with ``sim_ann_ivfpq_topk``."""
+    from spark_spotify.analytics.similarity import PQ_DIM, PQ_SUB
+
+    return vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("emb", s * PQ_DIM + 1, PQ_DIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("s", "v"),
+    )
+
+
+def assign_pq_codes(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """PQ encoding against a FROZEN codebook: (vec_id, s, code) — the
+    nearest-centroid-per-subspace argmin as a slim map-side-combinable
+    ``min_by`` (ties to the lower cent_id, the exact order of
+    ``sim_ann_ivfpq_topk``'s row_number and the oracle).  ``codebook``
+    columns: cs, cent_id, cv."""
+    from spark_spotify.analytics.similarity import PQ_DIM
+
+    l2 = F.expr(
+        " + ".join(
+            f"((v[{i}] - cv[{i}]) * (v[{i}] - cv[{i}]))"
+            for i in range(PQ_DIM)
+        )
+    )
+    return (
+        _pq_sub(vecs)
+        .join(F.broadcast(codebook), F.col("s") == F.col("cs"))
+        .select("vec_id", "s", l2.alias("dist"), "cent_id")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                "cent_id", F.struct(F.col("dist"), F.col("cent_id"))
+            ).alias("code")
+        )
+    )
+
+
+def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained PQ codes — closes the LAST per-call-recompute IOU in
+    SCALE.md's ANN rows ("at 100 TB both [cell assignments and PQ
+    codes] are maintained table columns"): the coarse cell index AND
+    the 8-subspace PQ codes live as warehouse tables built at v1
+    against FROZEN committed quantizers (``ann_centroids`` +
+    ``pq_codebook``), and an append to the base table maintains BOTH by
+    encoding ONLY the appended parts (manifest part diff) —
+    footer-accounted: the cell index gains exactly batch rows, the code
+    table exactly batch × {{PQ_SUB}} rows, v1 parts byte-untouched.
+
+    Serving is IVFADC entirely from the maintained artifacts: the
+    anchor's cell comes from the index, the 128-entry ADC table is the
+    anchor's sub-vectors against the committed codebook, candidate
+    scoring touches ONLY (vec_id, s, code) rows joined to the broadcast
+    ADC (integer nano-unit sums — the memory-bandwidth shape that makes
+    PQ the standard at 10^9 vectors), and full vectors are read for the
+    {{IVFPQ_CAND}}-row shortlist alone.  The result must equal the
+    from-scratch ``sim_ann_ivfpq_topk`` recompute — asserted in-engine
+    against that very function, and cross-engine via its oracle SQL,
+    shared verbatim."""
+    from spark_spotify.analytics.similarity import (
+        IVFPQ_CAND,
+        IVFPQ_TOP_K,
+        PQ_CENTS,
+        PQ_DIM,
+        PQ_QSCALE,
+        PQ_SUB,
+        q_ann_ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    late = (F.col("vec_id") >= PQ_CENTS) & (F.col("vec_id") % 4 == 1)
+    w = tempfile.mkdtemp(prefix="spark_spotify_pqm_")
+    try:
+        _commit_append(emb.filter(~late), w, "emb", 1)
+        base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(
+            base1.filter(F.col("vec_id") < N_CELLS).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("emb").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            w,
+            "ann_centroids",
+            1,
+        )
+        _commit_append(
+            _pq_sub(base1.filter(F.col("vec_id") < PQ_CENTS)).select(
+                F.col("s").alias("cs"),
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+            ),
+            w,
+            "pq_codebook",
+            1,
+        )
+        cents = read_table(spark, w, "ann_centroids")
+        cbook = read_table(spark, w, "pq_codebook")
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        _commit_append(assign_pq_codes(base1, cbook), w, "pq_codes", 1)
+        idx_v1 = list(_manifest(w, "ann_index") or [])
+        pqc_v1 = list(_manifest(w, "pq_codes") or [])
+
+        # base append; BOTH artifacts maintained from the part diff
+        _commit_append(emb.filter(late), w, "emb", 2)
+        batch = _vec_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2)))
+        _commit_append(assign_cells(batch, cents), w, "ann_index", 2)
+        _commit_append(assign_pq_codes(batch, cbook), w, "pq_codes", 2)
+        n_batch = _part_rows(w, "emb", ["p2"])
+        for table, v1_parts, expect in (
+            ("ann_index", idx_v1, n_batch),
+            ("pq_codes", pqc_v1, n_batch * PQ_SUB),
+        ):
+            v2_parts = _manifest(w, table) or []
+            _require(
+                v2_parts[: len(v1_parts)] == v1_parts
+                and len(v2_parts) == len(v1_parts) + 1,
+                f"{table}: maintenance rewrote history",
+            )
+            added = [p for p in v2_parts if p not in set(v1_parts)]
+            got = _part_rows(w, table, added)
+            _require(
+                got == expect,
+                f"{table}: maintenance added {got} rows, expected {expect}",
+            )
+
+        # IVFADC serve from the maintained artifacts only
+        live = _vec_view(fan_out(read_table(spark, w, "emb")))
+        idx = read_table(spark, w, "ann_index")
+        codes = read_table(spark, w, "pq_codes")
+        anchor = (
+            live.filter(F.col("vec_id") == ANCHOR_ID)
+            .join(idx, "vec_id")
+            .select(
+                F.col("emb").alias("q"),
+                F.col("nrm").alias("qn"),
+                F.col("cell").alias("qcell"),
+            )
+        )
+        adc_l2 = F.expr(
+            " + ".join(
+                f"((qv[{i}] - cv[{i}]) * (qv[{i}] - cv[{i}]))"
+                for i in range(PQ_DIM)
+            )
+        )
+        q_sub = _pq_sub(
+            live.filter(F.col("vec_id") == ANCHOR_ID)
+        ).select(F.col("s").alias("qs"), F.col("v").alias("qv"))
+        adc = (
+            q_sub.join(F.broadcast(cbook), F.col("qs") == F.col("cs"))
+            .select(
+                F.col("qs").alias("s"),
+                F.col("cent_id").alias("code"),
+                F.round(adc_l2 * PQ_QSCALE, 0).cast("bigint").alias("q_ad"),
+            )
+        )
+        shortlist = (
+            idx.filter(F.col("vec_id") != ANCHOR_ID)
+            .join(F.broadcast(anchor), F.col("cell") == F.col("qcell"))
+            .select("vec_id", "cell")
+            .join(codes, "vec_id")
+            .join(F.broadcast(adc), ["s", "code"])
+            .groupBy("vec_id", "cell")
+            .agg(F.sum("q_ad").alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+            .limit(IVFPQ_CAND)
+        )
+        cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
+        served = (
+            shortlist.join(live, "vec_id")
+            .crossJoin(F.broadcast(anchor.select("q", "qn")))
+            .select(
+                "vec_id",
+                "label",
+                "cell",
+                "adc_dist",
+                F.round(cos, 6).alias("cosine_sim"),
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(IVFPQ_TOP_K)
+            .transform(stable_checkpoint)
+        )
+        # maintained == recomputed, in-engine: the existing from-scratch
+        # gate function IS the recompute path over the same full corpus
+        recomputed = q_ann_ivfpq_topk(spark, sf_dir)
+        _require(
+            sorted(map(tuple, served.collect()))
+            == sorted(map(tuple, recomputed.collect())),
+            "maintained PQ serve != from-scratch IVFADC recompute",
+        )
+        return served
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 def q_dedup_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-partitioned band lookup — the final clause of the maintained-
     dedup posture ("the per-batch check is a co-partitioned lookup",
@@ -884,6 +1085,7 @@ QUERIES = {
     "sim_ann_partition_prune": q_ann_partition_prune,
     "sim_ann_index_optimize": q_ann_index_optimize,
     "stream_ann_maintain": q_stream_ann_maintain,
+    "sim_ann_pq_maintained": q_ann_pq_maintained,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
     "dedup_band_lookup": q_dedup_band_lookup,
 }
@@ -903,6 +1105,7 @@ ORACLE = {
     "sim_ann_partition_prune": _IVF_SQL,
     "stream_ann_maintain": _IVF_SQL,
     "sim_ann_index_optimize": _IVF_SQL,
+    "sim_ann_pq_maintained": _similarity.ORACLE["sim_ann_ivfpq_topk"],
     "sim_ann_maintained_delete": _IVF_SQL.replace(
         "FROM embeddings",
         "FROM (SELECT * FROM embeddings "
