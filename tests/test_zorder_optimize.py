@@ -82,6 +82,38 @@ def test_zorder_materializes_dvs_and_keeps_row_ids(spark, warehouse):
     assert {r["row_id"] for r in out.collect()} == ids_before
 
 
+def test_zorder_folds_mixed_spec_layouts(spark, warehouse):
+    """A hive-partitioned (spec-evolved) part and plain parts must fold
+    through the ZORDER rewrite together, rows unchanged."""
+    import os
+
+    from spark_spotify.etl.pipeline import _swing
+
+    df = spark.range(2048).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") / 64).cast("long")).alias("b"),
+    )
+    _commit_append(df.filter(F.col("id") % 2 == 0), warehouse, "t", 1)
+    # spec-evolved delta: hive-partitioned by a
+    df.filter(F.col("id") % 2 == 1).write.partitionBy("a").parquet(
+        os.path.join(warehouse, "t", "q2")
+    )
+    _swing(warehouse, "t", ["p1", "q2"], specs={"q2": ["a"]})
+    cols = ["id", "a", "b"]
+    before = sorted(
+        map(tuple, read_table(spark, warehouse, "t").select(*cols).collect())
+    )
+    n = optimize_table(
+        spark, warehouse, "t", 1 << 20, tag="z", zorder_by=("a", "b")
+    )
+    assert n == 2
+    after = sorted(
+        map(tuple, read_table(spark, warehouse, "t").select(*cols).collect())
+    )
+    assert before == after
+
+
 def test_zorder_scoped_by_predicate_leaves_rest_untouched(spark, warehouse):
     import os
 
