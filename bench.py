@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "rel_late_shippers",
     "rel_top_supplier_share",
     "sim_ann_pq_maintained",
+    "dedup_index_delete",
 ]
 
 

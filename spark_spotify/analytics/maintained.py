@@ -843,6 +843,87 @@ def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index TAKEDOWN maintenance — the erasure half of the
+    maintained-dedup contract, symmetric with
+    ``sim_ann_maintained_delete``: removing documents from the corpus
+    (DMCA/GDPR takedown — every tenth document here) must propagate to
+    the fingerprint/signature index WITHOUT rewriting either table.
+    The docs table takes a MOR delete (deletion-vector sidecar); the
+    slim (doc_id, source) change feed between the two versions carries
+    pure deletes (asserted); the index takes the SAME erasure as its
+    OWN MOR delete — every part of both tables byte-untouched,
+    inode-proven.  The incoming batch is then deduped against the
+    maintained index, and the verdicts must equal the recompute over
+    the corpus minus the takedown — a doc whose only duplicate was
+    taken down flips to ``keep``, which is precisely the behavior an
+    un-maintained index gets wrong (it would still match the ghost).
+    Oracle: ``dedup_incremental``'s SQL with the corpus side filtered
+    to survivors — derived mechanically from the shared SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    w = tempfile.mkdtemp(prefix="spark_spotify_dedd_")
+    try:
+        _commit_append(corpus, w, "docs", 1)
+        _commit_append(
+            corpus_index(read_table(spark, w, "docs")), w, "dedup_index", 1
+        )
+
+        def _inodes(table: str) -> dict:
+            out = {}
+            tdir = os.path.join(w, table)
+            for p in _manifest(w, table) or []:
+                for root, _d, files in os.walk(os.path.join(tdir, p)):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            out[f"{p}/{f}"] = os.stat(
+                                os.path.join(root, f)
+                            ).st_ino
+            return out
+
+        docs_inos = _inodes("docs")
+        idx_inos = _inodes("dedup_index")
+        delete_rows(
+            spark, w, "docs", F.col("doc_id") % 10 == 1, "td1", mode="mor"
+        )
+        feed = change_feed(
+            read_table(spark, w, "docs", version=1).select(
+                "doc_id", "source"
+            ),
+            read_table(spark, w, "docs").select("doc_id", "source"),
+            "doc_id",
+        )
+        kinds = {
+            r["_change_type"]
+            for r in feed.select("_change_type").distinct().collect()
+        }
+        _require(
+            kinds == {"delete"},
+            f"takedown feed carries non-delete rows: {kinds}",
+        )
+        gone = [r["doc_id"] for r in feed.select("doc_id").collect()]
+        _require(bool(gone), "takedown batch unexpectedly empty")
+        delete_rows(
+            spark,
+            w,
+            "dedup_index",
+            F.col("doc_id").isin(gone),
+            "ixd",
+            mode="mor",
+        )
+        _require(
+            _inodes("docs") == docs_inos
+            and _inodes("dedup_index") == idx_inos,
+            "MOR takedown rewrote part bytes",
+        )
+        return incremental_near_dups(
+            docs.filter(F.col("doc_id") % INCR_MOD == 0),
+            index=read_table(spark, w, "dedup_index"),
+        )
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 def q_dedup_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-partitioned band lookup — the final clause of the maintained-
     dedup posture ("the per-batch check is a co-partitioned lookup",
@@ -1088,6 +1169,7 @@ QUERIES = {
     "sim_ann_pq_maintained": q_ann_pq_maintained,
     "dedup_incremental_maintained": q_dedup_incremental_maintained,
     "dedup_band_lookup": q_dedup_band_lookup,
+    "dedup_index_delete": q_dedup_index_delete,
 }
 
 # maintained == recomputed IS the gate: each oracle is the recompute
@@ -1114,3 +1196,14 @@ ORACLE = {
     "dedup_incremental_maintained": _neardup.ORACLE["dedup_incremental"],
     "dedup_band_lookup": _neardup.ORACLE["dedup_incremental"],
 }
+
+# the takedown gate's oracle: the shared recompute SQL with the corpus
+# side filtered to survivors (two substitution sites — the shingle CTE
+# and the exact-fingerprint side — guarded so an oracle edit can't
+# silently desync the derivation)
+_DEDUP_SQL = _neardup.ORACLE["dedup_incremental"]
+if _DEDUP_SQL.count("doc_id % 5 <> 0") != 2:
+    raise RuntimeError("dedup_incremental oracle shape changed")
+ORACLE["dedup_index_delete"] = _DEDUP_SQL.replace(
+    "doc_id % 5 <> 0", "doc_id % 5 <> 0 AND doc_id % 10 <> 1"
+)
