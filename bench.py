@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "rel_top_supplier_share",
     "sim_ann_pq_maintained",
     "dedup_index_delete",
+    "stream_expectations",
 ]
 
 

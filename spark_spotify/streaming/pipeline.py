@@ -1605,6 +1605,130 @@ def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.drop("row_id")
 
 
+def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-Live-Tables-style EXPECTATIONS on a streaming sink — the
+    warehouse's commit-time CHECK enforcement composed with Structured
+    Streaming: the gold table declares ``CHECK (value >= 0)``;
+    micro-batch 1 is clean and commits; micro-batch 2 arrives POISONED
+    (every 10th event's value negated) and the plain commit is REJECTED
+    ATOMICALLY by the enforcement scan — staged part removed, manifest
+    unmoved (asserted: version unchanged by the failed attempt) — so
+    the sink degrades to DLT's ``expect_or_drop``: valid rows commit,
+    violating rows land in a quarantine table with batch provenance.
+    A third restart with no new arrivals applies nothing (checkpoint +
+    version guard).  End state: gold holds exactly the valid rows
+    (oracle), the quarantine holds exactly the poisoned ones (in-line
+    accounting), and no violating row ever became readable — the
+    atomicity a constraint is FOR.
+
+    At 100 TB the enforcement scan is O(micro-batch) (only the staged
+    delta is validated), and the quarantine is the same DLQ pattern as
+    ``stream_dlq`` — per-batch provenance for reprocessing."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        ConstraintViolationError,
+        _commit_append,
+        _current_version,
+        _require,
+        add_constraint,
+        read_table,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    poison = F.col("event_id") % 10 == 1
+    base = tempfile.mkdtemp(prefix="spark_spotify_expect_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "arrivals")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    # v1 seed (empty) so the constraint exists before any arrival;
+    # add_constraint is ITSELF a metadata commit, so the idempotency
+    # guard anchors on the post-setup version, not on absolutes
+    _commit_append(ev.limit(0), base, "gold", 1)
+    add_constraint(spark, base, "gold", "nonneg", "value >= 0")
+    v0 = _current_version(base, "gold")
+    land(ev.filter(F.col("event_id") % 2 == 0), "b1")
+    quarantined: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _current_version(base, "gold") >= v0 + batch_id + 1:
+            return  # redelivered batch: already committed
+        v_before = _current_version(base, "gold")
+        try:
+            _commit_append(batch_df, base, "gold", v0 + batch_id + 1)
+        except ConstraintViolationError:
+            # the failed attempt must leave NO trace
+            _require(
+                _current_version(base, "gold") == v_before,
+                "rejected batch moved the manifest",
+            )
+            ok = batch_df.filter(F.col("value") >= 0)
+            bad = batch_df.filter(~(F.col("value") >= 0)).withColumn(
+                "quarantine_batch", F.lit(batch_id)
+            )
+            bad.write.mode("overwrite").parquet(
+                _os.path.join(base, "quarantine", f"b{batch_id}")
+            )
+            quarantined[batch_id] = bad.count()
+            _commit_append(ok, base, "gold", v0 + batch_id + 1)
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    _require(not quarantined, "clean batch was quarantined")
+    land(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value",
+            F.when(poison, -F.col("value") - F.lit(1.0)).otherwise(
+                F.col("value")
+            ),
+        ),
+        "b2",
+    )
+    run()
+    n_poison = ev.filter(poison).count()
+    _require(
+        quarantined.get(1, 0) == n_poison,
+        f"quarantined {quarantined} rows, expected {n_poison}",
+    )
+    before = dict(quarantined)
+    v_done = _current_version(base, "gold")
+    run()  # idle restart: nothing re-applies, nothing re-quarantines
+    _require(
+        before == quarantined
+        and _current_version(base, "gold") == v_done,
+        "idle restart disturbed the sink",
+    )
+    return read_table(spark, base, "gold")
+
+
 # Append-mode emission rule, replayed relationally: only windows whose end is
 # at or below the final watermark (max ts − delay) are emitted.
 ORACLE = {
@@ -1876,6 +2000,7 @@ QUERIES = {
     "stream_late_data": q_stream_late_data,
     "stream_cdf_follow": q_stream_cdf_follow,
     "stream_cdf_row_follow": q_stream_cdf_row_follow,
+    "stream_expectations": q_stream_expectations,
 }
 
 # the replica reconstructed purely from the change feed must equal the
@@ -1884,6 +2009,11 @@ from spark_spotify.etl import pipeline as _etlp  # noqa: E402
 from spark_spotify.etl import stats as _stats  # noqa: E402
 
 ORACLE["stream_cdf_follow"] = _stats.ORACLE["etl_daily_stats"]
+# gold = every event except the poisoned ones, original values: the
+# violating rows were quarantined, never committed
+ORACLE["stream_expectations"] = """
+SELECT event_id, user_id, value FROM events WHERE event_id % 10 <> 1
+"""
 # the row-lineage follower reconstructs the head state exactly — shared
 # verbatim with the producer-side gate so the two can never drift
 ORACLE["stream_cdf_row_follow"] = _etlp.ORACLE["etl_cdf_row_lineage"]
