@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "sim_ann_pq_maintained",
     "dedup_index_delete",
     "stream_expectations",
+    "agg_count_min",
 ]
 
 

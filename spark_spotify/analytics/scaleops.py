@@ -1158,7 +1158,122 @@ FROM r
 """
 
 
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_PROBES = 8  # point-query keys: user ids 0..7
+
+
+def _cms_bucket(d: int, key: str) -> str:
+    """Row-d counter index for ``key`` as a Spark SQL fragment —
+    md5-derived, so the DuckDB oracle replays it bit-identically
+    (the same portability discipline as every hash family here)."""
+    return (
+        f"cast(conv(substring(md5(concat('{d}|', cast({key} as string))),"
+        f" 1, 8), 16, 10) as bigint) % {CMS_W}"
+    )
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch — the point-FREQUENCY member of the sketch
+    family (HLL answers distinct, KMV set ops, Misra-Gries top-k; CMS
+    answers "how many events did key k have" from a {CMS_D}×{CMS_W}
+    integer grid).  Mergeable by cell-wise addition across partitions,
+    days, or streams — the reason it serves frequency caps and
+    heavy-hitter prefilters at 100 TB where a per-key exact count is a
+    corpus-sized shuffle.
+
+    Build: every event lands in {CMS_D} cells (one per hash row) — a
+    slim posexplode to (d, bucket) and ONE map-side-combinable groupBy;
+    the sketch is {CMS_D}·{CMS_W} rows at ANY corpus size.  Query:
+    estimate(k) = MIN over rows of cell[d, h_d(k)].  CMS's signature
+    one-sided guarantee — estimate >= true, always — is asserted
+    in-line for every probe; the expected overestimate is N/{CMS_W}
+    per row before the min.  Oracle: the identical sketch, hashes, and
+    minima replayed in DuckDB — integer-exact by construction."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = ev.select(
+        F.posexplode(
+            F.array(
+                *[F.expr(_cms_bucket(d, "user_id")) for d in range(CMS_D)]
+            )
+        ).alias("d", "bucket")
+    )
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    probes = spark.range(CMS_PROBES).select(
+        F.col("id").alias("user_id"),
+        F.posexplode(
+            F.array(
+                *[F.expr(_cms_bucket(d, "id")) for d in range(CMS_D)]
+            )
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("estimate_n"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < CMS_PROBES)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    out = (
+        est.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+            "estimate_n",
+            (F.col("estimate_n") - F.coalesce("exact_n", F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+        .transform(stable_checkpoint)
+    )
+    # the CMS contract, asserted on every probe: never an undercount
+    _bad = [r for r in out.collect() if r["overestimate"] < 0]
+    if _bad:
+        raise RuntimeError(f"CMS undercounted probes: {_bad}")
+    return out
+
+
 ORACLE = {
+    "agg_count_min": f"""
+WITH cells AS (
+  SELECT g.d AS d,
+         CAST(('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|'
+                              || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {CMS_W} AS bucket
+  FROM events CROSS JOIN generate_series(0, {CMS_D - 1}) g(d)
+),
+sketch AS (
+  SELECT d, bucket, COUNT(*) AS c FROM cells GROUP BY d, bucket
+),
+probes AS (
+  SELECT p.u AS user_id, g.d AS d,
+         CAST(('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|'
+                              || CAST(p.u AS VARCHAR)), 1, 8))
+              AS BIGINT) % {CMS_W} AS bucket
+  FROM generate_series(0, {CMS_PROBES - 1}) p(u)
+  CROSS JOIN generate_series(0, {CMS_D - 1}) g(d)
+),
+est AS (
+  SELECT user_id, CAST(MIN(c) AS BIGINT) AS estimate_n
+  FROM probes JOIN sketch USING (d, bucket) GROUP BY user_id
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events
+  WHERE user_id < {CMS_PROBES} GROUP BY user_id
+)
+SELECT e.user_id,
+       COALESCE(x.exact_n, 0) AS exact_n,
+       e.estimate_n,
+       e.estimate_n - COALESCE(x.exact_n, 0) AS overestimate
+FROM est e LEFT JOIN exact x USING (user_id)
+""",
     "agg_exact_quartiles": _quartile_oracle(),
     "agg_exact_median": """
 WITH s AS (
@@ -1459,6 +1574,7 @@ QUERIES = {
     "agg_exact_quartiles": q_exact_quartiles,
     "op_asof_join": q_asof_join,
     "agg_kmv_set_ops": q_kmv_set_ops,
+    "agg_count_min": q_count_min,
 }
 
 ORACLE["agg_kmv_set_ops"] = KMV_ORACLE
