@@ -258,7 +258,30 @@ BENCH_QUERIES = [
     "dedup_index_delete",
     "stream_expectations",
     "agg_count_min",
+    "etl_zorder_incremental",
+    "sim_ann_maintained_scaled",
 ]
+
+
+def _calibrate(spark) -> float:
+    """Fixed ambient-load probe: one data-independent JVM job (a pure
+    CPU sum over a generated range, no IO, no shuffle reduction beyond
+    one scalar) timed best-of-2.  The host shows 2-4x external load
+    swings (two r8 records measured the SAME suite 395 s vs 319 s, 20
+    minutes apart, zero commits between); this row makes every record
+    self-normalizing — divide a query's timing by the record's own
+    calibration to compare across records taken under different ambient
+    load."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7) as s"
+        ).collect()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -271,6 +294,8 @@ def main() -> None:
 
     # JVM/codegen warmup outside the timed region
     QUERIES["etl_watermark"](spark, sf_dir).collect()
+    loadavg_pre = list(os.getloadavg())
+    calib_pre = _calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -301,6 +326,35 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
+    calib_post = _calibrate(spark)
+    loadavg_post = list(os.getloadavg())
+
+    # serve-only timings for the maintained-index family: construction
+    # (the multi-commit warehouse drill) runs UNTIMED in the factory;
+    # only the serving query over the maintained artifacts is timed —
+    # the split SCALE.md argues in prose, recorded as data per record
+    from spark_spotify.analytics.maintained import (
+        SERVE_ALIASES,
+        serve_factories,
+    )
+
+    by_factory: dict[str, float] = {}
+    for key, factory in serve_factories().items():
+        serve, cleanup = factory(spark, sf_dir)
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                serve().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            by_factory[key] = round(best, 3)
+        finally:
+            cleanup()
+        spark.catalog.clearCache()
+    serve_only = {
+        name: by_factory[key] for name, key in SERVE_ALIASES.items()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -310,6 +364,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {
+                    "job_sec_pre": calib_pre,
+                    "job_sec_post": calib_post,
+                    "loadavg_pre": loadavg_pre,
+                    "loadavg_post": loadavg_post,
+                },
+                "serve_only": serve_only,
             }
         )
     )

@@ -161,6 +161,17 @@ def _topk_from_cells(cells: DataFrame, k: int = IVF_TOP_K) -> DataFrame:
     )
 
 
+def _centroid_rows(base: DataFrame, k: int = N_CELLS) -> DataFrame:
+    """(cent_id, cvec, cnrm) frozen-quantizer rows: the first ``k``
+    corpus vectors (the deterministic quantizer every ANN gate and
+    every oracle share)."""
+    return base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+
 def _ann_late() -> F.Column:
     """Batch-2 membership: every 4th vector past the centroid prefix
     arrives late.  The first N_CELLS vectors (the frozen quantizer) are
@@ -262,6 +273,97 @@ def q_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             sorted(map(tuple, served.collect()))
             == sorted(map(tuple, recomputed.collect())),
             "maintained index serve != from-scratch recompute",
+        )
+        return served
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+def q_ann_maintained_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scaled cell count for the maintained family (VERDICT r8
+    prescription #2): ``sim_ann_maintained`` freezes K={N_CELLS} cells
+    — correct maintenance semantics, but a FIXED K makes per-cell
+    candidate lists grow linearly with the corpus (the trade
+    ``sim_ann_ivf_multiprobe`` measured at 3.8× per 10×).  This gate
+    builds the maintained index with K derived from corpus size —
+    K = floor(sqrt(n)), the standard IVF balance ``sim_hard_negatives``
+    already uses, under which broadcast assignment (n·K dots) and
+    probe cost (n/K candidates) are both n^1.5-bounded — and then runs
+    the full maintenance contract against the FROZEN derived-K
+    quantizer:
+
+    - v1: base = corpus minus every 4th vector past the K-prefix
+      (the prefix is pinned to batch 1 so "centroids = first K corpus
+      vectors" names the same set in both engines); centroids
+      committed; index v1 = v1 assignments;
+    - append: batch 2 lands; maintenance reads ONLY the appended parts
+      and assigns them against the frozen committed centroids —
+      O(batch) footer-proven exactly as the fixed-K gate;
+    - serve: single-probe top-k from the maintained index, asserted
+      row-identical to the from-scratch recompute in-engine.
+
+    K derives from the FULL corpus count in closed form (one scalar
+    aggregate) so the late-split, both engines, and the oracle share a
+    single definition; at a retrain boundary (``sim_ann_retrain``) K
+    re-derives from the grown corpus.  The 10× posture this buys:
+    probe candidate volume is n/K = sqrt(n) — 3.2× per 10× instead of
+    the fixed-K 10×.  Oracle: the ``sim_ann_ivf_topk`` recompute SQL
+    with the cell prefix parameterized by the same derived K."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = math.isqrt(emb.count())
+    late = (F.col("vec_id") >= k) & (F.col("vec_id") % 4 == 1)
+    w = tempfile.mkdtemp(prefix="spark_spotify_annks_")
+    try:
+        _commit_append(emb.filter(~late), w, "emb", 1)
+        base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(_centroid_rows(base1, k), w, "ann_centroids", 1)
+        cents = read_table(spark, w, "ann_centroids")
+        _require(
+            cents.count() == k,
+            f"derived-K quantizer holds {cents.count()} of {k} centroids",
+        )
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        idx_parts_v1 = list(_manifest(w, "ann_index") or [])
+
+        _commit_append(emb.filter(late), w, "emb", 2)
+        batch = _added_parts_read(spark, w, "emb", 1, 2)
+        _commit_append(
+            assign_cells(_vec_view(fan_out(batch)), cents), w, "ann_index", 2
+        )
+
+        # O(batch) accounting, same proof as the fixed-K gate
+        idx_parts_v2 = _manifest(w, "ann_index") or []
+        _require(
+            idx_parts_v2[: len(idx_parts_v1)] == idx_parts_v1
+            and len(idx_parts_v2) == len(idx_parts_v1) + 1,
+            f"index maintenance rewrote history: {idx_parts_v1} -> "
+            f"{idx_parts_v2}",
+        )
+        added_idx = [p for p in idx_parts_v2 if p not in set(idx_parts_v1)]
+        _require(
+            _part_rows(w, "ann_index", added_idx)
+            == _part_rows(w, "emb", ["p2"]),
+            "index delta != appended batch",
+        )
+        _require(
+            _part_rows(w, "ann_index", idx_parts_v2)
+            == _part_rows(w, "emb", _manifest(w, "emb") or []),
+            "index does not cover the corpus exactly once",
+        )
+
+        live = _vec_view(fan_out(read_table(spark, w, "emb")))
+        served = _topk_from_cells(
+            live.join(read_table(spark, w, "ann_index"), "vec_id")
+        ).transform(stable_checkpoint)
+        recomputed = _topk_from_cells(
+            live.join(assign_cells(live, cents), "vec_id")
+        )
+        _require(
+            sorted(map(tuple, served.collect()))
+            == sorted(map(tuple, recomputed.collect())),
+            "derived-K maintained serve != from-scratch recompute",
         )
         return served
     finally:
@@ -687,6 +789,78 @@ def assign_pq_codes(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def _ivfadc_serve(spark: SparkSession, w: str) -> DataFrame:
+    """IVFADC serve entirely from the maintained warehouse artifacts at
+    ``w`` (tables ``emb``, ``ann_index``, ``pq_codes``, ``pq_codebook``):
+    anchor cell from the index, ADC table from the committed codebook,
+    candidate scoring over slim (vec_id, s, code) rows, exact re-rank of
+    the shortlist only.  Shared by the ``sim_ann_pq_maintained`` gate
+    and its serve-only bench factory so the timed path IS the gated
+    path."""
+    from spark_spotify.analytics.similarity import (
+        IVFPQ_CAND,
+        IVFPQ_TOP_K,
+        PQ_DIM,
+        PQ_QSCALE,
+    )
+
+    live = _vec_view(fan_out(read_table(spark, w, "emb")))
+    idx = read_table(spark, w, "ann_index")
+    codes = read_table(spark, w, "pq_codes")
+    cbook = read_table(spark, w, "pq_codebook")
+    anchor = (
+        live.filter(F.col("vec_id") == ANCHOR_ID)
+        .join(idx, "vec_id")
+        .select(
+            F.col("emb").alias("q"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    adc_l2 = F.expr(
+        " + ".join(
+            f"((qv[{i}] - cv[{i}]) * (qv[{i}] - cv[{i}]))"
+            for i in range(PQ_DIM)
+        )
+    )
+    q_sub = _pq_sub(
+        live.filter(F.col("vec_id") == ANCHOR_ID)
+    ).select(F.col("s").alias("qs"), F.col("v").alias("qv"))
+    adc = (
+        q_sub.join(F.broadcast(cbook), F.col("qs") == F.col("cs"))
+        .select(
+            F.col("qs").alias("s"),
+            F.col("cent_id").alias("code"),
+            F.round(adc_l2 * PQ_QSCALE, 0).cast("bigint").alias("q_ad"),
+        )
+    )
+    shortlist = (
+        idx.filter(F.col("vec_id") != ANCHOR_ID)
+        .join(F.broadcast(anchor), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc), ["s", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("q_ad").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(IVFPQ_CAND)
+    )
+    cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
+    return (
+        shortlist.join(live, "vec_id")
+        .crossJoin(F.broadcast(anchor.select("q", "qn")))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "adc_dist",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVFPQ_TOP_K)
+    )
+
+
 def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained PQ codes — closes the LAST per-call-recompute IOU in
     SCALE.md's ANN rows ("at 100 TB both [cell assignments and PQ
@@ -709,11 +883,7 @@ def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that very function, and cross-engine via its oracle SQL,
     shared verbatim."""
     from spark_spotify.analytics.similarity import (
-        IVFPQ_CAND,
-        IVFPQ_TOP_K,
         PQ_CENTS,
-        PQ_DIM,
-        PQ_QSCALE,
         PQ_SUB,
         q_ann_ivfpq_topk,
     )
@@ -775,61 +945,7 @@ def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         # IVFADC serve from the maintained artifacts only
-        live = _vec_view(fan_out(read_table(spark, w, "emb")))
-        idx = read_table(spark, w, "ann_index")
-        codes = read_table(spark, w, "pq_codes")
-        anchor = (
-            live.filter(F.col("vec_id") == ANCHOR_ID)
-            .join(idx, "vec_id")
-            .select(
-                F.col("emb").alias("q"),
-                F.col("nrm").alias("qn"),
-                F.col("cell").alias("qcell"),
-            )
-        )
-        adc_l2 = F.expr(
-            " + ".join(
-                f"((qv[{i}] - cv[{i}]) * (qv[{i}] - cv[{i}]))"
-                for i in range(PQ_DIM)
-            )
-        )
-        q_sub = _pq_sub(
-            live.filter(F.col("vec_id") == ANCHOR_ID)
-        ).select(F.col("s").alias("qs"), F.col("v").alias("qv"))
-        adc = (
-            q_sub.join(F.broadcast(cbook), F.col("qs") == F.col("cs"))
-            .select(
-                F.col("qs").alias("s"),
-                F.col("cent_id").alias("code"),
-                F.round(adc_l2 * PQ_QSCALE, 0).cast("bigint").alias("q_ad"),
-            )
-        )
-        shortlist = (
-            idx.filter(F.col("vec_id") != ANCHOR_ID)
-            .join(F.broadcast(anchor), F.col("cell") == F.col("qcell"))
-            .select("vec_id", "cell")
-            .join(codes, "vec_id")
-            .join(F.broadcast(adc), ["s", "code"])
-            .groupBy("vec_id", "cell")
-            .agg(F.sum("q_ad").alias("adc_dist"))
-            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-            .limit(IVFPQ_CAND)
-        )
-        cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
-        served = (
-            shortlist.join(live, "vec_id")
-            .crossJoin(F.broadcast(anchor.select("q", "qn")))
-            .select(
-                "vec_id",
-                "label",
-                "cell",
-                "adc_dist",
-                F.round(cos, 6).alias("cosine_sim"),
-            )
-            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-            .limit(IVFPQ_TOP_K)
-            .transform(stable_checkpoint)
-        )
+        served = _ivfadc_serve(spark, w).transform(stable_checkpoint)
         # maintained == recomputed, in-engine: the existing from-scratch
         # gate function IS the recompute path over the same full corpus
         recomputed = q_ann_ivfpq_topk(spark, sf_dir)
@@ -1162,6 +1278,7 @@ def q_ann_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
+    "sim_ann_maintained_scaled": q_ann_maintained_scaled,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
     "sim_ann_index_optimize": q_ann_index_optimize,
@@ -1181,9 +1298,19 @@ QUERIES = {
 _IVF_SQL = _similarity.ORACLE["sim_ann_ivf_topk"]
 if _IVF_SQL.count("FROM embeddings") != 1:  # guard the substitution
     raise RuntimeError("sim_ann_ivf_topk oracle shape changed")
+# derived-K variant: the same recompute with the cell prefix scaled to
+# floor(sqrt(n)) — one substitution site, guarded
+if _IVF_SQL.count("vec_id < 8") != 1:
+    raise RuntimeError("sim_ann_ivf_topk cell-prefix shape changed")
+_IVF_SCALED_SQL = _IVF_SQL.replace(
+    "vec_id < 8",
+    "vec_id < (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)"
+    " FROM embeddings)",
+)
 
 ORACLE = {
     "sim_ann_maintained": _IVF_SQL,
+    "sim_ann_maintained_scaled": _IVF_SCALED_SQL,
     "sim_ann_partition_prune": _IVF_SQL,
     "stream_ann_maintain": _IVF_SQL,
     "sim_ann_index_optimize": _IVF_SQL,
@@ -1207,3 +1334,392 @@ if _DEDUP_SQL.count("doc_id % 5 <> 0") != 2:
 ORACLE["dedup_index_delete"] = _DEDUP_SQL.replace(
     "doc_id % 5 <> 0", "doc_id % 5 <> 0 AND doc_id % 10 <> 1"
 )
+
+
+# --- serve-only bench factories (VERDICT r8 prescription #6) -----------------
+#
+# Each maintained gate's registry timing is a CONSTRUCTION DRILL — a
+# multi-commit warehouse build with accounting proofs — which SCALE.md
+# argues must not be read as serving cost.  These factories make that
+# split data: construction runs UNTIMED inside the factory; the returned
+# ``serve`` callable is exactly the gate's serving query over the
+# maintained artifacts, which bench.py times and records per gate under
+# the ``serve_only`` key.  Factories carry no asserts (the gates own
+# correctness); identical serving shapes share a factory via
+# SERVE_ALIASES.
+
+
+def _ann_serve(spark: SparkSession, w: str) -> DataFrame:
+    live = _vec_view(fan_out(read_table(spark, w, "emb")))
+    return _topk_from_cells(
+        live.join(read_table(spark, w, "ann_index"), "vec_id")
+    )
+
+
+def _build_ann(spark: SparkSession, sf_dir: str, w: str) -> None:
+    """The append-maintained ANN end state (sim_ann_maintained's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _commit_append(emb.filter(~_ann_late()), w, "emb", 1)
+    base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+    cents = read_table(spark, w, "ann_centroids")
+    _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+    _commit_append(emb.filter(_ann_late()), w, "emb", 2)
+    _commit_append(
+        assign_cells(
+            _vec_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2))),
+            cents,
+        ),
+        w,
+        "ann_index",
+        2,
+    )
+
+
+def _f_ann(spark: SparkSession, sf_dir: str):
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvann_")
+    _build_ann(spark, sf_dir, w)
+    return (
+        lambda: _ann_serve(spark, w),
+        lambda: shutil.rmtree(w, ignore_errors=True),
+    )
+
+
+def _f_ann_dv(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_maintained_delete: MOR erasure on base and
+    index (deletion-vector sidecars filter at serve time)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvannd_")
+    _commit_append(emb, w, "emb", 1)
+    base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+    cents = read_table(spark, w, "ann_centroids")
+    _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+    erase = (F.col("vec_id") >= N_CELLS) & (F.col("vec_id") % 7 == 3)
+    delete_rows(spark, w, "emb", erase, "er1", mode="mor")
+    delete_rows(spark, w, "ann_index", erase, "ixd", mode="mor")
+    return (
+        lambda: _ann_serve(spark, w),
+        lambda: shutil.rmtree(w, ignore_errors=True),
+    )
+
+
+def _f_ann_pq(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_pq_maintained: cell index + PQ codes, both
+    append-maintained; serve is IVFADC from the artifacts."""
+    from spark_spotify.analytics.similarity import PQ_CENTS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    late = (F.col("vec_id") >= PQ_CENTS) & (F.col("vec_id") % 4 == 1)
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvpq_")
+    _commit_append(emb.filter(~late), w, "emb", 1)
+    base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+    _commit_append(
+        _pq_sub(base1.filter(F.col("vec_id") < PQ_CENTS)).select(
+            F.col("s").alias("cs"),
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+        ),
+        w,
+        "pq_codebook",
+        1,
+    )
+    cents = read_table(spark, w, "ann_centroids")
+    cbook = read_table(spark, w, "pq_codebook")
+    _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+    _commit_append(assign_pq_codes(base1, cbook), w, "pq_codes", 1)
+    _commit_append(emb.filter(late), w, "emb", 2)
+    batch = _vec_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2)))
+    _commit_append(assign_cells(batch, cents), w, "ann_index", 2)
+    _commit_append(assign_pq_codes(batch, cbook), w, "pq_codes", 2)
+    return (
+        lambda: _ivfadc_serve(spark, w),
+        lambda: shutil.rmtree(w, ignore_errors=True),
+    )
+
+
+def _f_ann_prune(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_partition_prune: one index part per cell;
+    serve quantizes the query, prunes via the manifest, opens one part."""
+    import glob as _glob
+
+    from spark_spotify.etl.pipeline import (
+        _swing,
+        prune_parts,
+        read_table_where,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvprn_")
+    _commit_append(emb, w, "emb", 1)
+    vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(vecs), w, "ann_centroids", 1)
+    cents_t = read_table(spark, w, "ann_centroids")
+    assign = assign_cells(vecs, cents_t)
+    tmp = os.path.join(w, "_ix_out")
+    (
+        assign.withColumn("cell_pk", F.col("cell"))
+        .repartition("cell_pk")
+        .write.partitionBy("cell_pk")
+        .parquet(tmp)
+    )
+    os.makedirs(os.path.join(w, "ann_index"))
+    parts = []
+    for d in sorted(_glob.glob(os.path.join(tmp, "cell_pk=*"))):
+        c = int(d.rsplit("=", 1)[1])
+        pname = f"cell{c}"
+        os.rename(d, os.path.join(w, "ann_index", pname))
+        parts.append(pname)
+    _swing(w, "ann_index", sorted(parts))
+
+    def serve() -> DataFrame:
+        anchor = vecs.filter(F.col("vec_id") == ANCHOR_ID)
+        qcell = assign_cells(anchor, cents_t).collect()[0]["cell"]
+        prune_parts(w, "ann_index", [("cell", "=", qcell)])
+        cand = read_table_where(
+            spark, w, "ann_index", [("cell", "=", qcell)]
+        ).select("vec_id", "cell")
+        return _topk_from_cells(vecs.join(cand, "vec_id"))
+
+    return serve, lambda: shutil.rmtree(w, ignore_errors=True)
+
+
+def _f_ann_opt(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_index_optimize: three arrival appends then
+    ZORDER OPTIMIZE restores the clustered layout; serve is the plain
+    index probe over the re-clustered table."""
+    from spark_spotify.etl.pipeline import optimize_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvopt_")
+    _commit_append(emb, w, "emb", 1)
+    vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(vecs), w, "ann_centroids", 1)
+    cents_t = read_table(spark, w, "ann_centroids")
+    assign = assign_cells(vecs, cents_t)
+    for k in range(3):
+        _commit_append(
+            assign.filter(F.col("vec_id") % 3 == k), w, "ann_index", k + 1
+        )
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for p in (_manifest(w, "ann_index") or [])
+        for root, _d, files in os.walk(os.path.join(w, "ann_index", p))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    optimize_table(
+        spark,
+        w,
+        "ann_index",
+        max(total // N_CELLS, 1),
+        tag="ix",
+        zorder_by=("cell", "vec_id"),
+    )
+    return (
+        lambda: _ann_serve(spark, w),
+        lambda: shutil.rmtree(w, ignore_errors=True),
+    )
+
+
+def _f_dedup(spark: SparkSession, sf_dir: str, takedown: bool = False):
+    """End state of dedup_incremental_maintained (and, with
+    ``takedown``, dedup_index_delete): the corpus fingerprint/signature
+    index as a maintained table; serve dedups the incoming batch
+    against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvded_")
+    _commit_append(corpus.filter(_dedup_early()), w, "docs", 1)
+    _commit_append(
+        corpus_index(read_table(spark, w, "docs")), w, "dedup_index", 1
+    )
+    _commit_append(corpus.filter(~_dedup_early()), w, "docs", 2)
+    _commit_append(
+        corpus_index(_added_parts_read(spark, w, "docs", 1, 2)),
+        w,
+        "dedup_index",
+        2,
+    )
+    if takedown:
+        td = F.col("doc_id") % 10 == 1
+        delete_rows(spark, w, "docs", td, "td1", mode="mor")
+        delete_rows(spark, w, "dedup_index", td, "ixd", mode="mor")
+
+    def serve() -> DataFrame:
+        return incremental_near_dups(
+            docs.filter(F.col("doc_id") % INCR_MOD == 0),
+            index=read_table(spark, w, "dedup_index"),
+        )
+
+    return serve, lambda: shutil.rmtree(w, ignore_errors=True)
+
+
+def _f_dedup_band(spark: SparkSession, sf_dir: str):
+    """End state of dedup_band_lookup: corpus band rows live BUCKETED
+    by band value, signatures and fingerprints as warehouse tables;
+    serve runs the shuffle-free candidate lookup + verify + verdict."""
+    from pyspark.sql import Window
+
+    from spark_spotify.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_BAND_BUCKET,
+        band_rows,
+        normalized_fingerprint,
+        signatures,
+    )
+    from spark_spotify.sources.warehouse import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    sfx = f"srv{os.getpid()}"
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvband_")
+
+    def bv_rows(sig: DataFrame) -> DataFrame:
+        return band_rows(sig).select(
+            "doc_id",
+            F.concat_ws("#", F.col("band"), F.col("band_val")).alias("bv"),
+        )
+
+    _commit_append(
+        corpus.select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
+        ),
+        w,
+        "fp_corpus",
+        1,
+    )
+    _commit_append(signatures(corpus), w, "sig_corpus", 1)
+    _commit_append(signatures(batch), w, "sig_batch", 1)
+    sig_old = read_table(spark, w, "sig_corpus")
+    sig_new = read_table(spark, w, "sig_batch")
+    write_bucketed(
+        bv_rows(sig_old), f"srv_bands_old_{sfx}", f"{w}/bands_old", ["bv"]
+    )
+    write_bucketed(
+        bv_rows(sig_new), f"srv_bands_new_{sfx}", f"{w}/bands_new", ["bv"]
+    )
+
+    def serve() -> DataFrame:
+        bo = spark.table(f"srv_bands_old_{sfx}")
+        bn = spark.table(f"srv_bands_new_{sfx}")
+        cnt_o = bo.groupBy("bv").agg(F.count(F.lit(1)).alias("_no"))
+        cnt_n = bn.groupBy("bv").agg(F.count(F.lit(1)).alias("_nn"))
+        z = F.lit(0).cast("long")
+        over = (
+            cnt_o.join(cnt_n, "bv", "full_outer")
+            .filter(
+                (F.coalesce("_no", z) + F.coalesce("_nn", z))
+                > MAX_BAND_BUCKET
+            )
+            .select("bv")
+        )
+        cand = (
+            bn.join(F.broadcast(over), "bv", "left_anti")
+            .withColumnRenamed("doc_id", "new_id")
+            .join(
+                bo.join(F.broadcast(over), "bv", "left_anti")
+                .withColumnRenamed("doc_id", "old_id"),
+                "bv",
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        exact = (
+            batch.select(
+                "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
+            )
+            .join(
+                read_table(spark, w, "fp_corpus").select(
+                    "fp", F.col("doc_id").alias("old_id")
+                ),
+                "fp",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("old_id").alias("exact_id"))
+        )
+        nc = F.size(F.array_intersect("sh_n", "sh_o"))
+        jac = F.round(nc / (F.size("sh_n") + F.size("sh_o") - nc), 3)
+        scored = (
+            cand.join(
+                sig_new.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("shingles").alias("sh_n"),
+                ),
+                "new_id",
+            )
+            .join(
+                sig_old.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("shingles").alias("sh_o"),
+                ),
+                "old_id",
+            )
+            .withColumn("jaccard", jac)
+        )
+        win = Window.partitionBy("new_id").orderBy(
+            F.desc("jaccard"), F.asc("old_id")
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("new_id").alias("doc_id"),
+                F.col("old_id").alias("near_id"),
+                "jaccard",
+            )
+        )
+        is_near = F.col("jaccard") >= JACCARD_THRESHOLD
+        return (
+            batch.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("exact_id").isNotNull(), F.lit("drop_exact"))
+                .when(is_near, F.lit("drop_near"))
+                .otherwise(F.lit("keep"))
+                .alias("verdict"),
+            )
+        )
+
+    def cleanup() -> None:
+        for t in (f"srv_bands_old_{sfx}", f"srv_bands_new_{sfx}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(w, ignore_errors=True)
+
+    return serve, cleanup
+
+
+SERVE_ALIASES = {
+    # gate name -> factory key (identical serving shapes share a build)
+    "sim_ann_maintained": "ann",
+    "stream_ann_maintain": "ann",
+    "sim_ann_index_optimize": "ann_opt",
+    "sim_ann_maintained_delete": "ann_dv",
+    "sim_ann_pq_maintained": "ann_pq",
+    "sim_ann_partition_prune": "ann_prune",
+    "dedup_incremental_maintained": "dedup",
+    "dedup_index_delete": "dedup_dv",
+    "dedup_band_lookup": "dedup_band",
+}
+
+
+def serve_factories() -> dict:
+    """Factory per distinct maintained-serving shape: each returns
+    ``(serve, cleanup)`` where ``serve()`` builds the serving DataFrame
+    over an already-constructed (untimed) warehouse.  bench.py times
+    ``serve`` best-of-2 and records the result per gate name via
+    SERVE_ALIASES."""
+    return {
+        "ann": _f_ann,
+        "ann_dv": _f_ann_dv,
+        "ann_pq": _f_ann_pq,
+        "ann_prune": _f_ann_prune,
+        "ann_opt": _f_ann_opt,
+        "dedup": _f_dedup,
+        "dedup_dv": lambda s, d: _f_dedup(s, d, takedown=True),
+        "dedup_band": _f_dedup_band,
+    }
