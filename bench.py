@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "agg_count_min",
     "etl_zorder_incremental",
     "sim_ann_maintained_scaled",
+    "sim_ann_retrain",
 ]
 
 

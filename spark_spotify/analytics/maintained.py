@@ -1276,9 +1276,426 @@ def q_ann_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+# --- quantizer retrain (VERDICT r8 prescription #1) --------------------------
+#
+# The maintained family freezes centroids BETWEEN retrains (see the
+# module docstring) — this gate exercises the OTHER side of that
+# FAISS/Milvus boundary: corpus drift degrades frozen-quantizer recall,
+# a retrain re-derives the quantizer from the grown corpus at
+# corpus-scaled K and atomically swaps every index artifact, and recall
+# recovers while a version-pinned reader keeps serving the old index.
+#
+# Drift construction (pure arithmetic, replayed verbatim by the DuckDB
+# oracle): RT_M tight "topic lines" appear in regions the frozen
+# quantizer cannot separate — sub-cluster m sits ON the Voronoi
+# bisector of frozen centroids (2m, 2m+1) (direction g_m = û_2m +
+# û_2m+1, exactly equidistant by cosine), extends along h_m (a corpus
+# direction Gram-Schmidt-orthogonalized against û_2m − û_2m+1, so
+# position along the line never breaks the tie), and each member adds
+# RT_TINY per-vector noise that DOES break it — members therefore split
+# ~50/50 between the two cells and single-probe recall over the drifted
+# workload collapses to ~0.5.  After retraining (seeds strided over the
+# grown corpus, K = floor(sqrt(n))), each line owns its seed(s) and
+# recall returns to ~1.
+
+RT_M = 4  # drifted sub-clusters ("new topics")
+RT_STEP = 0.002  # position step along a sub-cluster line
+RT_TINY = 0.001  # per-member noise amplitude (the tie-breaker)
+RT_OFF = 1_000_000  # drift ids: RT_OFF + m*RT_BLOCK + j (m-contiguous)
+RT_BLOCK = 100_000
+RT_K = 5  # recall@k
+
+
+def _rt_view(df: DataFrame) -> DataFrame:
+    """(vec_id, emb, nrm) over a committed double-array table."""
+    return df.select("vec_id", "emb", _norm("emb").alias("nrm"))
+
+
+def _rt_drift(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """The drifted batch, derived from the base corpus by closed-form
+    arithmetic (every fp op mirrored by the oracle, same order):
+    member t (source vec_id = 5t) of sub-cluster m = t % RT_M at
+    position j = t div RT_M is ``(g_m + ((j+1)*RT_STEP)*h_m) +
+    RT_TINY*û_t``.  All pair/line frames are single-digit rows —
+    broadcast joins, arrays never shuffled."""
+    u = base.select(
+        "vec_id", F.expr("transform(emb, x -> x / nrm)").alias("uv")
+    )
+    ms = spark.range(RT_M).select(F.col("id").alias("m"))
+    pair = (
+        ms.join(
+            F.broadcast(
+                u.select(F.col("vec_id").alias("aid"), F.col("uv").alias("ua"))
+            ),
+            F.col("aid") == 2 * F.col("m"),
+        )
+        .join(
+            F.broadcast(
+                u.select(F.col("vec_id").alias("bid"), F.col("uv").alias("ub"))
+            ),
+            F.col("bid") == 2 * F.col("m") + 1,
+        )
+        .join(
+            F.broadcast(
+                u.select(F.col("vec_id").alias("wid"), F.col("uv").alias("wv"))
+            ),
+            F.col("wid") == 2 * RT_M + F.col("m"),
+        )
+        .select(
+            "m",
+            F.zip_with("ua", "ub", lambda a, b: a + b).alias("g"),
+            F.zip_with("ua", "ub", lambda a, b: a - b).alias("delta"),
+            "wv",
+        )
+    )
+    hline = (
+        pair.withColumn(
+            "proj", _dot("wv", "delta") / _dot("delta", "delta")
+        )
+        .select(
+            "m",
+            "g",
+            F.zip_with(
+                "wv", "delta", lambda a, b: a - F.col("proj") * b
+            ).alias("h"),
+        )
+    )
+    src = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            F.expr("vec_id div 5").alias("t"),
+            F.expr("transform(emb, x -> x / nrm)").alias("ut"),
+        )
+        .select(
+            (F.col("t") % RT_M).alias("m"),
+            F.expr(f"t div {RT_M}").alias("j"),
+            "ut",
+        )
+    )
+    line_pos = (
+        (F.col("j") + F.lit(1)) * F.lit(RT_STEP)
+    )
+    return (
+        src.join(F.broadcast(hline), "m")
+        .select(
+            (
+                F.lit(RT_OFF)
+                + F.col("m") * F.lit(RT_BLOCK)
+                + F.col("j")
+            ).cast("long").alias("vec_id"),
+            F.zip_with(
+                F.zip_with("g", "h", lambda a, b: a + line_pos * b),
+                F.col("ut"),
+                lambda a, b: a + F.lit(RT_TINY) * b,
+            ).alias("emb"),
+        )
+    )
+
+
+def _rt_topk(
+    queries: DataFrame, cand: DataFrame, k: int = RT_K
+) -> DataFrame:
+    """Per-query top-k (qid, cand) pairs: rank by 6dp-rounded cosine
+    desc, candidate id asc — the house ordering every vector gate and
+    oracle share.  The query side is broadcast (the drifted workload is
+    a sample-sized evaluation set, the standard recall-audit shape), so
+    the pairwise scan is partition-local and the candidate arrays never
+    shuffle."""
+    from pyspark.sql import Window
+
+    scored = cand.join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("qid"),
+                F.col("emb").alias("qe"),
+                F.col("nrm").alias("qn"),
+            )
+        ),
+        F.col("vec_id") != F.col("qid"),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("cand"),
+        F.round(
+            _dot("emb", "qe") / (F.col("nrm") * F.col("qn")), 6
+        ).alias("cos"),
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cand")
+    )
+
+
+def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer RETRAIN gate — the missing half of the frozen-centroid
+    boundary (VERDICT r8 #1):
+
+    - v1: base corpus committed; frozen 8-cell quantizer + cell index +
+      PQ codebook/codes built exactly as ``sim_ann_maintained`` /
+      ``sim_ann_pq_maintained``;
+    - drift: the arithmetic drifted batch (see module comment) appends;
+      the index is MAINTAINED against the frozen quantizer (the correct
+      between-retrain behavior) — and single-probe recall@{RT_K} over
+      the drifted workload, measured against the exact brute-force
+      top-{RT_K} (the ``sim_recall_audit`` method), collapses to ~0.5
+      because every drifted neighborhood straddles a frozen Voronoi
+      boundary (asserted <= 0.75 in-engine);
+    - RETRAIN: new centroids are strided seeds over the grown corpus at
+      corpus-scaled K = floor(sqrt(n)) (prescription #2's rule; at
+      100 TB the stride is a hash-stratified sample — the row_number
+      here keeps the oracle exact over a corpus whose id space is
+      non-contiguous), the full reassignment plus retrained PQ
+      codebook + codes are STAGED, a durable multi-table intent covers
+      all four artifacts, and the swap is applied as ONE commit per
+      table through the OCC protocol — with a simulated CRASH after
+      only the index swing: ``recover_transactions`` must roll the
+      centroids/codebook/codes forward, leaving retrain atomic
+      (completed, never torn);
+    - serve-continuity: a reader pinned at the pre-retrain index
+      version reproduces its snapshot row-exactly AFTER the swap
+      (checksum-asserted), and the frozen-phase recall below is in fact
+      computed from that pinned read post-swap — time travel IS the
+      mid-retrain serving path;
+    - recall RECOVERS: retrained recall >= frozen + 0.2 (lands ~1.0 vs
+      ~0.5; both values hash-gated by the oracle, which replays drift,
+      both quantizers, and both serves from ``embeddings`` alone);
+    - PQ retrains alongside: the staged codebook derives from the new
+      seeds, codes cover the corpus exactly once (footer-accounted).
+
+    Output: one row per phase (frozen | retrained) with n_cells,
+    n_queries, n_hits, recall_at_k."""
+    import json
+    import math
+
+    from spark_spotify.analytics.similarity import PQ_CENTS, PQ_SUB
+    from spark_spotify.etl.pipeline import (
+        _TXN_DIR,
+        _current_version,
+        recover_transactions,
+        swing_rebase,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_annrt_")
+    try:
+        _commit_append(
+            emb.select("vec_id", F.expr(E_SQL).alias("emb")), w, "emb", 1
+        )
+        base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+        cents = read_table(spark, w, "ann_centroids")
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        _commit_append(
+            _pq_sub(base1.filter(F.col("vec_id") < PQ_CENTS)).select(
+                F.col("s").alias("cs"),
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+            ),
+            w,
+            "pq_codebook",
+            1,
+        )
+        cbook = read_table(spark, w, "pq_codebook")
+        _commit_append(assign_pq_codes(base1, cbook), w, "pq_codes", 1)
+
+        # drift lands; index + codes MAINTAINED against the frozen
+        # quantizer from the part diff (the correct between-retrain path)
+        _commit_append(_rt_drift(spark, base1), w, "emb", 2)
+        batch = _rt_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2)))
+        _commit_append(assign_cells(batch, cents), w, "ann_index", 2)
+        _commit_append(assign_pq_codes(batch, cbook), w, "pq_codes", 2)
+
+        v_pin = 2  # the index version a mid-retrain reader holds
+        _require(
+            _current_version(w, "ann_index") == v_pin,
+            "unexpected index version pre-retrain",
+        )
+        pinned = read_table(spark, w, "ann_index", version=v_pin)
+        chk_pre = pinned.agg(
+            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+        # ---- RETRAIN: derive, stage, intend, swap-with-crash, recover
+        live = _rt_view(fan_out(read_table(spark, w, "emb")))
+        n = live.count()
+        k_new = math.isqrt(n)
+        stride = (n + k_new - 1) // k_new
+        n_cells_new = (n + stride - 1) // stride
+        _require(k_new > N_CELLS, "corpus too small to scale K up")
+        ranked = live.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.asc("vec_id")))
+        )
+        seeds = ranked.filter((F.col("rn") - 1) % stride == 0).select(
+            F.col("rn").alias("cent_id"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+        staged = {
+            "ann_centroids": seeds,
+            "ann_index": assign_cells(live, seeds),
+            "pq_codebook": _pq_sub(
+                seeds.orderBy("cent_id")
+                .limit(PQ_CENTS)
+                .select(
+                    F.col("cent_id").alias("vec_id"),
+                    F.col("cvec").alias("emb"),
+                )
+            ).select(
+                F.col("s").alias("cs"),
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+            ),
+        }
+        staged["pq_codes"] = assign_pq_codes(
+            live,
+            staged["pq_codebook"],
+        )
+        tx = {}
+        for table, df in staged.items():
+            df.coalesce(1).write.parquet(
+                os.path.join(w, table, "retrain1")
+            )
+            tx[table] = {
+                "base": _current_version(w, table),
+                "added": ["retrain1"],
+                "removed": _manifest(w, table) or [],
+            }
+        os.makedirs(os.path.join(w, _TXN_DIR), exist_ok=True)
+        with open(os.path.join(w, _TXN_DIR, "rt.json"), "w") as fh:
+            json.dump(tx, fh)
+        # apply ONLY the index swing — ONE commit holds the entire
+        # reassignment — then "crash" before the sibling artifacts
+        swing_rebase(
+            w,
+            "ann_index",
+            tx["ann_index"]["base"],
+            ["retrain1"],
+            set(tx["ann_index"]["removed"]),
+        )
+        done = recover_transactions(w)
+        _require(done == ["rt"], f"retrain recovery applied {done}")
+        for table in staged:
+            _require(
+                _manifest(w, table) == ["retrain1"],
+                f"{table}: retrain swap incomplete",
+            )
+        _require(
+            _current_version(w, "ann_index") == v_pin + 1,
+            "index reassignment took more than one commit",
+        )
+
+        # serve-continuity: the pinned pre-retrain snapshot is intact
+        chk_post = read_table(
+            spark, w, "ann_index", version=v_pin
+        ).agg(
+            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        _require(
+            tuple(chk_pre) == tuple(chk_post),
+            "pinned pre-retrain index changed under the swap",
+        )
+        # PQ retrained alongside: corpus covered exactly once
+        _require(
+            _part_rows(w, "pq_codes", ["retrain1"]) == n * PQ_SUB,
+            "retrained PQ codes do not cover the corpus exactly",
+        )
+        _require(
+            _part_rows(w, "pq_codebook", ["retrain1"])
+            == PQ_CENTS * PQ_SUB,
+            "retrained PQ codebook has wrong arity",
+        )
+
+        # ---- recall@k: frozen phase served from the PINNED read
+        corpus = live
+        queries = corpus.filter(F.col("vec_id") >= RT_OFF)
+        nq = queries.count()
+        _require(nq > 0, "drift batch empty")
+        exact5 = _rt_topk(queries, corpus).persist()
+        cells_f = read_table(spark, w, "ann_index", version=v_pin)
+        cells_r = read_table(spark, w, "ann_index")
+
+        def served(cells: DataFrame) -> DataFrame:
+            # per-query cell-restricted rank: candidate arrays stay
+            # scan-side, the sample-sized query table broadcasts
+            from pyspark.sql import Window as _W
+
+            q = (
+                queries.join(cells, "vec_id")
+                .select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("emb").alias("qe"),
+                    F.col("nrm").alias("qn"),
+                    F.col("cell").alias("qcell"),
+                )
+            )
+            cand = corpus.join(cells, "vec_id")
+            scored = cand.join(
+                F.broadcast(q),
+                (F.col("cell") == F.col("qcell"))
+                & (F.col("vec_id") != F.col("qid")),
+            ).select(
+                "qid",
+                F.col("vec_id").alias("cand"),
+                F.round(
+                    _dot("emb", "qe") / (F.col("nrm") * F.col("qn")), 6
+                ).alias("cos"),
+            )
+            win = _W.partitionBy("qid").orderBy(
+                F.desc("cos"), F.asc("cand")
+            )
+            return (
+                scored.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") <= RT_K)
+                .select("qid", "cand")
+            )
+
+        def phase_row(name: str, ncells: int, srv: DataFrame) -> DataFrame:
+            return (
+                exact5.join(srv, ["qid", "cand"])
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+                .select(
+                    F.lit(name).alias("phase"),
+                    F.lit(ncells).cast("long").alias("n_cells"),
+                    F.lit(nq).cast("long").alias("n_queries"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.round(
+                        F.col("n_hits") / F.lit(float(nq * RT_K)), 6
+                    ).alias("recall_at_k"),
+                )
+            )
+
+        out = (
+            phase_row("frozen", N_CELLS, served(cells_f))
+            .unionByName(
+                phase_row("retrained", n_cells_new, served(cells_r))
+            )
+            .orderBy("phase")
+            .transform(stable_checkpoint)
+        )
+        rows = {r["phase"]: r for r in out.collect()}
+        exact5.unpersist()
+        _require(
+            rows["frozen"]["recall_at_k"] <= 0.75,
+            f"drift failed to degrade frozen recall: {rows['frozen']}",
+        )
+        _require(
+            rows["retrained"]["recall_at_k"]
+            >= rows["frozen"]["recall_at_k"] + 0.2,
+            f"retrain failed to recover recall: {rows}",
+        )
+        return out
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_scaled": q_ann_maintained_scaled,
+    "sim_ann_retrain": q_ann_retrain,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
     "sim_ann_index_optimize": q_ann_index_optimize,
@@ -1334,6 +1751,154 @@ if _DEDUP_SQL.count("doc_id % 5 <> 0") != 2:
 ORACLE["dedup_index_delete"] = _DEDUP_SQL.replace(
     "doc_id % 5 <> 0", "doc_id % 5 <> 0 AND doc_id % 10 <> 1"
 )
+
+
+def _rtdot(a: str, b: str) -> str:
+    """DuckDB left-fold dot product — the exact fp-op order of the
+    Spark side's unrolled ``_dot`` chain (bit-identical across the
+    whole vector-gate family)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    )
+
+
+# sim_ann_retrain oracle: replays the ENTIRE drill from `embeddings`
+# alone — drift construction (same fp ops, same order), frozen and
+# retrained quantizers, both serves, and the recall aggregation.  Any
+# divergence in the engine's drift arithmetic, assignment tie order,
+# seed stride, or serve ranking breaks the hash.
+ORACLE["sim_ann_retrain"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt({_rtdot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS uv FROM v),
+pair AS (
+  SELECT ms.m,
+         list_transform(list_zip(a.uv, b.uv), p -> p[1] + p[2]) AS g,
+         list_transform(list_zip(a.uv, b.uv), p -> p[1] - p[2]) AS delta,
+         wvu.uv AS wv
+  FROM (SELECT UNNEST([0, 1, 2, 3]) AS m) ms
+  JOIN u a ON a.vec_id = 2 * ms.m
+  JOIN u b ON b.vec_id = 2 * ms.m + 1
+  JOIN u wvu ON wvu.vec_id = {2 * RT_M} + ms.m
+),
+pairp AS (
+  SELECT m, g, delta, wv,
+         {_rtdot('wv', 'delta')} / {_rtdot('delta', 'delta')} AS proj
+  FROM pair
+),
+hline AS (
+  SELECT m, g,
+         list_transform(list_zip(wv, delta), p -> p[1] - proj * p[2]) AS h
+  FROM pairp
+),
+src AS (
+  SELECT vec_id // 5 AS t, uv AS ut FROM u WHERE vec_id % 5 = 0
+),
+drift AS (
+  SELECT {RT_OFF} + (t % {RT_M}) * {RT_BLOCK} + (t // {RT_M}) AS vec_id,
+         list_transform(
+           list_zip(
+             list_transform(list_zip(hl.g, hl.h),
+                p -> p[1] + (((t // {RT_M}) + 1) * {RT_STEP}) * p[2]),
+             s.ut),
+           p -> p[1] + {RT_TINY} * p[2]) AS e
+  FROM src s JOIN hline hl ON hl.m = s.t % {RT_M}
+),
+corpus AS (
+  SELECT vec_id, e, nrm FROM v
+  UNION ALL
+  SELECT vec_id, e, sqrt({_rtdot('e', 'e')}) AS nrm FROM drift
+),
+c8 AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  WHERE vec_id < {N_CELLS}
+),
+cellsf AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT c.vec_id, x.cent_id, row_number() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY {_rtdot('c.e', 'x.ce')} / (c.nrm * x.cn) DESC,
+               x.cent_id ASC) AS rn
+    FROM corpus c CROSS JOIN c8 x) WHERE rn = 1
+),
+nk AS (
+  SELECT n, k, (n + k - 1) // k AS stride,
+         (n + ((n + k - 1) // k) - 1) // ((n + k - 1) // k) AS kcells
+  FROM (SELECT COUNT(*) AS n,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k
+        FROM corpus)
+),
+ranked AS (
+  SELECT vec_id, e, nrm, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM corpus
+),
+seeds AS (
+  SELECT rn AS cent_id, e AS ce, nrm AS cn
+  FROM ranked, nk WHERE (rn - 1) % stride = 0
+),
+cellsr AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT c.vec_id, s.cent_id, row_number() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY {_rtdot('c.e', 's.ce')} / (c.nrm * s.cn) DESC,
+               s.cent_id ASC) AS rn
+    FROM corpus c CROSS JOIN seeds s) WHERE rn = 1
+),
+qs AS (SELECT vec_id, e, nrm FROM corpus WHERE vec_id >= {RT_OFF}),
+exact5 AS (
+  SELECT qid, cand FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cand,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round({_rtdot('c.e', 'q.e')} / (c.nrm * q.nrm), 6) DESC,
+             c.vec_id ASC) AS rn
+    FROM qs q JOIN corpus c ON c.vec_id <> q.vec_id
+  ) WHERE rn <= {RT_K}
+),
+servedf AS (
+  SELECT qid, cand FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cand,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round({_rtdot('c.e', 'q.e')} / (c.nrm * q.nrm), 6) DESC,
+             c.vec_id ASC) AS rn
+    FROM qs q
+    JOIN cellsf cq ON cq.vec_id = q.vec_id
+    JOIN cellsf cc ON cc.cell = cq.cell
+    JOIN corpus c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+  ) WHERE rn <= {RT_K}
+),
+servedr AS (
+  SELECT qid, cand FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cand,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round({_rtdot('c.e', 'q.e')} / (c.nrm * q.nrm), 6) DESC,
+             c.vec_id ASC) AS rn
+    FROM qs q
+    JOIN cellsr cq ON cq.vec_id = q.vec_id
+    JOIN cellsr cc ON cc.cell = cq.cell
+    JOIN corpus c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+  ) WHERE rn <= {RT_K}
+),
+hits AS (
+  SELECT 'frozen' AS phase, CAST({N_CELLS} AS BIGINT) AS n_cells,
+         (SELECT COUNT(*) FROM exact5 e
+          JOIN servedf s ON e.qid = s.qid AND e.cand = s.cand) AS n_hits
+  UNION ALL
+  SELECT 'retrained', (SELECT kcells FROM nk),
+         (SELECT COUNT(*) FROM exact5 e
+          JOIN servedr s ON e.qid = s.qid AND e.cand = s.cand)
+)
+SELECT phase, n_cells,
+       (SELECT COUNT(*) FROM qs) AS n_queries,
+       n_hits,
+       round(n_hits / ((SELECT COUNT(*) FROM qs) * {float(RT_K)}), 6)
+         AS recall_at_k
+FROM hits
+ORDER BY phase
+"""
 
 
 # --- serve-only bench factories (VERDICT r8 prescription #6) -----------------
