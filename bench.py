@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "etl_zorder_incremental",
     "sim_ann_maintained_scaled",
     "sim_ann_retrain",
+    "stream_ann_retrain_swap",
 ]
 
 

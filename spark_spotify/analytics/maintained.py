@@ -744,6 +744,189 @@ def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served
 
 
+def q_stream_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer swap landing MID-STREAM (VERDICT r8 #7, the streaming
+    composition of ``sim_ann_retrain`` and ``stream_ann_maintain``):
+    the checkpointed index maintainer must pick up a new quantizer
+    EPOCH between micro-batches without double-assigning or dropping a
+    batch.
+
+    Protocol fixes the version-arithmetic trap the fixed gate dodges
+    (the index version moves for NON-batch reasons once retrains
+    exist): idempotency anchors on a dedicated ``txn_log`` table whose
+    version advances ONLY per applied batch, and each micro-batch lands
+    {{index part, log row}} through the durable-intent multi-table
+    commit — at-least-once redelivery skips on the log, a crash between
+    the two swings rolls forward.  The index rows carry an ``epoch``
+    column = the centroids-table version that assigned them.
+
+    Drill: arrival 1 indexes at epoch 1 → arrival 2 lands, restart
+    indexes it at epoch 1 → the RETRAIN SWAP commits centroids v2
+    (a 2x-wider quantizer) BETWEEN runs → arrival 3 lands, restart
+    assigns it against the NEW quantizer at epoch 2 (asserted; nothing
+    re-assigned, nothing dropped — footer accounting proves each corpus
+    row indexed exactly once, epoch counts equal batch sizes) → an idle
+    restart applies nothing.
+
+    Serving a mixed-epoch index is the real incremental-migration shape
+    (sealed segments on the old index generation, growing segments on
+    the new — the Milvus/Vespa rollout path): the anchor quantizes
+    under BOTH epochs and probes epoch-1 rows with its epoch-1 cell,
+    epoch-2 rows with its epoch-2 cell; the union re-ranks exactly.
+    Oracle: that two-quantizer recompute from ``embeddings`` alone."""
+    import atexit
+    import glob as _glob
+
+    from spark_spotify.etl.pipeline import (
+        _current_version,
+        multi_commit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = 3 * N_CELLS  # epoch-2 quantizer = vec_ids [N_CELLS, 3*N_CELLS)
+    late1 = (F.col("vec_id") >= hi) & (F.col("vec_id") % 5 == 1)
+    late2 = (F.col("vec_id") >= hi) & (F.col("vec_id") % 5 == 3)
+    base = tempfile.mkdtemp(prefix="spark_spotify_annswap_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "arrivals")
+    os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{name}.parquet"))
+
+    land(emb.filter(~late1 & ~late2), "b1")
+    first = _vec_view(spark.read.parquet(os.path.join(src, "b1.parquet")))
+    _commit_append(_centroid_rows(first), base, "ann_centroids", 1)
+    applied: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the dedicated log is the txnVersion: it moves ONLY here, so
+        # batch_id arithmetic survives interleaved retrain commits
+        if _current_version(base, "txn_log") >= batch_id + 1:
+            return
+        ep = _current_version(base, "ann_centroids")
+        cents = read_table(spark, base, "ann_centroids")
+        part = f"b{batch_id}"
+        assign_cells(_vec_view(batch_df), cents).withColumn(
+            "epoch", F.lit(ep).cast("long")
+        ).coalesce(1).write.parquet(
+            os.path.join(base, "ann_index", part)
+        )
+        batch_df.sparkSession.range(1).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(ep).cast("long").alias("epoch"),
+        ).coalesce(1).write.parquet(os.path.join(base, "txn_log", part))
+        applied[batch_id] = batch_df.count()
+        multi_commit(
+            base,
+            {"ann_index": ([part], set()), "txn_log": ([part], set())},
+            part,
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    land(emb.filter(late1), "b2")
+    run()
+    _require(
+        _current_version(base, "ann_centroids") == 1
+        and set(applied) == {0, 1},
+        f"pre-swap drill broken: {applied}",
+    )
+    # ---- the SWAP lands between micro-batches: centroids v2 REPLACES
+    # v1 (stage + rebase swing removing p1 — a swap, not an append);
+    # the running index is untouched (sealed epoch-1 segments)
+    from spark_spotify.etl.pipeline import swing_rebase
+
+    all_v = _vec_view(fan_out(spark.read.parquet(src)))
+    all_v.filter(
+        (F.col("vec_id") >= N_CELLS) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    ).coalesce(1).write.parquet(os.path.join(base, "ann_centroids", "p2"))
+    swing_rebase(base, "ann_centroids", 1, ["p2"], {"p1"})
+    land(emb.filter(late2), "b3")
+    run()
+    n3 = _part_rows(base, "ann_index", ["b2"])
+    _require(
+        applied.get(2, 0) == n3 and n3 > 0,
+        f"post-swap restart must index exactly arrival 3 "
+        f"({applied} vs {n3})",
+    )
+    before = dict(applied)
+    run()  # idle restart: checkpoint + log guard apply nothing
+    _require(applied == before, "idle restart re-applied batches")
+
+    # accounting: every corpus row indexed exactly once; epochs split
+    # exactly at the swap boundary
+    idx = read_table(spark, base, "ann_index")
+    corpus = _vec_view(fan_out(spark.read.parquet(src)))
+    n_corpus = corpus.count()
+    ep_counts = {
+        r["epoch"]: r["n"]
+        for r in idx.groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _require(
+        sum(ep_counts.values()) == n_corpus
+        and ep_counts.get(2, 0) == n3,
+        f"epoch accounting broken: {ep_counts} vs corpus {n_corpus}, "
+        f"arrival3 {n3}",
+    )
+
+    # ---- mixed-epoch serve: probe each epoch with the anchor's cell
+    # under THAT epoch's quantizer, union, exact re-rank
+    anchor = corpus.filter(F.col("vec_id") == ANCHOR_ID)
+    acell = {
+        ep: assign_cells(
+            anchor, read_table(spark, base, "ann_centroids", version=ep)
+        ).collect()[0]["cell"]
+        for ep in (1, 2)
+    }
+    cand = idx.filter(
+        (
+            (F.col("epoch") == 1) & (F.col("cell") == acell[1])
+            | (F.col("epoch") == 2) & (F.col("cell") == acell[2])
+        )
+        & (F.col("vec_id") != ANCHOR_ID)
+    ).select("vec_id", "epoch")
+    q = anchor.select(
+        F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cos = _dot("emb", "qe") / (F.col("nrm") * F.col("qn"))
+    return (
+        cand.join(corpus, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "epoch",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOP_K)
+        .transform(stable_checkpoint)
+    )
+
+
 def _pq_sub(vecs: DataFrame) -> DataFrame:
     """(vec_id, s, v) sub-vector rows from a (vec_id, emb) view —
     the PQ decomposition shared with ``sim_ann_ivfpq_topk``."""
@@ -1696,6 +1879,7 @@ QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_scaled": q_ann_maintained_scaled,
     "sim_ann_retrain": q_ann_retrain,
+    "stream_ann_retrain_swap": q_stream_ann_retrain_swap,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
     "sim_ann_index_optimize": q_ann_index_optimize,
@@ -1761,6 +1945,69 @@ def _rtdot(a: str, b: str) -> str:
         f"list_reduce(list_transform(list_zip({a}, {b}), "
         "p -> p[1] * p[2]), (acc, x) -> acc + x)"
     )
+
+
+# stream_ann_retrain_swap oracle: the mixed-epoch serve recomputed from
+# `embeddings` alone — epoch-1 rows (arrivals 1+2, everything but the
+# post-swap batch) assigned under the 8-cell v1 quantizer, epoch-2 rows
+# (arrival 3) under the 16-cell v2 quantizer, the anchor probing each
+# epoch with its cell under THAT quantizer, exact re-rank of the union.
+_SW_HI = 3 * N_CELLS
+_SW_LATE2 = f"(vec_id >= {_SW_HI} AND vec_id % 5 = 3)"
+ORACLE["stream_ann_retrain_swap"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt({_rtdot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+c1 AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  WHERE vec_id < {N_CELLS}
+),
+c2 AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  WHERE vec_id >= {N_CELLS} AND vec_id < {_SW_HI}
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT x.vec_id, c.cent_id, row_number() OVER (
+      PARTITION BY x.vec_id
+      ORDER BY {_rtdot('x.e', 'c.ce')} / (x.nrm * c.cn) DESC,
+               c.cent_id ASC) AS rn
+    FROM (SELECT * FROM v WHERE NOT {_SW_LATE2}) x CROSS JOIN c1 c)
+  WHERE rn = 1
+),
+a2 AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT x.vec_id, c.cent_id, row_number() OVER (
+      PARTITION BY x.vec_id
+      ORDER BY {_rtdot('x.e', 'c.ce')} / (x.nrm * c.cn) DESC,
+               c.cent_id ASC) AS rn
+    FROM (SELECT * FROM v WHERE {_SW_LATE2}) x CROSS JOIN c2 c)
+  WHERE rn = 1
+),
+anchorv AS (SELECT e AS q, nrm AS qn FROM v WHERE vec_id = {ANCHOR_ID}),
+aq2 AS (
+  SELECT cent_id AS cell FROM (
+    SELECT c.cent_id, row_number() OVER (
+      ORDER BY {_rtdot('a.q', 'c.ce')} / (a.qn * c.cn) DESC,
+               c.cent_id ASC) AS rn
+    FROM anchorv a CROSS JOIN c2 c) WHERE rn = 1
+),
+cand AS (
+  SELECT vec_id, CAST(1 AS BIGINT) AS epoch FROM a1
+  WHERE cell = (SELECT cell FROM a1 WHERE vec_id = {ANCHOR_ID})
+    AND vec_id <> {ANCHOR_ID}
+  UNION ALL
+  SELECT vec_id, CAST(2 AS BIGINT) FROM a2
+  WHERE cell = (SELECT cell FROM aq2)
+)
+SELECT c.vec_id, c.epoch,
+       round({_rtdot('v.e', 'a.q')} / (v.nrm * a.qn), 6) AS cosine_sim
+FROM cand c JOIN v ON v.vec_id = c.vec_id CROSS JOIN anchorv a
+ORDER BY cosine_sim DESC, c.vec_id ASC
+LIMIT {IVF_TOP_K}
+"""
 
 
 # sim_ann_retrain oracle: replays the ENTIRE drill from `embeddings`
