@@ -262,6 +262,11 @@ BENCH_QUERIES = [
     "sim_ann_maintained_scaled",
     "sim_ann_retrain",
     "stream_ann_retrain_swap",
+    "rel_customer_order_histogram",
+    "rel_idle_rich_customers",
+    "rel_disjunctive_revenue",
+    "rel_min_price_supplier",
+    "rel_sole_late_shipper",
 ]
 
 

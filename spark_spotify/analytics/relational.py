@@ -47,6 +47,20 @@ Q4_LATE_DAYS = 90
 Q15_START = "1996-01-01"
 Q15_END = "1996-04-01"
 
+Q2_SIZE = 15  # Q2-shape part subset
+Q2_TOP = 100
+
+# Q19-shape disjunctive clauses: (brand, max size, qty lo, qty hi)
+Q19_CLAUSES = [
+    ("Brand#3", 15, 1, 11),
+    ("Brand#13", 25, 10, 20),
+    ("Brand#23", 35, 20, 30),
+]
+
+Q21_TOP = 50
+
+Q22_CUTOFF = "1999-01-01"  # "idle" = no orders since this date
+
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
@@ -850,6 +864,249 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the histogram of
+    customers by order count, INCLUDING zero-order customers (the left
+    join whose null side must survive both aggregations — the classic
+    Q13 trap), counting only non-URGENT orders (the join-side filter
+    standing in for Q13's comment NOT LIKE).  Spark-first: aggregate
+    ORDERS FIRST (one shuffle of the fact keyed by custkey, output
+    customer-sized), LEFT join customer onto the counts, coalesce the
+    null side to 0, then the second aggregation runs over a
+    cardinality-of-distinct-counts relation.  Joining before
+    aggregating — the literal SQL shape — would shuffle the full
+    customer x orders join output instead."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != URGENT
+    )
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        c.join(per_cust, "c_custkey", "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias(
+                "n_orders"
+            )
+        )
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): per market segment,
+    the count and total balance of customers whose balance exceeds the
+    average POSITIVE balance and who have NO RECENT orders (none since
+    {Q22_CUTOFF} — Q22's lapsed-customer semantics) — the
+    scalar-subquery threshold plus NOT EXISTS pair.  Spark-first: the
+    anti join handles NOT EXISTS, with the date filter pushed into the
+    orders scan so it probes only the recent slice; the scalar
+    threshold is compared in the EXACT integer domain by
+    cross-multiplication (``bal_s2 * n_pos > total_s2``) — no fp
+    average whose summation order could flip a boundary customer
+    between engines (the same exactness discipline as every money
+    aggregate here).  The threshold aggregate is one scan reduced to
+    two scalars, broadcast into the filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q22_CUTOFF)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(lscale(F.col("c_acctbal"), 2)).alias("total_s2"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(
+            lscale(F.col("c_acctbal"), 2) * F.col("n_pos")
+            > F.col("total_s2")
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    return (
+        rich.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            lsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): revenue from an OR of
+    brand/size/quantity clause conjunctions — the disjunctive-predicate
+    query optimizers historically mishandled.  Spark-first notes: the
+    brand/size half of every clause touches only PART columns, so
+    Catalyst pushes the clause disjunction's part-side projection into
+    the broadcast dim scan and the join output carries just the
+    columns the residual needs; revenue folds as exact scaled longs.
+    One row per matching clause (first-match CASE order, identical in
+    both engines) rather than Q19's single scalar, so the hash also
+    pins per-clause routing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(
+        dim_broadcast(p, sf_dir, "part", 2_000_000),
+        li["l_partkey"] == p["p_partkey"],
+        "inner",
+    )
+    clause = F.lit(None).cast("int")
+    for i, (brand, max_size, qlo, qhi) in reversed(
+        list(enumerate(Q19_CLAUSES, start=1))
+    ):
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        clause = F.when(cond, F.lit(i)).otherwise(clause)
+    return (
+        j.select(
+            clause.alias("clause"),
+            lmoney(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "m_s4"
+            ),
+        )
+        .filter(F.col("clause").isNotNull())
+        .groupBy("clause")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            lsum_scaled(F.col("m_s4"), 4).alias("revenue"),
+        )
+        .orderBy("clause")
+    )
+
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-{Q2_SIZE}
+    part, the supplier quoting the LOWEST observed unit price — the
+    correlated ``= (SELECT MIN(...))`` subquery decorrelated into one
+    grouped argmin (``min_by`` over a struct: map-side combinable, no
+    second scan of the fact).  Unit price is computed in the exact
+    integer domain (scale-2 cents integer-divided by the integral
+    quantity) so the argmin and its tie-break (lowest suppkey) elect
+    identical rows in both engines.  Supplier and nation attach AFTER
+    the argmin — dim joins on a part-sized relation, the 100 TB
+    ordering."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) div "
+            "cast(l_quantity as bigint)"
+        ).alias("unit_s2"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == Q2_SIZE
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pp = dim_broadcast(p.select("p_partkey"), sf_dir, "part", 2_000_000)
+    best = (
+        li.join(
+            pp, F.col("l_partkey") == F.col("p_partkey"), "inner"
+        )
+        .groupBy("p_partkey")
+        .agg(
+            F.min(
+                F.struct(F.col("unit_s2"), F.col("l_suppkey"))
+            ).alias("b")
+        )
+        .select(
+            "p_partkey",
+            F.col("b.unit_s2").alias("unit_price_cents"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(s), "s_suppkey")
+        .join(
+            F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner"
+        )
+        .select(
+            "p_partkey",
+            "unit_price_cents",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supplier_nation"),
+        )
+        .orderBy(F.asc("p_partkey"))
+        .limit(Q2_TOP)
+    )
+
+
+def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    that were the ONLY late shipper on a multi-supplier order.  The
+    textbook spelling is a join plus correlated EXISTS (another
+    supplier participated) plus NOT EXISTS (no other supplier was
+    late) — TWO extra self-joins of the fact.  Spark-first it
+    collapses to ONE grouped pass: per (order, supplier) fold the
+    late flag, per order count suppliers and late suppliers, and the
+    qualifying rows are ``is_late AND n_supp >= 2 AND n_late = 1`` —
+    the fact is read once and every aggregate is map-side combinable
+    (the decorrelation DuckDB/Catalyst cannot derive themselves
+    because the EXISTS predicates are correlated on inequality).
+    Lateness reuses Q4's window (shipped > {Q4_LATE_DAYS} days after
+    order date).  Integer-only arithmetic end to end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), per_os["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(Q21_TOP)
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_nation_trade_flows": q_nation_trade_flows,
@@ -868,4 +1125,113 @@ QUERIES = {
     "rel_big_order_customers": q_big_order_customers,
     "rel_late_shippers": q_late_shippers,
     "rel_top_supplier_share": q_top_supplier_share,
+    "rel_customer_order_histogram": q_customer_order_histogram,
+    "rel_idle_rich_customers": q_idle_rich_customers,
+    "rel_disjunctive_revenue": q_disjunctive_revenue,
+    "rel_min_price_supplier": q_min_price_supplier,
+    "rel_sole_late_shipper": q_sole_late_shipper,
 }
+
+# TPC-H Q13 shape: zero-order customers must survive both aggregations
+ORACLE["rel_customer_order_histogram"] = f"""
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COALESCE(po.n_orders, 0) AS n_orders
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             WHERE o_orderpriority <> '{URGENT}'
+             GROUP BY o_custkey) po
+    ON po.o_custkey = c.c_custkey)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+# TPC-H Q22 shape: exact cross-multiplied threshold, NOT EXISTS pair
+ORACLE["rel_idle_rich_customers"] = f"""
+WITH pos AS (
+  SELECT COUNT(*) AS n_pos,
+         SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_s2
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c, pos
+  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos
+        > pos.total_s2
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {SQL_DSUM.format(x='c_acctbal')} AS total_acctbal
+FROM rich GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+_Q19_CASE = " ".join(
+    f"WHEN p_brand = '{b}' AND p_size BETWEEN 1 AND {ms} "
+    f"AND l_quantity BETWEEN {ql} AND {qh} THEN {i}"
+    for i, (b, ms, ql, qh) in enumerate(Q19_CLAUSES, start=1)
+)
+
+# TPC-H Q19 shape: disjunctive clause routing + exact money per clause
+ORACLE["rel_disjunctive_revenue"] = f"""
+WITH j AS (
+  SELECT CASE {_Q19_CASE} END AS clause,
+         {_SQL_MONEY} AS m
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT clause, COUNT(*) AS n_lines, CAST(SUM(m) AS DOUBLE) AS revenue
+FROM j WHERE clause IS NOT NULL
+GROUP BY clause ORDER BY clause
+"""
+
+# TPC-H Q2 shape: per-part argmin in the exact integer domain
+ORACLE["rel_min_price_supplier"] = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_s2
+  FROM lineitem
+),
+best AS (
+  SELECT p_partkey, unit_s2 AS unit_price_cents,
+         l_suppkey AS s_suppkey
+  FROM (
+    SELECT p.p_partkey, li.unit_s2, li.l_suppkey,
+           row_number() OVER (PARTITION BY p.p_partkey
+             ORDER BY li.unit_s2 ASC, li.l_suppkey ASC) AS rn
+    FROM li JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE p.p_size = {Q2_SIZE})
+  WHERE rn = 1
+)
+SELECT b.p_partkey, b.unit_price_cents, b.s_suppkey, s.s_name,
+       n.n_name AS supplier_nation
+FROM best b
+JOIN supplier s ON s.s_suppkey = b.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY b.p_partkey ASC
+LIMIT {Q2_TOP}
+"""
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS collapsed to one grouped pass
+ORACLE["rel_sole_late_shipper"] = f"""
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                                      + INTERVAL {Q4_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM per_os x
+JOIN per_o p ON p.l_orderkey = x.l_orderkey
+JOIN supplier s ON s.s_suppkey = x.l_suppkey
+WHERE x.is_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT {Q21_TOP}
+"""
