@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "rel_disjunctive_revenue",
     "rel_min_price_supplier",
     "rel_sole_late_shipper",
+    "sim_ann_drift_monitor",
 ]
 
 

@@ -1875,10 +1875,190 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+DRIFT_COS_THRESHOLD = 0.15  # |mean assignment cos - build baseline|
+DRIFT_TVD_THRESHOLD = 0.25  # occupancy total-variation distance
+
+
+def q_ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain TRIGGER — the monitoring half of the retrain loop
+    (``sim_ann_retrain`` is the act; this decides WHEN): per ingestion
+    batch, distribution-shift metrics of the maintained index against
+    the build-time baseline, computed the way a production vector store
+    watches its frozen quantizer (FAISS/Milvus deployments alarm on
+    quantization-quality drift between retrains).
+
+    Metrics, both engine-exact by construction:
+
+    - ``mean_assign_cos`` — mean cosine to the assigned (nearest
+      frozen) centroid.  Per-vector cosines round to 6dp, scale to
+      exact longs, and SUM as integers; the single final division is
+      deterministic — no order-dependent fp mean.  A batch landing in
+      a region the quantizer never modeled moves this sharply (the
+      drifted batch here sits ON centroid bisectors: ~0.7 vs the
+      Gaussian build's ~0.25).
+    - ``occupancy_tvd`` — total-variation distance between the batch's
+      cell-occupancy distribution and the build batch's, computed from
+      the INTEGER numerator sum(|c2*n1 - c1*n2|)/(2*n1*n2) so no fp
+      summation order exists.  Catches skew-type drift (one cell
+      absorbing a hot topic) that cosine-level metrics miss.
+    - ``should_retrain`` — either metric past its threshold.  The
+      drifted batch trips the cosine signal; by construction its
+      occupancy stays near-uniform (each bisector sub-cluster splits
+      evenly across its pair), which is exactly WHY a production
+      monitor needs both signals — asserted in-engine.
+
+    The monitor reads ONLY maintained artifacts plus O(batch) scans:
+    assignment cosines are n·K broadcast dots on slim rows, occupancy
+    is an index-only aggregation — no corpus self-join anywhere.
+    Oracle: the full recompute (drift construction + assignment +
+    both metrics) from ``embeddings`` alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_anndm_")
+    try:
+        _commit_append(
+            emb.select("vec_id", F.expr(E_SQL).alias("emb")), w, "emb", 1
+        )
+        base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
+        _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+        cents = read_table(spark, w, "ann_centroids")
+        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        _commit_append(_rt_drift(spark, base1), w, "emb", 2)
+        batch2 = _rt_view(
+            fan_out(_added_parts_read(spark, w, "emb", 1, 2))
+        )
+        _commit_append(assign_cells(batch2, cents), w, "ann_index", 2)
+
+        live = _rt_view(fan_out(read_table(spark, w, "emb")))
+        scored = live.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            (
+                _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+            ).alias("cos_c"),
+        )
+        batch_col = F.when(
+            F.col("vec_id") >= RT_OFF, F.lit("arrival")
+        ).otherwise(F.lit("build"))
+        per_vec = (
+            scored.groupBy("vec_id")
+            .agg(F.max("cos_c").alias("mc"))
+            .select(
+                batch_col.alias("batch"),
+                # round-to-integer BEFORE the long cast: Spark's cast
+                # truncates toward zero while DuckDB's rounds, and
+                # round(x,6)*1e6 lands within 1 ulp of the integer
+                F.round(
+                    F.round(F.col("mc"), 6) * F.lit(1_000_000), 0
+                )
+                .cast("long")
+                .alias("mc_s6"),
+            )
+        )
+        stats = per_vec.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("mc_s6").alias("sum_s6"),
+        )
+        # occupancy from the MAINTAINED index alone
+        occ = (
+            read_table(spark, w, "ann_index")
+            .select(batch_col.alias("batch"), "cell")
+            .groupBy("batch", "cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        b_occ = occ.filter(F.col("batch") == "build").select(
+            "cell", F.col("c").alias("c1")
+        )
+        a_occ = occ.filter(F.col("batch") == "arrival").select(
+            "cell", F.col("c").alias("c2")
+        )
+        z = F.lit(0).cast("long")
+        joined = b_occ.join(a_occ, "cell", "full_outer").select(
+            F.coalesce("c1", z).alias("c1"),
+            F.coalesce("c2", z).alias("c2"),
+        )
+        n1c = F.col("n1")
+        n2c = F.col("n2")
+        ns = stats.groupBy().pivot("batch", ["build", "arrival"]).sum(
+            "n_vecs"
+        ).select(
+            F.col("build").alias("n1"), F.col("arrival").alias("n2")
+        )
+        tvd_num = (
+            joined.crossJoin(F.broadcast(ns))
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.col("c2") * n1c - F.col("c1") * n2c
+                    )
+                ).alias("num"),
+                F.first("n1").alias("n1"),
+                F.first("n2").alias("n2"),
+            )
+            .select(
+                F.round(
+                    F.col("num")
+                    / (F.lit(2.0) * F.col("n1") * F.col("n2")),
+                    6,
+                ).alias("tvd")
+            )
+        )
+        means = stats.select(
+            "batch",
+            "n_vecs",
+            F.round(
+                F.col("sum_s6") / (F.col("n_vecs") * F.lit(1_000_000.0)),
+                6,
+            ).alias("mean_assign_cos"),
+        )
+        mb = means.filter(F.col("batch") == "build").select(
+            F.col("mean_assign_cos").alias("_mb")
+        )
+        out = (
+            means.crossJoin(F.broadcast(mb))
+            .crossJoin(F.broadcast(tvd_num))
+            .select(
+                "batch",
+                "n_vecs",
+                "mean_assign_cos",
+                F.when(F.col("batch") == "build", F.lit(0.0))
+                .otherwise(F.col("tvd"))
+                .alias("occupancy_tvd"),
+                (
+                    (F.col("batch") != "build")
+                    & (
+                        (
+                            F.abs(
+                                F.col("mean_assign_cos") - F.col("_mb")
+                            )
+                            > DRIFT_COS_THRESHOLD
+                        )
+                        | (F.col("tvd") > DRIFT_TVD_THRESHOLD)
+                    )
+                ).alias("should_retrain"),
+            )
+            .orderBy("batch")
+            .transform(stable_checkpoint)
+        )
+        rows = {r["batch"]: r for r in out.collect()}
+        _require(
+            rows["arrival"]["should_retrain"]
+            and not rows["build"]["should_retrain"],
+            f"drift monitor failed to trip on the drifted batch: {rows}",
+        )
+        _require(
+            rows["arrival"]["occupancy_tvd"] <= DRIFT_TVD_THRESHOLD,
+            "bisector drift should NOT trip the occupancy signal — "
+            "the two-signal design claim broke",
+        )
+        return out
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_scaled": q_ann_maintained_scaled,
     "sim_ann_retrain": q_ann_retrain,
+    "sim_ann_drift_monitor": q_ann_drift_monitor,
     "stream_ann_retrain_swap": q_stream_ann_retrain_swap,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
@@ -2015,8 +2195,10 @@ LIMIT {IVF_TOP_K}
 # retrained quantizers, both serves, and the recall aggregation.  Any
 # divergence in the engine's drift arithmetic, assignment tie order,
 # seed stride, or serve ranking breaks the hash.
-ORACLE["sim_ann_retrain"] = f"""
-WITH v AS (
+# shared corpus-construction CTEs (drift arithmetic + base/drift
+# union) used verbatim by the retrain and drift-monitor oracles so
+# the two can never diverge on the drift definition
+_RT_CTES = f"""v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt({_rtdot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
   FROM embeddings
@@ -2059,7 +2241,10 @@ corpus AS (
   SELECT vec_id, e, nrm FROM v
   UNION ALL
   SELECT vec_id, e, sqrt({_rtdot('e', 'e')}) AS nrm FROM drift
-),
+)"""
+
+ORACLE["sim_ann_retrain"] = f"""
+WITH {_RT_CTES},
 c8 AS (
   SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
   WHERE vec_id < {N_CELLS}
@@ -2145,6 +2330,81 @@ SELECT phase, n_cells,
          AS recall_at_k
 FROM hits
 ORDER BY phase
+"""
+
+
+# sim_ann_drift_monitor oracle: the same drift corpus (shared CTEs),
+# frozen assignment, and both exact-integer metrics recomputed from
+# `embeddings` alone.
+ORACLE["sim_ann_drift_monitor"] = f"""
+WITH {_RT_CTES},
+c8 AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  WHERE vec_id < {N_CELLS}
+),
+scored AS (
+  SELECT c.vec_id,
+         CASE WHEN c.vec_id >= {RT_OFF} THEN 'arrival'
+              ELSE 'build' END AS batch,
+         x.cent_id,
+         {_rtdot('c.e', 'x.ce')} / (c.nrm * x.cn) AS cos_c
+  FROM corpus c CROSS JOIN c8 x
+),
+amax AS (
+  SELECT vec_id, batch, MAX(cos_c) AS mc FROM scored
+  GROUP BY vec_id, batch
+),
+cells AS (
+  SELECT vec_id, batch, cent_id AS cell FROM (
+    SELECT vec_id, batch, cent_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pv AS (
+  SELECT batch,
+         CAST(round(round(mc, 6) * 1000000, 0) AS BIGINT) AS mc_s6
+  FROM amax
+),
+stats AS (
+  SELECT batch, COUNT(*) AS n_vecs,
+         CAST(SUM(mc_s6) AS BIGINT) AS sum_s6
+  FROM pv GROUP BY batch
+),
+means AS (
+  SELECT batch, n_vecs,
+         round(sum_s6 / (n_vecs * 1000000.0), 6) AS mean_assign_cos
+  FROM stats
+),
+occ AS (
+  SELECT batch, cell, COUNT(*) AS c FROM cells GROUP BY batch, cell
+),
+occj AS (
+  SELECT COALESCE(b.c, 0) AS c1, COALESCE(a.c, 0) AS c2
+  FROM (SELECT cell, c FROM occ WHERE batch = 'build') b
+  FULL OUTER JOIN (SELECT cell, c FROM occ WHERE batch = 'arrival') a
+    USING (cell)
+),
+ns AS (
+  SELECT (SELECT n_vecs FROM stats WHERE batch = 'build') AS n1,
+         (SELECT n_vecs FROM stats WHERE batch = 'arrival') AS n2
+),
+tvd AS (
+  SELECT round(CAST(SUM(ABS(c2 * n1 - c1 * n2)) AS BIGINT)
+               / (2.0 * n1 * n2), 6) AS t
+  FROM occj, ns GROUP BY n1, n2
+)
+SELECT m.batch, m.n_vecs, m.mean_assign_cos,
+       CASE WHEN m.batch = 'build' THEN 0.0
+            ELSE (SELECT t FROM tvd) END AS occupancy_tvd,
+       CASE WHEN m.batch = 'build' THEN FALSE
+            ELSE (ABS(m.mean_assign_cos
+                      - (SELECT mean_assign_cos FROM means
+                         WHERE batch = 'build'))
+                  > {DRIFT_COS_THRESHOLD}
+                  OR (SELECT t FROM tvd) > {DRIFT_TVD_THRESHOLD})
+       END AS should_retrain
+FROM means m
+ORDER BY m.batch
 """
 
 

@@ -79,6 +79,30 @@ def test_drift_ids_are_m_contiguous(spark, sf_dir):
         assert seg == [RT_OFF + m * RT_BLOCK + j for j in range(block)]
 
 
+def test_drift_monitor_two_signal_design(spark, sf_dir):
+    """The monitor must trip on the drifted batch via the COSINE
+    signal while the occupancy signal stays quiet (bisector drift is
+    occupancy-uniform by construction) — the reason the monitor
+    carries both."""
+    from spark_spotify.analytics.maintained import (
+        DRIFT_COS_THRESHOLD,
+        DRIFT_TVD_THRESHOLD,
+        q_ann_drift_monitor,
+    )
+
+    rows = {
+        r["batch"]: r
+        for r in q_ann_drift_monitor(spark, sf_dir).collect()
+    }
+    b, a = rows["build"], rows["arrival"]
+    assert not b["should_retrain"] and a["should_retrain"]
+    assert (
+        abs(a["mean_assign_cos"] - b["mean_assign_cos"])
+        > DRIFT_COS_THRESHOLD
+    )
+    assert a["occupancy_tvd"] <= DRIFT_TVD_THRESHOLD
+
+
 def test_retrain_recall_recovers(spark, sf_dir):
     """End-to-end: frozen recall degrades under drift, retrained recall
     recovers, and the retrained quantizer is corpus-scaled."""
