@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "rel_min_price_supplier",
     "rel_sole_late_shipper",
     "sim_ann_drift_monitor",
+    "sim_bq_hamming",
+    "sim_rrf_fusion",
 ]
 
 

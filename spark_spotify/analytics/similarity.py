@@ -1831,6 +1831,143 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn = 1
 """
 
+BQ_CAND = 50  # Hamming shortlist width
+BQ_TOP_K = 10
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def _bq_half(arr: str, lo: bool, spark_idx: bool) -> str:
+    """SQL text for one 32-dim half of the sign-bit signature: the
+    exact integer sum of per-dimension powers of two (order-free —
+    integer addition is associative), 0-based array indexing for Spark,
+    1-based for DuckDB."""
+    off = 0 if lo else 32
+    return " + ".join(
+        f"(CASE WHEN {arr}[{i + (0 if spark_idx else 1)}] > 0 "
+        f"THEN CAST({1 << (i - off)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(off, off + 32)
+    )
+
+
+def q_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN — the modern memory-bandwidth trick
+    (Cohere/pgvector ``bit`` embeddings): each {EMB_DIM}-dim float
+    vector collapses to its SIGN BITS, packed into two BIGINT halves
+    (16 bytes, a 16× scan/memory reduction vs float32), candidates
+    rank by HAMMING distance (two XOR+popcount integer ops — SIMD on
+    any hardware, no float math in the scan), and only the
+    {BQ_CAND}-row shortlist fetches full vectors for the exact cosine
+    re-rank.  At 100 TB the signature column is the only thing the
+    first-phase scan reads.
+
+    Engine determinism: signatures are exact integer sums of powers of
+    two; Hamming is exact; the shortlist cuts at (hamming ASC, vec_id
+    ASC) and the re-rank at (6dp cosine DESC, vec_id ASC) — identical
+    elections in both engines, no fp anywhere before the re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "label",
+        F.expr(E_SQL).alias("e"),
+    ).select(
+        "vec_id",
+        "label",
+        "e",
+        F.expr(_bq_half("e", True, True)).alias("b_lo"),
+        F.expr(_bq_half("e", False, True)).alias("b_hi"),
+    )
+    anchor = sig.filter(F.col("vec_id") == ANCHOR_ID).select(
+        F.col("e").alias("q"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    ham = F.expr("bit_count(b_lo ^ q_lo) + bit_count(b_hi ^ q_hi)")
+    shortlist = (
+        sig.filter(F.col("vec_id") != ANCHOR_ID)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            "q",
+            ham.cast("int").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BQ_CAND)
+    )
+    cos = _dot("e", "q") / (_norm("e") * _norm("q"))
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            "hamming",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(BQ_TOP_K)
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the lexical arm
+    (``text_bm25_topk`` over the documents corpus) and the vector arm
+    (``sim_ann_cosine_topk`` over the aligned embeddings corpus;
+    doc_id == vec_id is the corpus mapping), the fusion every RAG stack
+    runs when neither arm alone recalls enough:
+    ``rrf = Σ_arms 1/(RRF_K + rank)``.
+
+    Composes the two already-gated queries, so the fused result is
+    consistent with each arm's own oracle by construction (the
+    ``sim_recall_audit`` pattern); the fusion itself adds only
+    top-k-sized rank windows and a k-row full-outer join — free at any
+    corpus size.  Determinism: ranks are row_numbers over each arm's
+    own deterministic ordering; the two reciprocal terms are divisions
+    of exact small ints added in fixed written order; an arm that
+    missed a doc contributes rank 0 (displayed) and 0.0 (score) so no
+    nullable-int rendering ambiguity exists."""
+    from pyspark.sql import Window
+
+    from spark_spotify.analytics.textops import q_bm25_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select("doc_id", "score")
+    w_b = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(w_b).alias("bm25_rank")
+    )
+    vec = q_ann_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cosine_sim"
+    )
+    w_v = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    vec_r = vec.select(
+        "doc_id", F.row_number().over(w_v).alias("vec_rank")
+    )
+    z = F.lit(0)
+    rrf = F.when(
+        F.col("bm25_rank") > 0,
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("vec_rank") > 0,
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")),
+    ).otherwise(F.lit(0.0))
+    return (
+        bm_r.join(vec_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", z).alias("bm25_rank"),
+            F.coalesce("vec_rank", z).alias("vec_rank"),
+        )
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(BQ_TOP_K)
+    )
+
+
 QUERIES = {
     "sim_kmeans_train": q_kmeans_train,
     "sim_hard_negatives": q_hard_negatives,
@@ -1851,3 +1988,86 @@ QUERIES = {
     "sim_recall_audit": q_recall_audit,
     "sim_pandas_exact_agreement": q_pandas_exact_agreement,
 }
+
+QUERIES["sim_bq_hamming"] = q_bq_hamming
+QUERIES["sim_rrf_fusion"] = q_rrf_fusion
+
+_BQ_NORM_E = (
+    "sqrt(list_reduce(list_transform(list_zip(e, e), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x))"
+)
+_BQ_NORM_Q = (
+    "sqrt(list_reduce(list_transform(list_zip(q, q), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x))"
+)
+_BQ_DOT = (
+    "list_reduce(list_transform(list_zip(e, q), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+ORACLE["sim_bq_hamming"] = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+sig AS (
+  SELECT vec_id, label, e,
+         ({_bq_half('e', True, False)}) AS b_lo,
+         ({_bq_half('e', False, False)}) AS b_hi
+  FROM v
+),
+anchor AS (
+  SELECT e AS q, b_lo AS q_lo, b_hi AS q_hi FROM sig
+  WHERE vec_id = {ANCHOR_ID}
+),
+short AS (
+  SELECT s.vec_id, s.label, s.e, a.q,
+         CAST(bit_count(xor(s.b_lo, a.q_lo))
+              + bit_count(xor(s.b_hi, a.q_hi)) AS INTEGER) AS hamming
+  FROM sig s CROSS JOIN anchor a
+  WHERE s.vec_id <> {ANCHOR_ID}
+  ORDER BY hamming ASC, s.vec_id ASC
+  LIMIT {BQ_CAND}
+)
+SELECT vec_id, label, hamming,
+       round({_BQ_DOT} / ({_BQ_NORM_E} * {_BQ_NORM_Q}), 6) AS cosine_sim
+FROM short
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {BQ_TOP_K}
+"""
+
+from spark_spotify.analytics import textops as _textops  # noqa: E402
+
+ORACLE["sim_rrf_fusion"] = f"""
+WITH bm AS (
+  SELECT doc_id, score FROM ({_textops.ORACLE['text_bm25_topk']})
+),
+bm_r AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM bm
+),
+vec AS (
+  SELECT vec_id AS doc_id, cosine_sim
+  FROM ({ORACLE['sim_ann_cosine_topk']})
+),
+vec_r AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY cosine_sim DESC, doc_id ASC) AS vec_rank
+  FROM vec
+),
+f AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         COALESCE(b.bm25_rank, 0) AS bm25_rank,
+         COALESCE(v.vec_rank, 0) AS vec_rank
+  FROM bm_r b FULL OUTER JOIN vec_r v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, bm25_rank, vec_rank,
+       round((CASE WHEN bm25_rank > 0
+                   THEN 1.0 / ({RRF_K} + bm25_rank) ELSE 0.0 END)
+             + (CASE WHEN vec_rank > 0
+                     THEN 1.0 / ({RRF_K} + vec_rank) ELSE 0.0 END),
+             6) AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {BQ_TOP_K}
+"""
