@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "sim_ann_drift_monitor",
     "sim_bq_hamming",
     "sim_rrf_fusion",
+    "stream_auto_optimize",
 ]
 
 

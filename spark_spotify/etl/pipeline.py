@@ -1954,6 +1954,7 @@ def optimize_table(
     predicates: list[tuple] | None = None,
     zorder_by: tuple[str, str] | None = None,
     incremental: bool = False,
+    min_bytes: int | None = None,
 ) -> int:
     """INCREMENTAL small-file compaction — the real ``OPTIMIZE`` /
     ``rewrite_data_files`` semantics that :func:`compact_table`'s
@@ -2023,8 +2024,14 @@ def optimize_table(
     if zorder_by is not None:
         grid_parts = None
         if incremental:
+            # selection threshold vs output target are SEPARATE dials
+            # (Delta's autoCompact.minFileSize vs maxFileSize): outputs
+            # land near target_bytes, so selecting at target_bytes would
+            # re-fold every graduated range forever; min_bytes below
+            # target keeps graduation permanent
+            sel = min_bytes if min_bytes is not None else target_bytes
             grid_parts = cand  # grid over the FULL in-scope manifest
-            cand = [p for p in cand if sizes[p] < target_bytes]
+            cand = [p for p in cand if sizes[p] < sel]
             if len(cand) < 2:
                 return 0
         return _optimize_zorder(

@@ -1981,6 +1981,214 @@ WHERE c.click_id NOT IN (SELECT click_id FROM matched)
 """,
 }
 
+OPT_EVERY = 3  # auto-OPTIMIZE cadence (micro-batches)
+
+
+def q_stream_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-OPTIMIZE riding the ingestion stream — Databricks
+    auto-compaction composed from this repo's pieces: a checkpointed
+    file stream appends events micro-batches to a warehouse table, and
+    every {OPT_EVERY} batches the SAME sink runs the incremental ZORDER
+    pass (``optimize_table(..., incremental=True)``) over the table it
+    is feeding, so the trickle graduates into clustered Z-ranges
+    without ever pausing ingestion or rewriting the standing bulk.
+
+    Protocol notes, each load-bearing at scale:
+
+    - idempotency anchors on the dedicated ``txn_log`` table (the
+      ``stream_ann_retrain_swap`` protocol) because OPTIMIZE commits
+      move the data table's version BETWEEN batches — batch_id
+      arithmetic against the data table would break exactly here;
+    - each micro-batch lands {{data part, log row}} through the
+      durable-intent multi-table commit;
+    - the OPTIMIZE target is FROZEN at the first pass (half the table
+      bytes then), so graduated Z-ranges are never re-selected — the
+      second pass provably leaves the first pass's output
+      byte-untouched (inode-asserted) and touches only the new trickle
+      (the self-stabilizing property ``etl_zorder_incremental`` gates);
+    - after the drain: both generations carry manifest stats on both
+      clustering keys and an idle restart applies nothing.
+
+    Oracle: a plain projection of the full events corpus — six
+    micro-batches, two in-stream layout passes, zero logical-row
+    drift."""
+    import atexit
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from spark_spotify.etl.pipeline import (
+        _current_version,
+        _manifest,
+        _require,
+        multi_commit,
+        optimize_table,
+        read_table,
+    )
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="spark_spotify_autoopt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = _os.path.join(base, "arrivals")
+    _os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = _os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+
+    for k in range(6):
+        land(ev.filter(F.col("event_id") % 6 == k), f"b{k}")
+
+    tdir = _os.path.join(base, "t")
+
+    def live_bytes() -> int:
+        return sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for p in (_manifest(base, "t") or [])
+            for root, _d, files in _os.walk(_os.path.join(tdir, p))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def _inodes() -> dict:
+        out = {}
+        for p in _manifest(base, "t") or []:
+            for root, _d, files in _os.walk(_os.path.join(tdir, p)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out[f"{p}/{f}"] = _os.stat(
+                            _os.path.join(root, f)
+                        ).st_ino
+        return out
+
+    state = {
+        "min": None,
+        "target": None,
+        "opt_runs": 0,
+        "applied": 0,
+        "gen1_inos": None,
+    }
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _current_version(base, "txn_log") >= batch_id + 1:
+            return
+        part = f"b{batch_id}"
+        batch_df.coalesce(1).write.parquet(_os.path.join(tdir, part))
+        batch_df.sparkSession.range(1).select(
+            F.lit(batch_id).cast("long").alias("batch_id")
+        ).coalesce(1).write.parquet(
+            _os.path.join(base, "txn_log", part)
+        )
+        multi_commit(
+            base,
+            {"t": ([part], set()), "txn_log": ([part], set())},
+            part,
+        )
+        state["applied"] += 1
+        if (batch_id + 1) % OPT_EVERY == 0:
+            if state["min"] is None:
+                # freeze both dials at the first pass: selection at
+                # half the trickle window, output target above the
+                # whole window — graduated Z-ranges land well above the
+                # selection threshold and are never re-folded
+                b = live_bytes()
+                state["min"] = max(b // 2, 1)
+                state["target"] = 2 * b
+            n = optimize_table(
+                batch_df.sparkSession,
+                base,
+                "t",
+                state["target"],
+                tag=f"a{batch_id}",
+                zorder_by=("user_id", "day"),
+                incremental=True,
+                min_bytes=state["min"],
+            )
+            _require(
+                n == OPT_EVERY,
+                f"auto-optimize at batch {batch_id} folded {n} parts, "
+                f"expected {OPT_EVERY}",
+            )
+            state["opt_runs"] += 1
+            if state["opt_runs"] == 1:
+                state["gen1_inos"] = _inodes()
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()
+    _require(
+        state["applied"] == 6 and state["opt_runs"] == 2,
+        f"drain applied {state['applied']} batches, "
+        f"{state['opt_runs']} optimize passes",
+    )
+    parts = _manifest(base, "t") or []
+    _require(
+        all(p.startswith("oa") for p in parts) and len(parts) == 2,
+        f"auto-optimize left wrong layout: {parts}",
+    )
+    # the second in-stream pass left the first generation byte-untouched
+    final_inos = _inodes()
+    gen1_now = {
+        k: v for k, v in final_inos.items() if k.startswith("oa2")
+    }
+    gen1_then = {
+        k: v
+        for k, v in (state["gen1_inos"] or {}).items()
+        if k.startswith("oa2")
+    }
+    _require(
+        bool(gen1_then) and gen1_now == gen1_then,
+        "second auto-optimize pass disturbed the first generation",
+    )
+    # idle restart: the checkpoint + log guard apply nothing, and no
+    # layout pass fires (nothing under the selection threshold)
+    before = dict(state)
+    run()
+    _require(
+        state == before, f"idle restart changed state: {state}"
+    )
+    # both generations carry manifest stats on BOTH clustering keys —
+    # the planning inputs future point queries prune on (the pruning
+    # property itself is etl_zorder_incremental's gate; per-generation
+    # windows here each graduate into ONE right-sized Z-range)
+    from spark_spotify.etl.pipeline import _read_manifest_file
+
+    m = _read_manifest_file(base, "t", _current_version(base, "t"))
+    for p in parts:
+        for col in ("user_id", "day"):
+            st_ = (m["stats"].get(p) or {}).get(col) or {}
+            _require(
+                st_.get("lo") is not None,
+                f"{p}: no {col} stats after auto-optimize",
+            )
+    return read_table(spark, base, "t").transform(stable_checkpoint)
+
+
 QUERIES = {
     "stream_hourly_rollup": q_stream_hourly_rollup,
     "stream_dedup": q_stream_dedup,
@@ -2001,6 +2209,7 @@ QUERIES = {
     "stream_cdf_follow": q_stream_cdf_follow,
     "stream_cdf_row_follow": q_stream_cdf_row_follow,
     "stream_expectations": q_stream_expectations,
+    "stream_auto_optimize": q_stream_auto_optimize,
 }
 
 # the replica reconstructed purely from the change feed must equal the
@@ -2017,3 +2226,7 @@ SELECT event_id, user_id, value FROM events WHERE event_id % 10 <> 1
 # the row-lineage follower reconstructs the head state exactly — shared
 # verbatim with the producer-side gate so the two can never drift
 ORACLE["stream_cdf_row_follow"] = _etlp.ORACLE["etl_cdf_row_lineage"]
+# auto-OPTIMIZE is a layout loop: six micro-batches + two in-stream
+# ZORDER passes must never change a logical row (same projection as the
+# zorder gates)
+ORACLE["stream_auto_optimize"] = _etlp.ORACLE["etl_zorder_incremental"]
