@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "sim_bq_hamming",
     "sim_rrf_fusion",
     "stream_auto_optimize",
+    "rel_returned_item_customers",
+    "rel_promo_revenue_share",
+    "rel_nation_market_share",
 ]
 
 

@@ -61,6 +61,15 @@ Q21_TOP = 50
 
 Q22_CUTOFF = "1999-01-01"  # "idle" = no orders since this date
 
+Q10_START = "1997-01-01"  # Q10-shape returned-item window
+Q10_END = "1998-01-01"
+Q10_TOP = 20
+
+Q14_YEAR = 1997  # Q14-shape promo-share year
+
+Q8_REGION = "EUROPE"  # Q8-shape market + target supplier nation
+Q8_NATION = "NATION_7"
+
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
@@ -1107,6 +1116,142 @@ def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the customers who
+    returned the most revenue in one year — lineitems flagged 'R'
+    joined through orders to the customer and nation dims, top-{Q10_TOP}
+    by lost revenue.  Spark-first: both date and returnflag predicates
+    push into their scans; lineitem pre-aggregates to ORDER grain
+    before the join (the ``rel_star_revenue`` trick — the fact shrinks
+    before touching the join graph and the orderkey shuffle doubles as
+    the join partitioning); customer/nation broadcast at dim ratio.
+    Exact scaled-long money; top-k ties break on custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_START)
+        & (F.col("o_orderdate") < Q10_END)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            lmoney(F.col("l_extendedprice"), F.col("l_discount"))
+        ).alias("rev_s4")
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey, "inner")
+        .join(
+            dim_broadcast(c, sf_dir, "customer", 2_000_000),
+            o.o_custkey == c.c_custkey,
+            "inner",
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            lsum_scaled(F.col("rev_s4"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP)
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship month of {Q14_YEAR},
+    the percentage of revenue from PROMO-type parts.  The conditional
+    revenue and the total fold in ONE aggregation pass (a CASE inside
+    the sum — Q14's two-branch numerator without a second scan), both
+    as exact scaled longs; the share is a single division of two
+    exactly-derived doubles, mirrored verbatim in the oracle.  The part
+    dim broadcasts; the month key derives in-scan so the group-by
+    shuffles month-sized partials only."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == Q14_YEAR
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    m = lmoney(F.col("l_extendedprice"), F.col("l_discount"))
+    promo_m = F.when(F.col("p_type") == "PROMO", m).otherwise(
+        F.lit(0).cast("long")
+    )
+    g = (
+        li.join(
+            dim_broadcast(p, sf_dir, "part", 2_000_000),
+            li["l_partkey"] == p["p_partkey"],
+            "inner",
+        )
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            lsum_scaled(promo_m, 4).alias("promo_revenue"),
+            lsum_scaled(m, 4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return g.select(
+        "ship_month",
+        "n_lines",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            (F.lit(100.0) * F.col("promo_revenue"))
+            / F.col("total_revenue"),
+            6,
+        ).alias("promo_share_pct"),
+    ).orderBy("ship_month")
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): {Q8_NATION}'s share of
+    supplier revenue in the {Q8_REGION} customer market, per order
+    year.  The share is a conditional-over-total aggregate computed in
+    ONE pass (CASE-sum / sum, Q8's nested-subquery formulation
+    decorrelated); revenue folds as exact scaled longs and the share
+    divides two exactly-derived doubles.  Region/nation/supplier
+    broadcast; the fact shuffles once for the orderkey join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    sn = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner"
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    m = lmoney(F.col("l_extendedprice"), F.col("l_discount"))
+    nat_m = F.when(F.col("supp_nation") == Q8_NATION, m).otherwise(
+        F.lit(0).cast("long")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .filter(F.col("r_name") == Q8_REGION)
+        .join(
+            dim_broadcast(sn, sf_dir, "supplier", 2_000_000),
+            li.l_suppkey == sn.s_suppkey,
+            "inner",
+        )
+    )
+    g = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        lsum_scaled(nat_m, 4).alias("nation_revenue"),
+        lsum_scaled(m, 4).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        "order_year",
+        "n_lines",
+        "nation_revenue",
+        "total_revenue",
+        F.round(
+            F.col("nation_revenue") / F.col("total_revenue"), 6
+        ).alias("market_share"),
+    ).orderBy("order_year")
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_nation_trade_flows": q_nation_trade_flows,
@@ -1130,7 +1275,72 @@ QUERIES = {
     "rel_disjunctive_revenue": q_disjunctive_revenue,
     "rel_min_price_supplier": q_min_price_supplier,
     "rel_sole_late_shipper": q_sole_late_shipper,
+    "rel_returned_item_customers": q_returned_item_customers,
+    "rel_promo_revenue_share": q_promo_revenue_share,
+    "rel_nation_market_share": q_nation_market_share,
 }
+
+# TPC-H Q10 shape: returned revenue per customer, one year, top-k
+ORACLE["rel_returned_item_customers"] = f"""
+WITH per_order AS (
+  SELECT l_orderkey, SUM({_SQL_MONEY}) AS rev
+  FROM lineitem l WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       CAST(SUM(po.rev) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM per_order po
+JOIN orders o ON o.o_orderkey = po.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_START} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q10_END} 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT {Q10_TOP}
+"""
+
+# TPC-H Q14 shape: promo revenue share per ship month
+ORACLE["rel_promo_revenue_share"] = f"""
+WITH g AS (
+  SELECT month(l.l_shipdate) AS ship_month, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_MONEY}
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DOUBLE) AS promo_revenue,
+         CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS total_revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) = {Q14_YEAR}
+  GROUP BY month(l.l_shipdate)
+)
+SELECT ship_month, n_lines, promo_revenue, total_revenue,
+       round((100.0 * promo_revenue) / total_revenue, 6)
+         AS promo_share_pct
+FROM g ORDER BY ship_month
+"""
+
+# TPC-H Q8 shape: supplier-nation market share in a customer region
+ORACLE["rel_nation_market_share"] = f"""
+WITH g AS (
+  SELECT year(o.o_orderdate) AS order_year, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN sn.n_name = '{Q8_NATION}' THEN {_SQL_MONEY}
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DOUBLE) AS nation_revenue,
+         CAST(SUM({_SQL_MONEY}) AS DOUBLE) AS total_revenue
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{Q8_REGION}'
+  GROUP BY year(o.o_orderdate)
+)
+SELECT order_year, n_lines, nation_revenue, total_revenue,
+       round(nation_revenue / total_revenue, 6) AS market_share
+FROM g ORDER BY order_year
+"""
 
 # TPC-H Q13 shape: zero-order customers must survive both aggregations
 ORACLE["rel_customer_order_histogram"] = f"""
