@@ -2765,6 +2765,233 @@ def _f_dedup_band(spark: SparkSession, sf_dir: str):
     return serve, cleanup
 
 
+def _f_ann_scaled(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_maintained_scaled: the append-maintained
+    index under the corpus-derived K quantizer."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = math.isqrt(emb.count())
+    late = (F.col("vec_id") >= k) & (F.col("vec_id") % 4 == 1)
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvks_")
+    _commit_append(emb.filter(~late), w, "emb", 1)
+    base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(base1, k), w, "ann_centroids", 1)
+    cents = read_table(spark, w, "ann_centroids")
+    _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+    _commit_append(emb.filter(late), w, "emb", 2)
+    _commit_append(
+        assign_cells(
+            _vec_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2))),
+            cents,
+        ),
+        w,
+        "ann_index",
+        2,
+    )
+    return (
+        lambda: _ann_serve(spark, w),
+        lambda: shutil.rmtree(w, ignore_errors=True),
+    )
+
+
+def _f_ann_retrain(spark: SparkSession, sf_dir: str):
+    """Post-retrain end state of sim_ann_retrain (drifted corpus, index
+    reassigned under the corpus-scaled quantizer); serve = the plain
+    single-probe top-k — the gate's recall drill is construction, not
+    serving."""
+    import math
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvrt_")
+    _commit_append(
+        emb.select("vec_id", F.expr(E_SQL).alias("emb")), w, "emb", 1
+    )
+    base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_rt_drift(spark, base1), w, "emb", 2)
+    live = _rt_view(fan_out(read_table(spark, w, "emb")))
+    n = live.count()
+    k_new = math.isqrt(n)
+    stride = (n + k_new - 1) // k_new
+    ranked = live.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("vec_id")))
+    )
+    seeds = ranked.filter((F.col("rn") - 1) % stride == 0).select(
+        F.col("rn").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    _commit_append(seeds, w, "ann_centroids", 1)
+    _commit_append(
+        assign_cells(live, read_table(spark, w, "ann_centroids")),
+        w,
+        "ann_index",
+        1,
+    )
+
+    def serve() -> DataFrame:
+        corpus = _rt_view(fan_out(read_table(spark, w, "emb")))
+        cells = corpus.join(read_table(spark, w, "ann_index"), "vec_id")
+        anchor = cells.filter(F.col("vec_id") == ANCHOR_ID).select(
+            F.col("emb").alias("q"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
+        cand = cells.filter(F.col("vec_id") != ANCHOR_ID).join(
+            F.broadcast(anchor), F.col("cell") == F.col("qcell"), "inner"
+        )
+        cos = _dot("emb", "q") / (F.col("nrm") * F.col("qn"))
+        return (
+            cand.select(
+                "vec_id", "cell", F.round(cos, 6).alias("cosine_sim")
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(IVF_TOP_K)
+        )
+
+    return serve, lambda: shutil.rmtree(w, ignore_errors=True)
+
+
+def _f_ann_monitor(spark: SparkSession, sf_dir: str):
+    """End state of sim_ann_drift_monitor; serve = the monitor scan
+    itself (its per-batch metrics ARE the serving query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvdm_")
+    _commit_append(
+        emb.select("vec_id", F.expr(E_SQL).alias("emb")), w, "emb", 1
+    )
+    base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
+    cents = read_table(spark, w, "ann_centroids")
+    _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+    _commit_append(_rt_drift(spark, base1), w, "emb", 2)
+    _commit_append(
+        assign_cells(
+            _rt_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2))),
+            cents,
+        ),
+        w,
+        "ann_index",
+        2,
+    )
+
+    def serve() -> DataFrame:
+        live = _rt_view(fan_out(read_table(spark, w, "emb")))
+        scored = live.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            (
+                _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+            ).alias("cos_c"),
+        )
+        batch_col = F.when(
+            F.col("vec_id") >= RT_OFF, F.lit("arrival")
+        ).otherwise(F.lit("build"))
+        per_vec = (
+            scored.groupBy("vec_id")
+            .agg(F.max("cos_c").alias("mc"))
+            .select(
+                batch_col.alias("batch"),
+                F.round(
+                    F.round(F.col("mc"), 6) * F.lit(1_000_000), 0
+                )
+                .cast("long")
+                .alias("mc_s6"),
+            )
+        )
+        occ = (
+            read_table(spark, w, "ann_index")
+            .select(batch_col.alias("batch"), "cell")
+            .groupBy("batch", "cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        stats = per_vec.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("mc_s6").alias("sum_s6"),
+        )
+        return stats.join(
+            occ.groupBy("batch").agg(F.count(F.lit(1)).alias("n_cells")),
+            "batch",
+        )
+
+    return serve, lambda: shutil.rmtree(w, ignore_errors=True)
+
+
+def _f_ann_epoch(spark: SparkSession, sf_dir: str):
+    """Mixed-epoch end state of stream_ann_retrain_swap (sealed
+    epoch-1 segments + post-swap epoch-2 rows); serve = the two-
+    quantizer probe."""
+    from spark_spotify.etl.pipeline import swing_rebase
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = 3 * N_CELLS
+    late2 = (F.col("vec_id") >= hi) & (F.col("vec_id") % 5 == 3)
+    w = tempfile.mkdtemp(prefix="spark_spotify_srvep_")
+    _commit_append(emb, w, "emb", 1)
+    v = _vec_view(fan_out(read_table(spark, w, "emb")))
+    _commit_append(_centroid_rows(v), w, "ann_centroids", 1)
+    c1 = read_table(spark, w, "ann_centroids", version=1)
+    _commit_append(
+        assign_cells(v.filter(~late2), c1).withColumn(
+            "epoch", F.lit(1).cast("long")
+        ),
+        w,
+        "ann_index",
+        1,
+    )
+    v.filter(
+        (F.col("vec_id") >= N_CELLS) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    ).coalesce(1).write.parquet(os.path.join(w, "ann_centroids", "p2"))
+    swing_rebase(w, "ann_centroids", 1, ["p2"], {"p1"})
+    _commit_append(
+        assign_cells(
+            v.filter(late2), read_table(spark, w, "ann_centroids")
+        ).withColumn("epoch", F.lit(2).cast("long")),
+        w,
+        "ann_index",
+        2,
+    )
+
+    def serve() -> DataFrame:
+        corpus = _vec_view(fan_out(read_table(spark, w, "emb")))
+        idx = read_table(spark, w, "ann_index")
+        anchor = corpus.filter(F.col("vec_id") == ANCHOR_ID)
+        acell = {
+            ep: assign_cells(
+                anchor,
+                read_table(spark, w, "ann_centroids", version=ep),
+            ).collect()[0]["cell"]
+            for ep in (1, 2)
+        }
+        cand = idx.filter(
+            (
+                (F.col("epoch") == 1) & (F.col("cell") == acell[1])
+                | (F.col("epoch") == 2) & (F.col("cell") == acell[2])
+            )
+            & (F.col("vec_id") != ANCHOR_ID)
+        ).select("vec_id", "epoch")
+        q = anchor.select(
+            F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+        )
+        cos = _dot("emb", "qe") / (F.col("nrm") * F.col("qn"))
+        return (
+            cand.join(corpus, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id", "epoch", F.round(cos, 6).alias("cosine_sim")
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(IVF_TOP_K)
+        )
+
+    return serve, lambda: shutil.rmtree(w, ignore_errors=True)
+
+
 SERVE_ALIASES = {
     # gate name -> factory key (identical serving shapes share a build)
     "sim_ann_maintained": "ann",
@@ -2776,6 +3003,10 @@ SERVE_ALIASES = {
     "dedup_incremental_maintained": "dedup",
     "dedup_index_delete": "dedup_dv",
     "dedup_band_lookup": "dedup_band",
+    "sim_ann_maintained_scaled": "ann_scaled",
+    "sim_ann_retrain": "ann_retrain",
+    "sim_ann_drift_monitor": "ann_monitor",
+    "stream_ann_retrain_swap": "ann_epoch",
 }
 
 
@@ -2794,4 +3025,8 @@ def serve_factories() -> dict:
         "dedup": _f_dedup,
         "dedup_dv": lambda s, d: _f_dedup(s, d, takedown=True),
         "dedup_band": _f_dedup_band,
+        "ann_scaled": _f_ann_scaled,
+        "ann_retrain": _f_ann_retrain,
+        "ann_monitor": _f_ann_monitor,
+        "ann_epoch": _f_ann_epoch,
     }
