@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "rel_returned_item_customers",
     "rel_promo_revenue_share",
     "rel_nation_market_share",
+    "curate_sample_maintained",
 ]
 
 

@@ -1875,6 +1875,84 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+SAMPLE_TH = "40"  # hex bucket threshold: 64/256 = 25% sample
+
+
+def q_sample_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained TRAINING SAMPLE — the maintained-artifact contract
+    applied to curation: a hash-thresholded uniform sample (the
+    eval/holdout slice a training pipeline pins) lives as warehouse
+    table ``sample_index`` and is maintained per ingestion batch.
+    Membership is ``md5('usample:' || doc_id) < {SAMPLE_TH}`` — content-
+    and partitioning-independent, so a document's verdict never changes
+    as the corpus grows (``df.sample()`` can give neither property),
+    which is exactly what makes the sample APPEND-MAINTAINABLE: each
+    batch's members are decidable from the batch alone.
+
+    - v1: two-thirds of the corpus lands; ``sample_index`` v1 = its
+      members;
+    - append: the last third lands; maintenance filters ONLY the
+      appended parts (manifest part diff) and appends ONE index part —
+      v1 parts byte-untouched, the new part holds exactly the batch's
+      member count (footer-accounted), no non-member leaks
+      (asserted);
+    - serve: the maintained sample must equal the from-scratch
+      recompute over the full corpus — the DuckDB oracle IS that
+      recompute (the ``curate_stratified_sample`` hash discipline).
+
+    At 100 TB this is how held-out slices actually stay consistent
+    across a year of ingestion: per-batch cost O(batch), zero corpus
+    rescans, membership stable forever."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("usample:"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+
+    def members(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", "lang", "source", bucket.alias("bucket")
+        ).filter(F.col("bucket") < SAMPLE_TH)
+
+    late = F.col("doc_id") % 3 == 0
+    w = tempfile.mkdtemp(prefix="spark_spotify_smpl_")
+    try:
+        _commit_append(docs.filter(~late), w, "docs", 1)
+        _commit_append(
+            members(read_table(spark, w, "docs")), w, "sample_index", 1
+        )
+        v1_parts = list(_manifest(w, "sample_index") or [])
+
+        _commit_append(docs.filter(late), w, "docs", 2)
+        batch = _added_parts_read(spark, w, "docs", 1, 2)
+        _commit_append(members(batch), w, "sample_index", 2)
+
+        v2_parts = _manifest(w, "sample_index") or []
+        _require(
+            v2_parts[: len(v1_parts)] == v1_parts
+            and len(v2_parts) == len(v1_parts) + 1,
+            "sample maintenance rewrote history",
+        )
+        added = [p for p in v2_parts if p not in set(v1_parts)]
+        n_added = _part_rows(w, "sample_index", added)
+        n_expected = members(batch).count()
+        _require(
+            n_added == n_expected and n_added > 0,
+            f"sample delta {n_added} != batch members {n_expected}",
+        )
+        out = read_table(spark, w, "sample_index")
+        _require(
+            out.filter(F.col("bucket") >= SAMPLE_TH).count() == 0,
+            "non-member leaked into the maintained sample",
+        )
+        return out.transform(stable_checkpoint)
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
 DRIFT_COS_THRESHOLD = 0.15  # |mean assignment cos - build baseline|
 DRIFT_TVD_THRESHOLD = 0.25  # occupancy total-variation distance
 
@@ -2060,6 +2138,7 @@ QUERIES = {
     "sim_ann_retrain": q_ann_retrain,
     "sim_ann_drift_monitor": q_ann_drift_monitor,
     "stream_ann_retrain_swap": q_stream_ann_retrain_swap,
+    "curate_sample_maintained": q_sample_maintained,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
     "sim_ann_index_optimize": q_ann_index_optimize,
@@ -2089,9 +2168,18 @@ _IVF_SCALED_SQL = _IVF_SQL.replace(
     " FROM embeddings)",
 )
 
+ORACLE_SAMPLE = f"""
+SELECT doc_id, lang, source,
+       substr(md5('usample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5('usample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      < '{SAMPLE_TH}'
+"""
+
 ORACLE = {
     "sim_ann_maintained": _IVF_SQL,
     "sim_ann_maintained_scaled": _IVF_SCALED_SQL,
+    "curate_sample_maintained": ORACLE_SAMPLE,
     "sim_ann_partition_prune": _IVF_SQL,
     "stream_ann_maintain": _IVF_SQL,
     "sim_ann_index_optimize": _IVF_SQL,
