@@ -1487,6 +1487,7 @@ RT_TINY = 0.001  # per-member noise amplitude (the tie-breaker)
 RT_OFF = 1_000_000  # drift ids: RT_OFF + m*RT_BLOCK + j (m-contiguous)
 RT_BLOCK = 100_000
 RT_K = 5  # recall@k
+RT_QMAX = 25  # fixed per-sub-cluster query-panel width (audit cost O(corpus))
 
 
 def _rt_view(df: DataFrame) -> DataFrame:
@@ -1794,7 +1795,14 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # ---- recall@k: frozen phase served from the PINNED read
         corpus = live
-        queries = corpus.filter(F.col("vec_id") >= RT_OFF)
+        # FIXED-SIZE query panel (first RT_QMAX positions of each
+        # drifted line): recall audits sample queries — the FAISS eval
+        # shape — so audit cost is O(panel x corpus) = linear in the
+        # corpus, never quadratic
+        queries = corpus.filter(
+            (F.col("vec_id") >= RT_OFF)
+            & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
+        )
         nq = queries.count()
         _require(nq > 0, "drift batch empty")
         exact5 = _rt_topk(queries, corpus).persist()
@@ -2368,7 +2376,8 @@ cellsr AS (
                s.cent_id ASC) AS rn
     FROM corpus c CROSS JOIN seeds s) WHERE rn = 1
 ),
-qs AS (SELECT vec_id, e, nrm FROM corpus WHERE vec_id >= {RT_OFF}),
+qs AS (SELECT vec_id, e, nrm FROM corpus WHERE vec_id >= {RT_OFF}
+       AND vec_id % {RT_BLOCK} < {RT_QMAX}),
 exact5 AS (
   SELECT qid, cand FROM (
     SELECT q.vec_id AS qid, c.vec_id AS cand,
