@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "rel_promo_revenue_share",
     "rel_nation_market_share",
     "curate_sample_maintained",
+    "mm_jpeg_roundtrip",
 ]
 
 

@@ -55,3 +55,57 @@ def test_unsupported_profiles_gated():
         wf.writeframes(b"\x00\x00" * 8)
     with pytest.raises(NotImplementedError, match="mono"):
         _try_real_decode(buf.getvalue(), "audio")
+
+
+def test_jpeg_flat_block_closed_form():
+    """The real JPEG pair round-trips flat-per-block images to the
+    exact closed form the oracle computes (DC-only quantization with
+    the table's q00=16)."""
+    import math
+
+    import numpy as np
+
+    from spark_spotify.multimodal import _jpeg_decode, _jpeg_encode
+
+    for d in (0, 7, 123, 254, 999):
+        w, h = (d % 3 + 1) * 8, (d % 2 + 1) * 8
+        img = np.zeros((h, w), dtype=np.uint8)
+        exp = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (d * 5 + bx * 11 + by * 17) % 256
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                fq = math.floor((v - 128) / 2.0 + 0.5)
+                exp += 64 * min(255, max(0, 2 * fq + 128))
+        dec = _jpeg_decode(_jpeg_encode(img))
+        assert dec.shape == (h, w)
+        assert int(dec.astype(np.int64).sum()) == exp
+
+
+def test_jpeg_general_roundtrip_within_quantization():
+    """A full random grayscale image survives encode/decode within a
+    bound set by the quantization table (the general-machinery check:
+    every AC run/size path, ZRL, EOB, byte stuffing, negative DC
+    diffs)."""
+    import numpy as np
+
+    from spark_spotify.multimodal import _jpeg_decode, _jpeg_encode
+
+    rng = np.random.RandomState(42)
+    # smooth-ish random: random low-res upsampled, so quantization
+    # error stays bounded while AC coefficients are dense
+    base = rng.randint(0, 256, (4, 6)).astype(np.float64)
+    img = np.clip(
+        np.rint(np.kron(base, np.ones((8, 8)))), 0, 255
+    ).astype(np.uint8)
+    dec = _jpeg_decode(_jpeg_encode(img))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 8, err
+    # and a genuinely rough image still decodes losslessly enough to
+    # keep the stream well-formed (no assertion on error bound beyond
+    # sanity; the decode itself exercising the huffman paths is the
+    # point)
+    rough = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    dec2 = _jpeg_decode(_jpeg_encode(rough))
+    assert dec2.shape == rough.shape
