@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "rel_nation_market_share",
     "curate_sample_maintained",
     "mm_jpeg_roundtrip",
+    "mm_avi_demux",
 ]
 
 

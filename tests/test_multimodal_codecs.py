@@ -109,3 +109,22 @@ def test_jpeg_general_roundtrip_within_quantization():
     rough = rng.randint(0, 256, (16, 16)).astype(np.uint8)
     dec2 = _jpeg_decode(_jpeg_encode(rough))
     assert dec2.shape == rough.shape
+
+
+def test_avi_roundtrip_and_malformed():
+    """The AVI writer/demuxer pair round-trips exactly (lossless raw
+    frames), and the demuxer rejects truncated/mislabeled streams."""
+    import numpy as np
+    import pytest
+
+    from spark_spotify.multimodal import _avi_demux, _avi_encode
+
+    rng = np.random.RandomState(7)
+    frames = [
+        rng.randint(0, 256, (5, 7, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    w, h, n, s = _avi_demux(_avi_encode(7, 5, frames))
+    assert (w, h, n) == (7, 5, 3)
+    assert s == sum(int(f.astype(np.int64).sum()) for f in frames)
+    with pytest.raises(ValueError):
+        _avi_demux(b"RIFF\x04\x00\x00\x00WAVE")
