@@ -128,3 +128,67 @@ def test_avi_roundtrip_and_malformed():
     assert s == sum(int(f.astype(np.int64).sum()) for f in frames)
     with pytest.raises(ValueError):
         _avi_demux(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_jpeg_property_flat_blocks_closed_form():
+    """Property: ANY flat-per-block image round-trips to the DC-only
+    closed form — across the full gray range and several geometries."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_spotify.multimodal import _jpeg_decode, _jpeg_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nbx=st.integers(1, 4),
+        nby=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(nbx: int, nby: int, seed: int) -> None:
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(0, 256, (nby, nbx))
+        img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+        dec = _jpeg_decode(_jpeg_encode(img))
+        exp = sum(
+            64
+            * min(
+                255,
+                max(0, 2 * math.floor((int(v) - 128) / 2.0 + 0.5) + 128),
+            )
+            for v in vals.flat
+        )
+        assert int(dec.astype(np.int64).sum()) == exp
+
+    prop()
+
+
+def test_avi_property_lossless():
+    """Property: the AVI pair is lossless for any frame stack whose
+    dims force every stride-padding case (w*3 mod 4 in all classes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_spotify.multimodal import _avi_demux, _avi_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        n=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w: int, h: int, n: int, seed: int) -> None:
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            for _ in range(n)
+        ]
+        gw, gh, gn, gs = _avi_demux(_avi_encode(w, h, frames))
+        assert (gw, gh, gn) == (w, h, n)
+        assert gs == sum(int(f.astype(np.int64).sum()) for f in frames)
+
+    prop()

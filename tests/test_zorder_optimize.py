@@ -141,3 +141,65 @@ def test_zorder_scoped_by_predicate_leaves_rest_untouched(spark, warehouse):
     assert (_manifest(warehouse, "t") or []) == parts1
     for p, ino in inos.items():
         assert os.stat(os.path.join(warehouse, "t", p)).st_ino == ino
+
+
+def test_incremental_zorder_min_bytes_split(spark, sf_dir, tmp_path):
+    """min_bytes decouples selection from the output target: parts
+    between min_bytes and target_bytes are NOT selected, parts under
+    min_bytes are, and the graduated output (sized toward target) never
+    re-trips selection on a repeat pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_spotify.etl.pipeline import (
+        _commit_append,
+        _manifest,
+        optimize_table,
+    )
+    from spark_spotify.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    w = str(tmp_path / "wh")
+    # one mid-sized part + two tiny parts
+    _commit_append(ev.filter(F.col("event_id") % 4 != 0), w, "t", 1)
+    _commit_append(ev.filter(F.col("event_id") % 8 == 0), w, "t", 2)
+    _commit_append(ev.filter(F.col("event_id") % 8 == 4), w, "t", 3)
+
+    def psize(p: str) -> int:
+        d = os.path.join(w, "t", p)
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    big = psize("p1")
+    small = max(psize("p2"), psize("p3"))
+    assert small < big
+    # selection bar below the mid part, target far above everything
+    n = optimize_table(
+        spark, w, "t", 4 * big, tag="m1",
+        zorder_by=("user_id", "day"), incremental=True,
+        min_bytes=(small + big) // 2,
+    )
+    assert n == 2  # only the two tiny parts folded
+    parts = _manifest(w, "t")
+    assert parts[0] == "p1" and all(
+        p.startswith("om1z") for p in parts[1:]
+    )
+    # repeat pass: p1 sits above min_bytes and the single graduated
+    # range (below the bar here) is protected by the >=2-part guard
+    n2 = optimize_table(
+        spark, w, "t", 4 * big, tag="m2",
+        zorder_by=("user_id", "day"), incremental=True,
+        min_bytes=(small + big) // 2,
+    )
+    assert n2 == 0
