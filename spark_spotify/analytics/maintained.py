@@ -1502,6 +1502,19 @@ def _rt_drift(spark: SparkSession, base: DataFrame) -> DataFrame:
     position j = t div RT_M is ``(g_m + ((j+1)*RT_STEP)*h_m) +
     RT_TINY*û_t``.  All pair/line frames are single-digit rows —
     broadcast joins, arrays never shuffled."""
+    # Headroom guards (ADVICE r9): drift ids RT_OFF + m*RT_BLOCK + j
+    # collide with base ids once max(vec_id) >= RT_OFF, and sub-cluster
+    # blocks overlap once j = t div RT_M reaches RT_BLOCK.  Fail loudly
+    # instead of silently corrupting the drift corpus at a larger SF.
+    mx = int(base.agg(F.max("vec_id")).first()[0])
+    _require(
+        mx < RT_OFF,
+        f"drift-id headroom exhausted: max base vec_id {mx} >= {RT_OFF}",
+    )
+    _require(
+        mx // (5 * RT_M) < RT_BLOCK,
+        f"drift block overflow: j up to {mx // (5 * RT_M)} >= {RT_BLOCK}",
+    )
     u = base.select(
         "vec_id", F.expr("transform(emb, x -> x / nrm)").alias("uv")
     )

@@ -1370,7 +1370,7 @@ rich AS (
         > pos.total_s2
     AND NOT EXISTS (SELECT 1 FROM orders o
                     WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+                      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
 )
 SELECT c_mktsegment, COUNT(*) AS n_customers,
        {SQL_DSUM.format(x='c_acctbal')} AS total_acctbal

@@ -1149,6 +1149,25 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # (b) smooth AC-rich image: low + deep-zigzag cosines.  The
+        # image is doc-independent, so the round trip is computed ONCE
+        # per task and the boolean reused for every row (ADVICE r9 —
+        # the per-row re-encode was pure redundant CPU in a benchmarked
+        # loop).
+        x = np.arange(8)
+        low = 40.0 * np.cos((2 * x + 1) * 1 * np.pi / 16)
+        deep = 30.0 * np.cos((2 * x + 1) * 7 * np.pi / 16)
+        ac_img = np.clip(
+            np.rint(128.0 + low[None, :] + deep[:, None]), 0, 255
+        ).astype(np.uint8)
+        ac_dec = _jpeg_decode(_jpeg_encode(ac_img))
+        ac_ok = bool(
+            np.max(
+                np.abs(ac_dec.astype(np.int64) - ac_img.astype(np.int64))
+            )
+            <= JPEG_AC_TOL
+        )
+
         for pdf in it:
             rows = {k: [] for k in (
                 "doc_id", "width", "height", "n_blocks",
@@ -1164,25 +1183,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         v = (d * 5 + bx * 11 + by * 17) % 256
                         img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
                 dec = _jpeg_decode(_jpeg_encode(img))
-                # (b) smooth AC-rich image: low + deep-zigzag cosines
-                x = np.arange(8)
-                low = 40.0 * np.cos((2 * x + 1) * 1 * np.pi / 16)
-                deep = 30.0 * np.cos((2 * x + 1) * 7 * np.pi / 16)
-                ac_img = np.clip(
-                    np.rint(128.0 + low[None, :] + deep[:, None]),
-                    0,
-                    255,
-                ).astype(np.uint8)
-                ac_dec = _jpeg_decode(_jpeg_encode(ac_img))
-                ok = bool(
-                    np.max(
-                        np.abs(
-                            ac_dec.astype(np.int64)
-                            - ac_img.astype(np.int64)
-                        )
-                    )
-                    <= JPEG_AC_TOL
-                )
+                ok = ac_ok
                 rows["doc_id"].append(d)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -1265,8 +1266,13 @@ def _avi_encode(w: int, h: int, frames) -> bytes:
     avih = struct.pack(
         "<14I", 40_000, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
     )
+    # AVISTREAMHEADER is exactly 56 bytes: fccType+fccHandler, then
+    # flags/prio/lang/initialFrames/scale/rate/start/LENGTH/bufsize/
+    # quality/sampleSize, then rcFrame — dwLength (frame count) sits in
+    # slot 8, not dwStart (ADVICE r9).
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, n, 0, 0, 0, 0, 0)
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n, 0, 0, 0)
         + struct.pack("<hhhh", 0, 0, w, h)
     )
     strf = struct.pack(

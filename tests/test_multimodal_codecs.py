@@ -192,3 +192,25 @@ def test_avi_property_lossless():
         assert gs == sum(int(f.astype(np.int64).sum()) for f in frames)
 
     prop()
+
+
+def test_avi_stream_header_is_56_bytes():
+    """AVISTREAMHEADER must be exactly 56 bytes with the frame count in
+    dwLength (slot 8), not dwStart — a strict external player parses
+    strh even though the in-repo demuxer does not (ADVICE r9)."""
+    import struct
+
+    import numpy as np
+
+    from spark_spotify.multimodal import _avi_encode
+
+    n = 3
+    data = _avi_encode(5, 4, [np.zeros((4, 5, 3), dtype=np.uint8)] * n)
+    i = data.index(b"strh")
+    ln = struct.unpack("<I", data[i + 4 : i + 8])[0]
+    assert ln == 56
+    body = data[i + 8 : i + 8 + ln]
+    assert body[:8] == b"vids" + b"DIB "
+    fields = struct.unpack("<IHHIIIIIIII", body[8:48])
+    scale, rate, start, length = fields[4], fields[5], fields[6], fields[7]
+    assert (scale, rate, start, length) == (1, 25, 0, n)
