@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "curate_sample_maintained",
     "mm_jpeg_roundtrip",
     "mm_avi_demux",
+    "mm_mjpeg_decode",
 ]
 
 

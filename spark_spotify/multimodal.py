@@ -11,11 +11,13 @@ now carries a REAL stdlib codec path — 8-bit grayscale PNG (struct + zlib
 inflate) and 16-bit mono PCM WAV (RIFF chunk walk) — exercised end-to-end by
 the ``mm_real_decode`` round-trip gate, and ``_jpeg_encode``/``_jpeg_decode``
 implement REAL baseline JPEG (full DCT, canonical Huffman, marker parsing)
-gated by ``mm_jpeg_roundtrip``, and ``_avi_encode``/``_avi_demux`` a REAL
-RIFF video container with uncompressed DIB frames gated by
-``mm_avi_demux``.  The NotImplementedError boundary is now exactly
-COMPRESSED video codecs (H.264/VP9 bitstream decoders genuinely need
-absent libs).
+gated by ``mm_jpeg_roundtrip``, ``_avi_encode``/``_avi_demux`` a REAL RIFF
+video container gated by ``mm_avi_demux``, and their composition —
+``_avi_demux_mjpeg`` — REAL compressed-video (motion-JPEG) decode with
+frame sampling pushed below the entropy decode, gated by
+``mm_mjpeg_decode``.  The only codecs still raising NotImplementedError
+are INTER-FRAME video bitstreams (H.264/VP9 — motion-compensated
+prediction decoders genuinely need absent libs).
 """
 
 from __future__ import annotations
@@ -115,6 +117,20 @@ def _try_real_decode(payload: bytes, media_type: str) -> tuple:
         if rate is None or samples is None:
             raise ValueError("missing fmt/data chunk")
         return int(rate), len(samples), int(samples.astype(np.int64).sum())
+    if media_type == "video":
+        # AVI routes on the container's declared codec: MJPG frames
+        # entropy-decode via the real JPEG parser, raw DIB frames via
+        # the raw demuxer; inter-frame codecs raise from the demuxers.
+        try:
+            w, h, sampled = _avi_demux_mjpeg(payload)
+            return (
+                int(w),
+                int(h),
+                sum(int(fr.astype(np.int64).sum()) for _, fr in sampled),
+            )
+        except NotImplementedError:
+            w, h, _n, total = _avi_demux(payload)
+            return int(w), int(h), int(total)
     raise NotImplementedError(
         f"real {media_type} decode needs codecs absent from this env"
     )
@@ -806,7 +822,8 @@ FROM documents
 # quantization, canonical Huffman (DC categories + AC run/size with
 # EOB/ZRL), byte stuffing, and a marker-segment parser that builds its
 # Huffman tables FROM THE STREAM's DHT (never from shared constants).
-# Video containers remain the one documented NotImplementedError.
+# Composed with the AVI container below, it also powers motion-JPEG
+# compressed-video decode (``_avi_demux_mjpeg`` / ``mm_mjpeg_decode``).
 
 _JQ = [  # luminance quantization table (ITU T.81 Annex K)
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -1236,24 +1253,37 @@ ORACLE["mm_jpeg_roundtrip"] = ORACLE_JPEG
 # a RIFF form (like WAV, whose chunk walker mm_real_decode already
 # proved), and uncompressed 24-bit DIB frames ('00db' chunks, bottom-up
 # rows, 4-byte stride padding) are a real FOURCC every player demuxes.
-# What remains genuinely absent is COMPRESSED video codecs (H.264 etc.)
-# — that is now the entire NotImplementedError boundary.
+# With motion-JPEG ('MJPG' + per-frame baseline JPEG) decoded by
+# ``_avi_demux_mjpeg``, the entire NotImplementedError boundary is now
+# INTER-FRAME video codecs (H.264/VP9 motion-compensated prediction).
 
 
-def _avi_encode(w: int, h: int, frames) -> bytes:
+_MJPG = b"MJPG"  # motion-JPEG fourcc (biCompression / fccHandler)
+
+
+def _avi_encode(w: int, h: int, frames, codec: str = "DIB") -> bytes:
     """Minimal spec-true AVI writer: RIFF('AVI ') with hdrl (avih +
-    strl/strh/strf BITMAPINFOHEADER) and movi holding one '00db'
-    uncompressed bottom-up 24-bit DIB per frame."""
+    strl/strh/strf BITMAPINFOHEADER) and movi.  ``codec='DIB'`` takes
+    h x w x 3 uint8 arrays and writes one '00db' uncompressed bottom-up
+    24-bit DIB per frame; ``codec='MJPG'`` takes ALREADY-ENCODED JPEG
+    byte strings and writes one '00dc' compressed chunk per frame with
+    biCompression = 'MJPG' — the standard motion-JPEG-in-AVI layout
+    every player recognizes."""
     import struct
 
     stride = ((w * 3 + 3) // 4) * 4
-    frame_bytes = []
-    for fr in frames:  # fr: h x w x 3 uint8 (row 0 = top)
-        rows = []
-        for y in range(h - 1, -1, -1):  # bottom-up
-            row = bytes(fr[y].reshape(-1))
-            rows.append(row + b"\x00" * (stride - len(row)))
-        frame_bytes.append(b"".join(rows))
+    if codec == "MJPG":
+        frame_bytes = list(frames)  # each frame is a complete JPEG
+    elif codec == "DIB":
+        frame_bytes = []
+        for fr in frames:  # fr: h x w x 3 uint8 (row 0 = top)
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up
+                row = bytes(fr[y].reshape(-1))
+                rows.append(row + b"\x00" * (stride - len(row)))
+            frame_bytes.append(b"".join(rows))
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
 
     def chunk(cc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -1270,20 +1300,27 @@ def _avi_encode(w: int, h: int, frames) -> bytes:
     # flags/prio/lang/initialFrames/scale/rate/start/LENGTH/bufsize/
     # quality/sampleSize, then rcFrame — dwLength (frame count) sits in
     # slot 8, not dwStart (ADVICE r9).
+    handler = _MJPG if codec == "MJPG" else b"DIB "
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n, 0, 0, 0)
         + struct.pack("<hhhh", 0, 0, w, h)
     )
+    compression = (
+        struct.unpack("<I", _MJPG)[0] if codec == "MJPG" else 0
+    )
+    size_image = 0 if codec == "MJPG" else stride * h
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, size_image,
+        0, 0, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    frame_cc = b"00dc" if codec == "MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(frame_cc, fb) for fb in frame_bytes))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -1317,7 +1354,13 @@ def _avi_demux(data: bytes):
                 vals = struct.unpack("<14I", body[:56])
                 declared_n, w, h = vals[4], vals[8], vals[9]
             elif cc == b"strf":
-                bih = struct.unpack("<IiiHH", body[:16])
+                bih = struct.unpack("<IiiHHI", body[:20])
+                if bih[5] != 0:
+                    raise NotImplementedError(
+                        "compressed fourcc in the raw demuxer — MJPG "
+                        "decodes via _avi_demux_mjpeg; inter-frame "
+                        "codecs need absent libs"
+                    )
                 if bih[4] not in (24,):
                     raise NotImplementedError(
                         "raw demuxer handles 24-bit DIB frames only"
@@ -1338,6 +1381,68 @@ def _avi_demux(data: bytes):
         arr = np.frombuffer(fb, dtype=np.uint8).reshape(h, stride)
         total += int(arr[:, : w * 3].astype(np.int64).sum())
     return int(w), int(h), len(frames), total
+
+
+def _avi_demux_mjpeg(data: bytes, stride: int = 1):
+    """Demux an MJPG AVI and baseline-JPEG-decode its frames: RIFF
+    walk, avih/strf parse, biCompression check, then ``_jpeg_decode``
+    per '00dc' chunk — the composition that retires the
+    compressed-video NotImplementedError boundary (each frame is a
+    complete ITU T.81 baseline stream; the decoder builds its Huffman
+    tables from each frame's own DHT).  ``stride`` pushes frame
+    sampling BELOW the decode: the walk still sees every chunk (the
+    declared-count integrity check stays exact) but only frames
+    0, stride, 2*stride, ... are entropy-decoded — because MJPEG has
+    no inter-frame prediction, each frame decodes independently, so
+    decode CPU at scale is proportional to SAMPLED frames, not stored
+    frames.  Returns ``(width, height, [(frame_no, uint8 2-D frame),
+    ...])``; inter-frame codecs (H.264/VP9) still raise — those
+    bitstreams genuinely need absent libs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+
+    frames = []
+    w = h = None
+    compression = None
+    declared_n = None
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, compression, declared_n
+        pos = 0
+        while pos + 8 <= len(buf):
+            cc = buf[pos : pos + 4]
+            ln = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body = buf[pos + 8 : pos + 8 + ln]
+            if cc == b"LIST":
+                walk(body[4:])
+            elif cc == b"avih":
+                vals = struct.unpack("<14I", body[:56])
+                declared_n, w, h = vals[4], vals[8], vals[9]
+            elif cc == b"strf":
+                compression = body[16:20]
+            elif cc == b"00dc":
+                frames.append(body)
+            pos += 8 + ln + (ln & 1)
+
+    walk(data[12:])
+    if w is None or compression is None:
+        raise ValueError("missing avih/strf")
+    if compression != _MJPG:
+        raise NotImplementedError(
+            "inter-frame video codecs need libs absent from this env; "
+            "only MJPG streams decode here"
+        )
+    if declared_n != len(frames):
+        raise ValueError("frame count mismatch")
+    decoded = []
+    for fno in range(0, len(frames), stride):
+        img = _jpeg_decode(frames[fno])
+        if img.shape != (h, w):
+            raise ValueError("frame dims disagree with avih")
+        decoded.append((fno, img))
+    return int(w), int(h), decoded
 
 
 AVI_SCHEMA = (
@@ -1419,10 +1524,109 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- MJPEG: compressed video decode (VERDICT r9 prescription #1) -------------
+
+MJPEG_SCHEMA = (
+    "doc_id bigint, frame_no int, width int, height int, frame_sum bigint"
+)
+
+
+def q_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video decode — retires the repo's last
+    NotImplementedError boundary by composing the two real codecs:
+    per document, ``n = d % 8 + 2`` flat-per-8x8-block grayscale frames
+    (block (bx, by) of frame f holds ``(d*5 + f*9 + bx*11 + by*17) %
+    256``) are encoded by the REAL baseline-JPEG encoder
+    (``_jpeg_encode``), muxed into a spec-true 'MJPG' AVI
+    (``_avi_encode(codec='MJPG')``), then demuxed and entropy-decoded
+    by the INDEPENDENT parsers (``_avi_demux_mjpeg`` →
+    ``_jpeg_decode`` per frame, Huffman tables from each frame's own
+    DHT) — and ``mm_frame_sample``'s stride sampling
+    (``FRAME_STRIDE={FRAME_STRIDE}``) feeds from the DECODED compressed
+    video, pushed BELOW the decode (MJPEG frames are independent, so
+    only sampled frames pay entropy-decode CPU — the 100 TB frame-
+    sampling plan).  ``frame_sum`` comes from decoded pixels while the
+    oracle recomputes the closed-form DC quantization
+    (``clamp(2*floor((v-128)/2 + 0.5) + 128)``, Annex-K q00=16) per
+    sampled frame — any defect in encoder, muxer, demuxer, stride
+    pushdown, or decoder breaks the hash.  One Arrow ``mapInPandas``
+    pass, CPU-linear in sampled media bytes, no shuffle."""
+    from spark_spotify.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "frame_no", "width", "height", "frame_sum",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 3 + 1) * 8, (d % 2 + 1) * 8
+                n = d % 8 + 2
+                nbx, nby = w // 8, h // 8
+                blobs = []
+                for f in range(n):
+                    img = np.zeros((h, w), dtype=np.uint8)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            v = (d * 5 + f * 9 + bx * 11 + by * 17) % 256
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = v
+                    blobs.append(_jpeg_encode(img))
+                avi = _avi_encode(w, h, blobs, codec="MJPG")
+                gw, gh, sampled = _avi_demux_mjpeg(
+                    avi, stride=FRAME_STRIDE
+                )
+                for fno, frame in sampled:
+                    rows["doc_id"].append(d)
+                    rows["frame_no"].append(fno)
+                    rows["width"].append(gw)
+                    rows["height"].append(gh)
+                    rows["frame_sum"].append(
+                        int(frame.astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_no": pd.Series(rows["frame_no"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "frame_sum": pd.Series(
+                        rows["frame_sum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return fan_out(docs).mapInPandas(batches, schema=MJPEG_SCHEMA)
+
+
+ORACLE["mm_mjpeg_decode"] = f"""
+SELECT doc_id, CAST(f AS INT) AS frame_no,
+  CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+  CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+  CAST(list_sum(list_transform(
+      range((doc_id % 3 + 1) * (doc_id % 2 + 1)),
+      i -> 64 * LEAST(255, GREATEST(0,
+             2 * CAST(FLOOR(
+                   (((doc_id * 5 + f * 9
+                      + (i % (doc_id % 3 + 1)) * 11
+                      + (i // (doc_id % 3 + 1)) * 17) % 256) - 128)
+                   / 2.0 + 0.5) AS BIGINT)
+             + 128)))) AS BIGINT) AS frame_sum
+FROM documents, UNNEST(range(doc_id % 8 + 2)) AS t(f)
+WHERE f % {FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "mm_media_decode": q_media_decode,
     "mm_jpeg_roundtrip": q_jpeg_roundtrip,
     "mm_avi_demux": q_avi_demux,
+    "mm_mjpeg_decode": q_mjpeg_decode,
     "mm_media_resize": q_media_resize,
     "mm_frame_sample": q_frame_sample,
     "mm_audio_energy": q_audio_energy,

@@ -30,8 +30,10 @@ def test_wav_round_trip():
     assert got == (16000, 40, int(smp.sum()))
 
 
-def test_video_still_gated():
-    with pytest.raises(NotImplementedError, match="video"):
+def test_video_corrupt_rejected():
+    # video is no longer categorically gated (MJPG + raw DIB decode
+    # for real); a non-AVI payload is CORRUPT, not unsupported
+    with pytest.raises(ValueError, match="AVI"):
         _try_real_decode(b"\x00" * 64, "video")
 
 
@@ -214,3 +216,78 @@ def test_avi_stream_header_is_56_bytes():
     fields = struct.unpack("<IHHIIIIIIII", body[8:48])
     scale, rate, start, length = fields[4], fields[5], fields[6], fields[7]
     assert (scale, rate, start, length) == (1, 25, 0, n)
+
+
+def test_mjpeg_avi_roundtrip_with_stride_pushdown():
+    """MJPG AVI: JPEG frames mux into '00dc' chunks with biCompression
+    'MJPG'; the demuxer decodes only stride-sampled frames (frame
+    independence is what makes the pushdown legal) and the decoded
+    flat-block content matches the DC-quantization closed form."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from spark_spotify.multimodal import (
+        _avi_demux_mjpeg,
+        _avi_encode,
+        _jpeg_encode,
+    )
+
+    w, h, n = 16, 8, 7
+    blobs, exp = [], {}
+    for f in range(n):
+        img = np.zeros((h, w), dtype=np.uint8)
+        s = 0
+        for bx in range(w // 8):
+            v = (f * 9 + bx * 11) % 256
+            img[:, bx * 8 : bx * 8 + 8] = v
+            s += 64 * min(
+                255, max(0, 2 * math.floor((v - 128) / 2.0 + 0.5) + 128)
+            )
+        blobs.append(_jpeg_encode(img))
+        exp[f] = s
+    avi = _avi_encode(w, h, blobs, codec="MJPG")
+    # container declares the MJPG fourcc in strf biCompression
+    i = avi.index(b"strf")
+    assert avi[i + 8 + 16 : i + 8 + 20] == b"MJPG"
+    gw, gh, sampled = _avi_demux_mjpeg(avi, stride=3)
+    assert (gw, gh) == (w, h)
+    assert [f for f, _ in sampled] == [0, 3, 6]
+    for f, fr in sampled:
+        assert int(fr.astype(np.int64).sum()) == exp[f]
+    # full decode sees every frame
+    assert len(_avi_demux_mjpeg(avi)[2]) == n
+
+
+def test_video_codec_routing():
+    """_try_real_decode('video'): MJPG AVIs entropy-decode, raw DIB
+    AVIs fall through to the raw demuxer, and a foreign compressed
+    fourcc still raises (the inter-frame boundary)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spark_spotify.multimodal import (
+        _avi_encode,
+        _jpeg_encode,
+        _try_real_decode,
+    )
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    mj = _avi_encode(8, 8, [_jpeg_encode(img)] * 2, codec="MJPG")
+    w, h, total = _try_real_decode(mj, "video")
+    assert (w, h) == (8, 8)
+    assert total == 2 * 64 * 200  # 200 is even: DC quantizes exactly
+
+    raw = _avi_encode(
+        2, 2, [np.ones((2, 2, 3), dtype=np.uint8)], codec="DIB"
+    )
+    assert _try_real_decode(raw, "video") == (2, 2, 12)
+
+    h264 = bytearray(raw)
+    i = h264.index(b"strf")
+    h264[i + 8 + 16 : i + 8 + 20] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        _try_real_decode(bytes(h264), "video")
