@@ -278,6 +278,12 @@ BENCH_QUERIES = [
     "mm_jpeg_roundtrip",
     "mm_avi_demux",
     "mm_mjpeg_decode",
+    "rel_small_order_revenue",
+    "rel_surplus_suppliers",
+    "rel_part_type_profit",
+    "rel_top_value_parts",
+    "rel_priority_shipflag",
+    "rel_supplier_count_by_part",
 ]
 
 

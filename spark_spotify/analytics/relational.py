@@ -70,6 +70,24 @@ Q14_YEAR = 1997  # Q14-shape promo-share year
 Q8_REGION = "EUROPE"  # Q8-shape market + target supplier nation
 Q8_NATION = "NATION_7"
 
+Q17_BRAND = "Brand#3"  # Q17-shape small-order part subset
+Q17_TYPE = "PROMO"
+
+Q20_TYPE = "ECONOMY"  # Q20-shape surplus window + market
+Q20_START = "1997-01-01"
+Q20_END = "1998-01-01"
+Q20_REGION = "EUROPE"
+
+Q9_TYPE = "STANDARD"  # Q9-shape product-type profit subset
+
+Q12_START = "1997-01-01"  # Q12-shape ship window
+Q12_END = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+Q16_EXCL_BRAND = "Brand#5"  # Q16-shape part pushbacks
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (3, 7, 9, 14, 23, 36, 45, 49)
+
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy, 8 exact aggregates, deterministic
@@ -1252,6 +1270,334 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("order_year")
 
 
+_PRICE_S2 = "cast(round(l_extendedprice * 100) as bigint)"
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-order revenue): revenue lost to orders
+    whose quantity is below 20% of the part's average order quantity.
+    The textbook spelling is a correlated scalar subquery
+    (``l_quantity < (SELECT 0.2*AVG(l_quantity) ... WHERE l_partkey =
+    p_partkey)``) re-evaluated per outer row; decorrelated here to ONE
+    grouped aggregate over the brand-filtered fact, broadcast back
+    onto the same scan — the classic broadcast-aggregate decorrelation
+    (the per-part averages relation is part-sized, so the second pass
+    never shuffles).  The 0.2×average comparison cross-multiplies in
+    the exact integer domain (``5*qty*n < sum_qty`` ⟺ ``qty <
+    sum_qty/(5n)``), so both engines elect identical rows; revenue is
+    an exact cents sum with the /7 "yearly average" applied as one
+    IEEE double division at the very end.  Two broadcast-join scans of
+    the pruned fact; the only exchanges move part-sized partial
+    aggregates (the per-part combine and the final single row), never
+    line-grain data — the 100 TB plan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_type") == Q17_TYPE)
+    )
+    pp = dim_broadcast(p.select("p_partkey"), sf_dir, "part", 2_000_000)
+
+    def fact() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_partkey",
+                F.col("l_quantity").cast("bigint").alias("qty"),
+                F.expr(_PRICE_S2).alias("price_s2"),
+            )
+            .join(pp, F.col("l_partkey") == F.col("p_partkey"), "inner")
+        )
+
+    per_part = fact().groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines_part"),
+    )
+    small = fact().join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+        F.col("l_partkey") == F.col("pk"),
+    ).filter(
+        F.lit(5) * F.col("qty") * F.col("n_lines_part") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum("price_s2"), F.lit(0)).cast("bigint").alias(
+            "total_s2"
+        ),
+    ).select(
+        "n_lines",
+        "total_s2",
+        (F.col("total_s2").cast("double") / F.lit(700.0)).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+def q_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with surplus stock): the nested
+    IN/EXISTS chain — suppliers IN (associations over parts IN
+    (type-filtered parts) whose correlated half-sum threshold holds)
+    AND in the target region.  With lineitem as the part↔supplier
+    association (this corpus carries no partsupp), the "surplus"
+    predicate compares two aggregates of the SAME grouped pass at
+    (supplier, part) grain: total shipped quantity vs quantity shipped
+    in the probe year — a supplier qualifies when some part it ships
+    moved less than half its lifetime volume that year (``year_qty > 0
+    AND total_qty > 2*year_qty``, exact integers).  Spark-first the
+    whole chain collapses to: broadcast part-filter prune → one
+    map-side-combinable grouped aggregate → filter → DISTINCT semi →
+    broadcast dim attach; the oracle keeps the textbook IN-subquery
+    spelling.  One fact shuffle at (suppkey, partkey) — the minimum
+    any engine needs for the correlated threshold."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q20_TYPE
+    )
+    pp = dim_broadcast(p.select("p_partkey"), sf_dir, "part", 2_000_000)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            "l_shipdate",
+        )
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"), "inner")
+    )
+    in_year = (F.col("l_shipdate") >= Q20_START) & (
+        F.col("l_shipdate") < Q20_END
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("total_qty"),
+        F.sum(F.when(in_year, F.col("qty")).otherwise(F.lit(0))).alias(
+            "year_qty"
+        ),
+    )
+    qual = (
+        per_sp.filter(
+            (F.col("year_qty") > 0)
+            & (F.col("total_qty") > 2 * F.col("year_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q20_REGION
+    )
+    return (
+        qual.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("n_name").alias("nation")
+        )
+        .orderBy(F.asc("s_suppkey"))
+    )
+
+
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): profit
+    flows through FIVE tables — lineitem ⋈ part (type filter) ⋈
+    supplier ⋈ nation for the selling nation, ⋈ orders for the year.
+    With no partsupp cost column, per-line profit is margin vs list
+    price: ``disc_price − p_retailprice*qty``, computed entirely in
+    the exact scale-4 integer domain.  Join order is the 100 TB one:
+    every dimension (filtered part + retail cents, supplier, nation)
+    broadcasts onto the fact scan, the fact pre-aggregates to
+    (orderkey, nation) grain BEFORE the one unavoidable fact↔fact
+    shuffle against orders (the q_star_revenue trick — the shuffle
+    moves order-grain rows, not line-grain), and the final (nation,
+    year) rollup is map-side combinable."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q9_TYPE
+    )
+    pp = dim_broadcast(
+        p.select(
+            "p_partkey",
+            lscale(F.col("p_retailprice"), 2).alias("retail_s2"),
+        ),
+        sf_dir,
+        "part",
+        4_000_000,
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    profit_s4 = lmoney(
+        F.col("l_extendedprice"), F.col("l_discount")
+    ) - F.col("retail_s2") * F.lit(100) * F.col("l_quantity").cast(
+        "bigint"
+    )
+    per_order = (
+        li.join(pp, F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(
+            F.sum(profit_s4).alias("profit_s4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        per_order.join(
+            o, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("profit_s4").cast("bigint").alias("profit_s4"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            "n_lines",
+            "profit_s4",
+            (F.col("profit_s4").cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            ),
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds
+    1.5× the mean per-part revenue — a group-HAVING against a GLOBAL
+    scalar aggregate.  One fact pass: the per-part rollup (map-side
+    combinable cents sum) is the only fact shuffle, and the part-sized
+    result is lineage-truncated (``stable_checkpoint``) so the global
+    total/count and the HAVING filter both read the MATERIALIZED
+    relation instead of re-scanning lineitem (Spark's static planner
+    does not reuse the exchange across the two consumers — verified on
+    the physical plan); the single-row total broadcasts back.  The
+    threshold compares exact integers with
+    decimal(38) cross-multiplication (``2*value*n_parts >
+    3*total``) — no double roundoff can flip a membership, and the
+    wide decimal keeps the product exact past the bigint range a
+    100 TB cents-total would overflow."""
+    from spark_spotify.functions.checkpoint import stable_checkpoint
+
+    pv = stable_checkpoint(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", F.expr(_PRICE_S2).alias("price_s2"))
+        .groupBy("l_partkey")
+        .agg(F.sum("price_s2").alias("value_s2"))
+    )
+    tot = pv.agg(
+        F.sum("value_s2").cast("decimal(38,0)").alias("total_s2"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_s2").cast("decimal(38,0)")
+            * F.lit(2)
+            * F.col("n_parts")
+            > F.lit(3) * F.col("total_s2")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_s2",
+            (F.col("value_s2").cast("double") / F.lit(100.0)).alias(
+                "value"
+            ),
+        )
+        .orderBy(F.desc("value_s2"), F.asc("p_partkey"))
+    )
+
+
+def q_priority_shipflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit): lines shipped in the
+    probe year, grouped by return flag (standing in for shipmode),
+    counting high-priority (1-URGENT/2-HIGH) vs low-priority orders
+    via CASE-routed conditional sums.  The ship-window filter prunes
+    the fact at the scan; the line side pre-aggregates to (orderkey,
+    flag) grain before the fact↔fact shuffle against orders, so the
+    exchange moves order-grain rows and the priority CASE evaluates
+    once per order-flag pair, not once per line."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= Q12_START)
+            & (F.col("l_shipdate") < Q12_END)
+        )
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(high, F.col("n_lines")).otherwise(F.lit(0))
+            ).cast("bigint").alias("high_line_count"),
+            F.sum(
+                F.when(~high, F.col("n_lines")).otherwise(F.lit(0))
+            ).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_supplier_count_by_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): for the
+    retained part universe (brand/type pushback + size IN-list), how
+    many DISTINCT suppliers ship each (brand, type, size) — excluding
+    "complaint" suppliers (negative account balance) via the classic
+    NOT-IN pushback, spelled as a broadcast anti-join.  The association
+    dedups to (partkey, suppkey) pairs map-side BEFORE attaching part
+    attributes, so the count-distinct Expand runs over the reduced
+    pair set; part and the excluded-supplier list both broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    pp = dim_broadcast(
+        p.select("p_partkey", "p_brand", "p_type", "p_size"),
+        sf_dir,
+        "part",
+        4_000_000,
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_nation_trade_flows": q_nation_trade_flows,
@@ -1278,6 +1624,12 @@ QUERIES = {
     "rel_returned_item_customers": q_returned_item_customers,
     "rel_promo_revenue_share": q_promo_revenue_share,
     "rel_nation_market_share": q_nation_market_share,
+    "rel_small_order_revenue": q_small_order_revenue,
+    "rel_surplus_suppliers": q_surplus_suppliers,
+    "rel_part_type_profit": q_part_type_profit,
+    "rel_top_value_parts": q_top_value_parts,
+    "rel_priority_shipflag": q_priority_shipflag,
+    "rel_supplier_count_by_part": q_supplier_count_by_part,
 }
 
 # TPC-H Q10 shape: returned revenue per customer, one year, top-k
@@ -1444,4 +1796,117 @@ WHERE x.is_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
 GROUP BY s.s_suppkey, s.s_name
 ORDER BY numwait DESC, s.s_suppkey ASC
 LIMIT {Q21_TOP}
+"""
+
+# TPC-H Q17 shape: textbook correlated scalar subquery, exact
+# cross-multiplied 0.2*AVG threshold
+ORACLE["rel_small_order_revenue"] = f"""
+WITH li AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_s2
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{Q17_BRAND}' AND p.p_type = '{Q17_TYPE}'),
+pa AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS n
+       FROM li GROUP BY l_partkey)
+SELECT COUNT(*) AS n_lines,
+       CAST(COALESCE(SUM(li.price_s2), 0) AS BIGINT) AS total_s2,
+       CAST(COALESCE(SUM(li.price_s2), 0) AS DOUBLE) / 700.0
+         AS avg_yearly
+FROM li JOIN pa ON pa.l_partkey = li.l_partkey
+WHERE 5 * li.qty * pa.n < pa.sq
+"""
+
+# TPC-H Q20 shape: nested IN chain with a correlated half-sum threshold
+ORACLE["rel_surplus_suppliers"] = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_START} 00:00:00'
+                   AND l_shipdate < TIMESTAMP '{Q20_END} 00:00:00'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+           AS year_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = '{Q20_TYPE}'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{Q20_REGION}'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM sp
+                      WHERE year_qty > 0 AND total_qty > 2 * year_qty)
+ORDER BY s.s_suppkey
+"""
+
+# TPC-H Q9 shape: five-table profit rollup, exact scale-4 margin
+ORACLE["rel_part_type_profit"] = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+         - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+           * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_s4,
+       CAST(CAST(SUM(
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+         - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+           * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = '{Q9_TYPE}'
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+# TPC-H Q11 shape: group-HAVING against a global scalar aggregate
+ORACLE["rel_top_value_parts"] = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_s2
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(value_s2) AS HUGEINT) AS total_s2,
+               COUNT(*) AS n_parts
+        FROM pv)
+SELECT pv.l_partkey AS p_partkey,
+       CAST(pv.value_s2 AS BIGINT) AS value_s2,
+       CAST(pv.value_s2 AS DOUBLE) / 100.0 AS value
+FROM pv, tot
+WHERE CAST(pv.value_s2 AS HUGEINT) * 2 * tot.n_parts > 3 * tot.total_s2
+ORDER BY pv.value_s2 DESC, pv.l_partkey ASC
+"""
+
+# TPC-H Q12 shape: CASE-routed priority counts per return flag
+ORACLE["rel_priority_shipflag"] = f"""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN
+                          ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN
+                          ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_START} 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '{Q12_END} 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+# TPC-H Q16 shape: NOT-IN supplier pushback + multi-key count-distinct
+ORACLE["rel_supplier_count_by_part"] = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> '{Q16_EXCL_TYPE}'
+  AND p.p_size IN {Q16_SIZES}
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
 """
