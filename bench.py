@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "rel_top_value_parts",
     "rel_priority_shipflag",
     "rel_supplier_count_by_part",
+    "stream_ann_auto_retrain",
 ]
 
 

@@ -2153,12 +2153,445 @@ def q_ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(w, ignore_errors=True)
 
 
+# --- closed-loop auto-retrain (VERDICT r9 prescription #2) -------------------
+
+AR_BEN1 = 2_000_000  # benign batch-1 ids (copies of base vectors)
+AR_BEN2 = 3_000_000  # post-retrain benign batch ids
+AR_BEN2_RES = (3, 5, 6)  # vec_id % 7 residues for the post-retrain batch
+
+
+def _assign_with_cos(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """``assign_cells`` plus the exact scaled assignment cosine stored
+    ON the index row (``mc_s6``), so the drift monitor later reads ONLY
+    the maintained index — no re-scoring pass.  Carries ``batch_id``
+    through when present (functionally dependent on vec_id, so adding
+    it to the group key costs nothing)."""
+    cos_c = _dot("emb", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    keys = [c for c in ("vec_id", "batch_id") if c in vecs.columns]
+    return (
+        vecs.crossJoin(
+            F.broadcast(cents.select("cent_id", "cvec", "cnrm"))
+        )
+        .select(*keys, cos_c.alias("cos_c"), "cent_id")
+        .groupBy(*keys)
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos_c"), -F.col("cent_id"))
+            ).alias("cell"),
+            F.round(F.round(F.max("cos_c"), 6) * F.lit(1_000_000), 0)
+            .cast("long")
+            .alias("mc_s6"),
+        )
+    )
+
+
+def q_stream_ann_auto_retrain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLOSED-LOOP auto-retrain — the composition the three r9 gates
+    left open (VERDICT r9 #2): the streaming index maintainer itself
+    evaluates the drift monitor's two signals per micro-batch, and when
+    ``should_retrain`` trips, runs the atomic retrain+swap BETWEEN
+    micro-batches under the dedicated-txn_log idempotency guard, then
+    keeps maintaining against the new epoch — the full FAISS/Milvus
+    operational loop in one pipeline (the quantizer-lifecycle analog of
+    ``stream_auto_optimize``'s layout loop).
+
+    Per micro-batch the sink: (1) ``recover_transactions`` — a crash
+    between trigger and swap rolls FORWARD at the next batch boundary;
+    (2) skips on the dedicated txn_log (its version moves only per
+    applied batch, so batch arithmetic survives the interleaved retrain
+    commit); (3) reads the LAST COMMITTED monitor verdict — if it
+    tripped and the quantizer is still v1, the retrain runs NOW, before
+    this batch touches the index: corpus-scaled K=⌊√n⌋ strided seeds,
+    full reassignment staged, ONE durable intent over
+    {{centroids, index}}, only the index swing applied, then the
+    simulated crash is recovered (the intent rolls forward — retrain is
+    atomic, never torn); (4) assigns the batch under the CURRENT
+    quantizer, storing the exact assignment cosine (``mc_s6``) on each
+    index row; (5) computes both drift signals — mean assignment
+    cosine and occupancy TVD — against the training baseline READ FROM
+    THE MAINTAINED INDEX ALONE (rows with ``batch_id <=
+    trained_through``, the watermark the centroids table carries), and
+    (6) lands {{emb, index, monitor verdict, log row}} as ONE
+    multi-table commit.
+
+    Timeline: b0 = build corpus (baseline, no trip) → b1 = benign
+    arrival (copies of base vectors — both signals stay under
+    threshold) → b2 = the arithmetic drifted batch (cosine signal
+    trips; verdict committed) → b3 arrives: the trigger fires between
+    batches, the swap lands (epoch 1→2), b3 indexes under the NEW
+    quantizer and its verdict — measured against the RETRAINED
+    baseline, which now includes the drifted topics — is quiet again.
+    In-engine: single-probe recall@{RT_K} over the drifted panel,
+    served from the version-pinned pre-retrain index vs the current
+    one, must recover by >= 0.2; an idle restart applies nothing.
+    Oracle: the full four-batch monitor timeline (drift construction,
+    both quantizers, every mean/TVD/verdict) recomputed from
+    ``embeddings`` alone."""
+    import atexit
+    import glob as _glob
+    import json
+    import math
+
+    from pyspark.sql import Window
+
+    from spark_spotify.etl.pipeline import (
+        _TXN_DIR,
+        _current_version,
+        multi_commit,
+        recover_transactions,
+        swing_rebase,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="spark_spotify_annauto_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "arrivals")
+    os.makedirs(src)
+
+    def land(df: DataFrame, name: str) -> None:
+        stage = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{name}.parquet"))
+
+    land(emb.select("vec_id", F.expr(E_SQL).alias("emb")), "b0")
+    first = spark.read.parquet(os.path.join(src, "b0.parquet"))
+    base1 = _rt_view(fan_out(first))
+    # frozen v1 quantizer, trained on batch 0 alone (trained_through
+    # is the baseline watermark the monitor reads back)
+    _commit_append(
+        _centroid_rows(base1).withColumn(
+            "trained_through", F.lit(0).cast("long")
+        ),
+        base,
+        "ann_centroids",
+        1,
+    )
+    land(
+        first.filter(F.col("vec_id") % 7 == 1).select(
+            (F.col("vec_id") + F.lit(AR_BEN1)).alias("vec_id"), "emb"
+        ),
+        "b1",
+    )
+    land(_rt_drift(spark, base1), "b2")
+
+    events: list = []
+    applied: dict = {}
+
+    def _auto_retrain(sess: SparkSession, bid: int) -> None:
+        live = fan_out(read_table(sess, base, "emb"))
+        view = live.select(
+            "vec_id", "emb", _norm("emb").alias("nrm"), "batch_id"
+        )
+        n = view.count()
+        k_new = math.isqrt(n)
+        _require(k_new > N_CELLS, "corpus too small to scale K up")
+        stride = (n + k_new - 1) // k_new
+        seeds = (
+            view.withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy(F.asc("vec_id"))),
+            )
+            .filter((F.col("rn") - 1) % stride == 0)
+            .select(
+                F.col("rn").alias("cent_id"),
+                F.col("emb").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+                F.lit(bid - 1).cast("long").alias("trained_through"),
+            )
+        )
+        new_index = _assign_with_cos(view, seeds).withColumn(
+            "epoch", F.lit(2).cast("long")
+        )
+        tx = {}
+        for table, df in (
+            ("ann_centroids", seeds),
+            ("ann_index", new_index),
+        ):
+            df.coalesce(1).write.parquet(
+                os.path.join(base, table, "retrain1")
+            )
+            tx[table] = {
+                "base": _current_version(base, table),
+                "added": ["retrain1"],
+                "removed": _manifest(base, table) or [],
+            }
+        os.makedirs(os.path.join(base, _TXN_DIR), exist_ok=True)
+        with open(
+            os.path.join(base, _TXN_DIR, "auto_rt.json"), "w"
+        ) as fh:
+            json.dump(tx, fh)
+        # apply ONLY the index swing, then "crash" before the
+        # centroids — the restart's recovery rolls the intent forward
+        swing_rebase(
+            base,
+            "ann_index",
+            tx["ann_index"]["base"],
+            ["retrain1"],
+            set(tx["ann_index"]["removed"]),
+        )
+        done = recover_transactions(base)
+        _require(done == ["auto_rt"], f"auto-retrain recovery: {done}")
+        for table in ("ann_centroids", "ann_index"):
+            _require(
+                _manifest(base, table) == ["retrain1"],
+                f"{table}: auto-retrain swap incomplete",
+            )
+        _require(
+            _current_version(base, "ann_centroids") == 2,
+            "quantizer swap must be exactly one commit",
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        recover_transactions(base)
+        if _current_version(base, "txn_log") >= batch_id + 1:
+            return
+        # the TRIGGER: last committed monitor verdict, evaluated at
+        # the batch boundary before this batch touches the index
+        mon = read_table(sess, base, "ann_monitor")
+        if mon is not None:
+            last = mon.orderBy(F.desc("batch_id")).first()
+            if bool(last["should_retrain"]) and (
+                _current_version(base, "ann_centroids") == 1
+            ):
+                _auto_retrain(sess, batch_id)
+                events.append((batch_id, "retrain"))
+        cents = read_table(sess, base, "ann_centroids")
+        ep = _current_version(base, "ann_centroids")
+        tt = int(cents.agg(F.max("trained_through")).first()[0])
+        part = f"b{batch_id}"
+        view = batch_df.select(
+            "vec_id", "emb", _norm("emb").alias("nrm")
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        _assign_with_cos(view, cents).withColumn(
+            "epoch", F.lit(ep).cast("long")
+        ).coalesce(1).write.parquet(
+            os.path.join(base, "ann_index", part)
+        )
+        batch_df.select("vec_id", "emb").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).coalesce(1).write.parquet(os.path.join(base, "emb", part))
+        # drift signals from maintained artifacts alone: the staged
+        # batch part vs the committed index's training-baseline rows
+        cur = sess.read.parquet(os.path.join(base, "ann_index", part))
+        idx = read_table(sess, base, "ann_index")
+        baseline = (
+            cur if idx is None else idx.filter(F.col("batch_id") <= tt)
+        )
+
+        def _st(df: DataFrame) -> tuple:
+            r = df.agg(
+                F.count(F.lit(1)), F.sum("mc_s6")
+            ).first()
+            return int(r[0]), int(r[1])
+
+        n2, s2 = _st(cur)
+        n1, s1 = _st(baseline)
+        occ_j = (
+            baseline.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .join(
+                cur.groupBy("cell").agg(F.count(F.lit(1)).alias("c2")),
+                "cell",
+                "full_outer",
+            )
+            .select(
+                F.coalesce("c1", F.lit(0)).alias("c1"),
+                F.coalesce("c2", F.lit(0)).alias("c2"),
+            )
+        )
+        num = int(
+            occ_j.agg(
+                F.sum(
+                    F.abs(
+                        F.col("c2") * F.lit(n1) - F.col("c1") * F.lit(n2)
+                    )
+                )
+            ).first()[0]
+        )
+        mean2 = F.round(F.lit(s2) / F.lit(n2 * 1_000_000.0), 6)
+        mean1 = F.round(F.lit(s1) / F.lit(n1 * 1_000_000.0), 6)
+        tvd = F.round(F.lit(num) / F.lit(2.0 * n1 * n2), 6)
+        sess.range(1).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(n2).cast("long").alias("n_vecs"),
+            mean2.alias("mean_assign_cos"),
+            tvd.alias("occupancy_tvd"),
+            (
+                (F.abs(mean2 - mean1) > F.lit(DRIFT_COS_THRESHOLD))
+                | (tvd > F.lit(DRIFT_TVD_THRESHOLD))
+            ).alias("should_retrain"),
+            F.lit(ep).cast("long").alias("epoch"),
+        ).coalesce(1).write.parquet(
+            os.path.join(base, "ann_monitor", part)
+        )
+        sess.range(1).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(ep).cast("long").alias("epoch"),
+        ).coalesce(1).write.parquet(os.path.join(base, "txn_log", part))
+        applied[batch_id] = n2
+        multi_commit(
+            base,
+            {
+                "emb": ([part], set()),
+                "ann_index": ([part], set()),
+                "ann_monitor": ([part], set()),
+                "txn_log": ([part], set()),
+            },
+            part,
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run()  # b0 build, b1 benign, b2 drift — verdict trips at b2
+    mon1 = {
+        r["batch_id"]: r
+        for r in read_table(spark, base, "ann_monitor").collect()
+    }
+    _require(
+        not mon1[0]["should_retrain"]
+        and not mon1[1]["should_retrain"]
+        and mon1[2]["should_retrain"],
+        f"monitor timeline wrong pre-retrain: {mon1}",
+    )
+    _require(
+        _current_version(base, "ann_centroids") == 1
+        and events == [],
+        "retrain must wait for the next batch boundary",
+    )
+    v_pin = _current_version(base, "ann_index")  # frozen snapshot
+    land(
+        first.filter((F.col("vec_id") % 7).isin(*AR_BEN2_RES)).select(
+            (F.col("vec_id") + F.lit(AR_BEN2)).alias("vec_id"), "emb"
+        ),
+        "b3",
+    )
+    run()  # trigger fires between batches: swap lands, b3 at epoch 2
+    _require(
+        events == [(3, "retrain")]
+        and _current_version(base, "ann_centroids") == 2,
+        f"auto-retrain did not fire exactly once: {events}",
+    )
+    before = dict(applied)
+    run()  # idle restart applies nothing
+    _require(applied == before, "idle restart re-applied batches")
+
+    # accounting: every corpus row indexed exactly once, all under the
+    # retrained quantizer (full reassignment), batch sizes preserved
+    idx = read_table(spark, base, "ann_index")
+    per_b = {
+        r["batch_id"]: r["n"]
+        for r in idx.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _require(
+        per_b == applied
+        and idx.filter(F.col("epoch") != 2).count() == 0,
+        f"post-swap accounting broken: {per_b} vs {applied}",
+    )
+
+    # recall over the drifted panel: pinned pre-retrain index vs the
+    # auto-retrained one (version pinning IS the mid-retrain serve)
+    emb_t = fan_out(read_table(spark, base, "emb"))
+    corpus_all = emb_t.select(
+        "vec_id", "emb", _norm("emb").alias("nrm")
+    )
+    corpus_pin = emb_t.filter(F.col("batch_id") <= 2).select(
+        "vec_id", "emb", _norm("emb").alias("nrm")
+    )
+    queries = corpus_pin.filter(
+        (F.col("vec_id") >= RT_OFF)
+        & (F.col("vec_id") < RT_OFF + RT_M * RT_BLOCK)
+        & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
+    )
+    nq = queries.count()
+    _require(nq > 0, "drift panel empty")
+
+    def _recall(corpus: DataFrame, cells: DataFrame) -> float:
+        exact = _rt_topk(queries, corpus)
+        q = queries.join(cells, "vec_id").select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
+        scored = (
+            corpus.join(cells, "vec_id")
+            .join(
+                F.broadcast(q),
+                (F.col("cell") == F.col("qcell"))
+                & (F.col("vec_id") != F.col("qid")),
+            )
+            .select(
+                "qid",
+                F.col("vec_id").alias("cand"),
+                F.round(
+                    _dot("emb", "qe") / (F.col("nrm") * F.col("qn")), 6
+                ).alias("cos"),
+            )
+        )
+        win = Window.partitionBy("qid").orderBy(
+            F.desc("cos"), F.asc("cand")
+        )
+        srv = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= RT_K)
+            .select("qid", "cand")
+        )
+        hits = exact.join(srv, ["qid", "cand"]).count()
+        return hits / float(nq * RT_K)
+
+    rec_f = _recall(
+        corpus_pin,
+        read_table(spark, base, "ann_index", version=v_pin).select(
+            "vec_id", "cell"
+        ),
+    )
+    rec_r = _recall(corpus_all, idx.select("vec_id", "cell"))
+    _require(
+        rec_f <= 0.75 and rec_r >= rec_f + 0.2,
+        f"auto-retrain recall did not recover: {rec_f} -> {rec_r}",
+    )
+
+    return (
+        read_table(spark, base, "ann_monitor")
+        .select(
+            "batch_id",
+            "n_vecs",
+            "mean_assign_cos",
+            "occupancy_tvd",
+            "should_retrain",
+            "epoch",
+        )
+        .orderBy("batch_id")
+        .transform(stable_checkpoint)
+    )
+
+
 QUERIES = {
     "sim_ann_maintained": q_ann_maintained,
     "sim_ann_maintained_scaled": q_ann_maintained_scaled,
     "sim_ann_retrain": q_ann_retrain,
     "sim_ann_drift_monitor": q_ann_drift_monitor,
     "stream_ann_retrain_swap": q_stream_ann_retrain_swap,
+    "stream_ann_auto_retrain": q_stream_ann_auto_retrain,
     "curate_sample_maintained": q_sample_maintained,
     "sim_ann_maintained_delete": q_ann_maintained_delete,
     "sim_ann_partition_prune": q_ann_partition_prune,
@@ -2515,6 +2948,140 @@ SELECT m.batch, m.n_vecs, m.mean_assign_cos,
        END AS should_retrain
 FROM means m
 ORDER BY m.batch
+"""
+
+
+# stream_ann_auto_retrain oracle: the four-batch closed-loop monitor
+# timeline recomputed from `embeddings` alone — shared drift CTEs,
+# frozen (epoch-1) assignments for batches 0..2, the corpus-scaled
+# retrained quantizer over batches 0..2, epoch-2 assignments for the
+# baseline and the post-retrain batch, and every mean/TVD/verdict with
+# the engine's exact integer arithmetic and rounding.
+ORACLE["stream_ann_auto_retrain"] = f"""
+WITH {_RT_CTES},
+ben1 AS (SELECT {AR_BEN1} + vec_id AS vec_id, e, nrm FROM v
+         WHERE vec_id % 7 = 1),
+ben2 AS (SELECT {AR_BEN2} + vec_id AS vec_id, e, nrm FROM v
+         WHERE vec_id % 7 IN {AR_BEN2_RES}),
+batches AS (
+  SELECT CAST(0 AS BIGINT) AS b, vec_id, e, nrm FROM v
+  UNION ALL SELECT 1, vec_id, e, nrm FROM ben1
+  UNION ALL SELECT 2, vec_id, e, sqrt({_rtdot('e', 'e')}) FROM drift
+  UNION ALL SELECT 3, vec_id, e, nrm FROM ben2
+),
+c8 AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+       WHERE vec_id < {N_CELLS}),
+a1 AS (
+  SELECT b, vec_id, cent_id AS cell,
+         CAST(round(round(mc, 6) * 1000000, 0) AS BIGINT) AS s6
+  FROM (
+    SELECT x.b, x.vec_id, c.cent_id,
+           MAX({_rtdot('x.e', 'c.ce')} / (x.nrm * c.cn))
+             OVER (PARTITION BY x.b, x.vec_id) AS mc,
+           row_number() OVER (PARTITION BY x.b, x.vec_id
+             ORDER BY {_rtdot('x.e', 'c.ce')} / (x.nrm * c.cn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM (SELECT * FROM batches WHERE b <= 2) x CROSS JOIN c8 c)
+  WHERE rn = 1
+),
+rc AS (SELECT vec_id, e, nrm FROM batches WHERE b <= 2),
+nk AS (SELECT (n + k - 1) // k AS stride
+       FROM (SELECT COUNT(*) AS n,
+                    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k
+             FROM rc)),
+seeds AS (
+  SELECT rn AS cent_id, e AS ce, nrm AS cn FROM (
+    SELECT vec_id, e, nrm,
+           row_number() OVER (ORDER BY vec_id) AS rn FROM rc), nk
+  WHERE (rn - 1) % stride = 0
+),
+a2 AS (
+  SELECT b, vec_id, cent_id AS cell,
+         CAST(round(round(mc, 6) * 1000000, 0) AS BIGINT) AS s6
+  FROM (
+    SELECT x.b, x.vec_id, s.cent_id,
+           MAX({_rtdot('x.e', 's.ce')} / (x.nrm * s.cn))
+             OVER (PARTITION BY x.b, x.vec_id) AS mc,
+           row_number() OVER (PARTITION BY x.b, x.vec_id
+             ORDER BY {_rtdot('x.e', 's.ce')} / (x.nrm * s.cn) DESC,
+                      s.cent_id ASC) AS rn
+    FROM batches x CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+s1 AS (SELECT b, COUNT(*) AS n, CAST(SUM(s6) AS BIGINT) AS s
+       FROM a1 GROUP BY b),
+m1 AS (SELECT b, n, round(s / (n * 1000000.0), 6) AS mean FROM s1),
+m3 AS (SELECT COUNT(*) AS n,
+              round(CAST(SUM(s6) AS BIGINT) / (COUNT(*) * 1000000.0), 6)
+                AS mean
+       FROM a2 WHERE b = 3),
+mb2 AS (SELECT COUNT(*) AS n,
+               round(CAST(SUM(s6) AS BIGINT) / (COUNT(*) * 1000000.0), 6)
+                 AS mean
+        FROM a2 WHERE b <= 2),
+tv AS (
+  SELECT 1 AS b, COALESCE(o2.c, 0) AS c2, COALESCE(o1.c, 0) AS c1
+  FROM (SELECT cell, COUNT(*) AS c FROM a1 WHERE b = 1 GROUP BY cell) o2
+  FULL OUTER JOIN (SELECT cell, COUNT(*) AS c FROM a1 WHERE b = 0
+                   GROUP BY cell) o1 USING (cell)
+  UNION ALL
+  SELECT 2, COALESCE(o2.c, 0), COALESCE(o1.c, 0)
+  FROM (SELECT cell, COUNT(*) AS c FROM a1 WHERE b = 2 GROUP BY cell) o2
+  FULL OUTER JOIN (SELECT cell, COUNT(*) AS c FROM a1 WHERE b = 0
+                   GROUP BY cell) o1 USING (cell)
+  UNION ALL
+  SELECT 3, COALESCE(o2.c, 0), COALESCE(o1.c, 0)
+  FROM (SELECT cell, COUNT(*) AS c FROM a2 WHERE b = 3 GROUP BY cell) o2
+  FULL OUTER JOIN (SELECT cell, COUNT(*) AS c FROM a2 WHERE b <= 2
+                   GROUP BY cell) o1 USING (cell)
+),
+tvd AS (
+  SELECT b,
+         round(CAST(SUM(ABS(
+             c2 * (CASE WHEN b = 3 THEN (SELECT n FROM mb2)
+                        ELSE (SELECT n FROM s1 WHERE s1.b = 0) END)
+           - c1 * (CASE WHEN b = 3 THEN (SELECT n FROM m3)
+                        ELSE (SELECT n FROM s1 WHERE s1.b = tv.b) END)
+           )) AS BIGINT)
+           / (2.0
+              * (CASE WHEN b = 3 THEN (SELECT n FROM mb2)
+                      ELSE (SELECT n FROM s1 WHERE s1.b = 0) END)
+              * (CASE WHEN b = 3 THEN (SELECT n FROM m3)
+                      ELSE (SELECT n FROM s1 WHERE s1.b = tv.b) END)),
+           6) AS t
+  FROM tv GROUP BY b
+)
+SELECT CAST(0 AS BIGINT) AS batch_id,
+       (SELECT n FROM m1 WHERE b = 0) AS n_vecs,
+       (SELECT mean FROM m1 WHERE b = 0) AS mean_assign_cos,
+       0.0 AS occupancy_tvd,
+       FALSE AS should_retrain,
+       CAST(1 AS BIGINT) AS epoch
+UNION ALL
+SELECT 1, (SELECT n FROM m1 WHERE b = 1),
+       (SELECT mean FROM m1 WHERE b = 1),
+       (SELECT t FROM tvd WHERE b = 1),
+       ABS((SELECT mean FROM m1 WHERE b = 1)
+           - (SELECT mean FROM m1 WHERE b = 0)) > {DRIFT_COS_THRESHOLD}
+       OR (SELECT t FROM tvd WHERE b = 1) > {DRIFT_TVD_THRESHOLD},
+       1
+UNION ALL
+SELECT 2, (SELECT n FROM m1 WHERE b = 2),
+       (SELECT mean FROM m1 WHERE b = 2),
+       (SELECT t FROM tvd WHERE b = 2),
+       ABS((SELECT mean FROM m1 WHERE b = 2)
+           - (SELECT mean FROM m1 WHERE b = 0)) > {DRIFT_COS_THRESHOLD}
+       OR (SELECT t FROM tvd WHERE b = 2) > {DRIFT_TVD_THRESHOLD},
+       1
+UNION ALL
+SELECT 3, (SELECT n FROM m3),
+       (SELECT mean FROM m3),
+       (SELECT t FROM tvd WHERE b = 3),
+       ABS((SELECT mean FROM m3)
+           - (SELECT mean FROM mb2)) > {DRIFT_COS_THRESHOLD}
+       OR (SELECT t FROM tvd WHERE b = 3) > {DRIFT_TVD_THRESHOLD},
+       2
+ORDER BY batch_id
 """
 
 
@@ -3117,6 +3684,8 @@ SERVE_ALIASES = {
     "sim_ann_retrain": "ann_retrain",
     "sim_ann_drift_monitor": "ann_monitor",
     "stream_ann_retrain_swap": "ann_epoch",
+    # post-auto-retrain serving is the retrained single-probe shape
+    "stream_ann_auto_retrain": "ann_retrain",
 }
 
 
