@@ -62,6 +62,7 @@ from spark_spotify.etl.pipeline import (
     read_table,
 )
 from spark_spotify.functions.checkpoint import stable_checkpoint
+from spark_spotify.functions.concurrency import overlap
 from spark_spotify.operators.dedup import corpus_index, incremental_near_dups
 from spark_spotify.sources.tables import fan_out, load_table
 
@@ -223,11 +224,17 @@ def q_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         )
         cents = read_table(spark, w, "ann_centroids")
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        # the v1 index build and the base-table append touch disjoint
+        # tables — overlapped (§2.6)
+        overlap(
+            lambda: _commit_append(
+                assign_cells(base1, cents), w, "ann_index", 1
+            ),
+            lambda: _commit_append(emb.filter(_ann_late()), w, "emb", 2),
+        )
         idx_parts_v1 = list(_manifest(w, "ann_index") or [])
 
-        # base-table append; index maintenance consumes ONLY its delta
-        _commit_append(emb.filter(_ann_late()), w, "emb", 2)
+        # index maintenance consumes ONLY the append's delta
         batch = _added_parts_read(spark, w, "emb", 1, 2)
         _commit_append(
             assign_cells(_vec_view(fan_out(batch)), cents), w, "ann_index", 2
@@ -257,21 +264,23 @@ def q_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"index covers {n_idx} of {n_corpus} corpus rows",
         )
 
-        # serve from the maintained index
+        # serve from the maintained index; the from-scratch recompute
+        # (the in-engine equality witness) is an independent plan —
+        # the two materialize concurrently (§2.6).  Both results are k
+        # rows; compare collected row sets (tiny collects) instead of
+        # two exceptAll joins re-running the plans.
         live = _vec_view(fan_out(read_table(spark, w, "emb")))
-        served = _topk_from_cells(
-            live.join(read_table(spark, w, "ann_index"), "vec_id")
-        ).transform(stable_checkpoint)
-        # maintained == recomputed, asserted in-engine: assign the FULL
-        # corpus from scratch against the same frozen centroids.  Both
-        # results are k rows; compare collected row sets (2 tiny jobs)
-        # instead of two exceptAll joins re-running the plans.
-        recomputed = _topk_from_cells(
-            live.join(assign_cells(live, cents), "vec_id")
+        served, rec_rows = overlap(
+            lambda: _topk_from_cells(
+                live.join(read_table(spark, w, "ann_index"), "vec_id")
+            ).transform(stable_checkpoint),
+            lambda: _topk_from_cells(
+                live.join(assign_cells(live, cents), "vec_id")
+            ).collect(),
         )
         _require(
             sorted(map(tuple, served.collect()))
-            == sorted(map(tuple, recomputed.collect())),
+            == sorted(map(tuple, rec_rows)),
             "maintained index serve != from-scratch recompute",
         )
         return served
@@ -320,14 +329,21 @@ def q_ann_maintained_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
         _commit_append(_centroid_rows(base1, k), w, "ann_centroids", 1)
         cents = read_table(spark, w, "ann_centroids")
+        n_cents = cents.count()  # once: _require's message arg is eager
         _require(
-            cents.count() == k,
-            f"derived-K quantizer holds {cents.count()} of {k} centroids",
+            n_cents == k,
+            f"derived-K quantizer holds {n_cents} of {k} centroids",
         )
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+        # v1 index build and base-table append: disjoint tables,
+        # overlapped (§2.6)
+        overlap(
+            lambda: _commit_append(
+                assign_cells(base1, cents), w, "ann_index", 1
+            ),
+            lambda: _commit_append(emb.filter(late), w, "emb", 2),
+        )
         idx_parts_v1 = list(_manifest(w, "ann_index") or [])
 
-        _commit_append(emb.filter(late), w, "emb", 2)
         batch = _added_parts_read(spark, w, "emb", 1, 2)
         _commit_append(
             assign_cells(_vec_view(fan_out(batch)), cents), w, "ann_index", 2
@@ -353,16 +369,19 @@ def q_ann_maintained_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index does not cover the corpus exactly once",
         )
 
+        # maintained serve ∥ from-scratch recompute witness (§2.6)
         live = _vec_view(fan_out(read_table(spark, w, "emb")))
-        served = _topk_from_cells(
-            live.join(read_table(spark, w, "ann_index"), "vec_id")
-        ).transform(stable_checkpoint)
-        recomputed = _topk_from_cells(
-            live.join(assign_cells(live, cents), "vec_id")
+        served, rec_rows = overlap(
+            lambda: _topk_from_cells(
+                live.join(read_table(spark, w, "ann_index"), "vec_id")
+            ).transform(stable_checkpoint),
+            lambda: _topk_from_cells(
+                live.join(assign_cells(live, cents), "vec_id")
+            ).collect(),
         )
         _require(
             sorted(map(tuple, served.collect()))
-            == sorted(map(tuple, recomputed.collect())),
+            == sorted(map(tuple, rec_rows)),
             "derived-K maintained serve != from-scratch recompute",
         )
         return served
@@ -810,16 +829,30 @@ def q_stream_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ep = _current_version(base, "ann_centroids")
         cents = read_table(spark, base, "ann_centroids")
         part = f"b{batch_id}"
-        assign_cells(_vec_view(batch_df), cents).withColumn(
-            "epoch", F.lit(ep).cast("long")
-        ).coalesce(1).write.parquet(
-            os.path.join(base, "ann_index", part)
+        # the index-part write and the batch count are independent jobs
+        # over the same micro-batch — overlapped (§2.6); the txn_log
+        # row is two driver-known longs, written directly with pyarrow
+        # instead of a Spark job on a 1-row literal relation
+        _, applied[batch_id] = overlap(
+            lambda: assign_cells(_vec_view(batch_df), cents)
+            .withColumn("epoch", F.lit(ep).cast("long"))
+            .coalesce(1)
+            .write.parquet(os.path.join(base, "ann_index", part)),
+            batch_df.count,
         )
-        batch_df.sparkSession.range(1).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.lit(ep).cast("long").alias("epoch"),
-        ).coalesce(1).write.parquet(os.path.join(base, "txn_log", part))
-        applied[batch_id] = batch_df.count()
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.join(base, "txn_log", part), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "batch_id": _pa.array([batch_id], _pa.int64()),
+                    "epoch": _pa.array([ep], _pa.int64()),
+                }
+            ),
+            os.path.join(base, "txn_log", part, "part-00000.parquet"),
+        )
         multi_commit(
             base,
             {"ann_index": ([part], set()), "txn_log": ([part], set())},
@@ -877,15 +910,17 @@ def q_stream_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # accounting: every corpus row indexed exactly once; epochs split
     # exactly at the swap boundary
+    # corpus count and per-epoch index counts read disjoint relations —
+    # one overlapped round-trip (§2.6)
     idx = read_table(spark, base, "ann_index")
     corpus = _vec_view(fan_out(spark.read.parquet(src)))
-    n_corpus = corpus.count()
-    ep_counts = {
-        r["epoch"]: r["n"]
-        for r in idx.groupBy("epoch")
+    n_corpus, ep_rows = overlap(
+        corpus.count,
+        lambda: idx.groupBy("epoch")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+        .collect(),
+    )
+    ep_counts = {r["epoch"]: r["n"] for r in ep_rows}
     _require(
         sum(ep_counts.values()) == n_corpus
         and ep_counts.get(2, 0) == n3,
@@ -894,14 +929,27 @@ def q_stream_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- mixed-epoch serve: probe each epoch with the anchor's cell
-    # under THAT epoch's quantizer, union, exact re-rank
+    # under THAT epoch's quantizer, union, exact re-rank — the two
+    # per-epoch anchor quantizations are independent: overlapped
     anchor = corpus.filter(F.col("vec_id") == ANCHOR_ID)
-    acell = {
-        ep: assign_cells(
-            anchor, read_table(spark, base, "ann_centroids", version=ep)
-        ).collect()[0]["cell"]
-        for ep in (1, 2)
-    }
+    acell = dict(
+        zip(
+            (1, 2),
+            overlap(
+                *[
+                    (
+                        lambda ep=ep: assign_cells(
+                            anchor,
+                            read_table(
+                                spark, base, "ann_centroids", version=ep
+                            ),
+                        ).collect()[0]["cell"]
+                    )
+                    for ep in (1, 2)
+                ]
+            ),
+        )
+    )
     cand = idx.filter(
         (
             (F.col("epoch") == 1) & (F.col("cell") == acell[1])
@@ -1099,16 +1147,30 @@ def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cents = read_table(spark, w, "ann_centroids")
         cbook = read_table(spark, w, "pq_codebook")
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
-        _commit_append(assign_pq_codes(base1, cbook), w, "pq_codes", 1)
+        # v1 index, v1 codes, and the base-table append: three commits
+        # to disjoint tables with no data dependency — overlapped (§2.6)
+        overlap(
+            lambda: _commit_append(
+                assign_cells(base1, cents), w, "ann_index", 1
+            ),
+            lambda: _commit_append(
+                assign_pq_codes(base1, cbook), w, "pq_codes", 1
+            ),
+            lambda: _commit_append(emb.filter(late), w, "emb", 2),
+        )
         idx_v1 = list(_manifest(w, "ann_index") or [])
         pqc_v1 = list(_manifest(w, "pq_codes") or [])
 
-        # base append; BOTH artifacts maintained from the part diff
-        _commit_append(emb.filter(late), w, "emb", 2)
+        # BOTH artifacts maintained from the append's part diff
         batch = _vec_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2)))
-        _commit_append(assign_cells(batch, cents), w, "ann_index", 2)
-        _commit_append(assign_pq_codes(batch, cbook), w, "pq_codes", 2)
+        overlap(
+            lambda: _commit_append(
+                assign_cells(batch, cents), w, "ann_index", 2
+            ),
+            lambda: _commit_append(
+                assign_pq_codes(batch, cbook), w, "pq_codes", 2
+            ),
+        )
         n_batch = _part_rows(w, "emb", ["p2"])
         for table, v1_parts, expect in (
             ("ann_index", idx_v1, n_batch),
@@ -1127,14 +1189,17 @@ def q_ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{table}: maintenance added {got} rows, expected {expect}",
             )
 
-        # IVFADC serve from the maintained artifacts only
-        served = _ivfadc_serve(spark, w).transform(stable_checkpoint)
-        # maintained == recomputed, in-engine: the existing from-scratch
-        # gate function IS the recompute path over the same full corpus
-        recomputed = q_ann_ivfpq_topk(spark, sf_dir)
+        # IVFADC serve from the maintained artifacts only; the
+        # maintained serve and the from-scratch recompute (the
+        # in-engine equality witness) are independent plans over
+        # disjoint inputs — materialized concurrently (§2.6)
+        served, rec_rows = overlap(
+            lambda: _ivfadc_serve(spark, w).transform(stable_checkpoint),
+            lambda: q_ann_ivfpq_topk(spark, sf_dir).collect(),
+        )
         _require(
             sorted(map(tuple, served.collect()))
-            == sorted(map(tuple, recomputed.collect())),
+            == sorted(map(tuple, rec_rows)),
             "maintained PQ serve != from-scratch IVFADC recompute",
         )
         return served
@@ -1683,26 +1748,46 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
         _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
         cents = read_table(spark, w, "ann_centroids")
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
-        _commit_append(
-            _pq_sub(base1.filter(F.col("vec_id") < PQ_CENTS)).select(
-                F.col("s").alias("cs"),
-                F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"),
-            ),
-            w,
-            "pq_codebook",
-            1,
-        )
-        cbook = read_table(spark, w, "pq_codebook")
-        _commit_append(assign_pq_codes(base1, cbook), w, "pq_codes", 1)
+
+        # two independent build chains — the cell index (against the
+        # committed centroids) and the PQ pair (codebook, then codes
+        # against it) touch disjoint tables, so their commit jobs
+        # OVERLAP from driver threads (guide §2.6) instead of leaving
+        # local[32] idle between sequential sub-second writes
+        def _build_cell_index() -> None:
+            _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+
+        def _build_pq() -> DataFrame:
+            _commit_append(
+                _pq_sub(base1.filter(F.col("vec_id") < PQ_CENTS)).select(
+                    F.col("s").alias("cs"),
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("v").alias("cv"),
+                ),
+                w,
+                "pq_codebook",
+                1,
+            )
+            cb = read_table(spark, w, "pq_codebook")
+            _commit_append(assign_pq_codes(base1, cb), w, "pq_codes", 1)
+            return cb
+
+        _, cbook = overlap(_build_cell_index, _build_pq)
 
         # drift lands; index + codes MAINTAINED against the frozen
         # quantizer from the part diff (the correct between-retrain path)
         _commit_append(_rt_drift(spark, base1), w, "emb", 2)
         batch = _rt_view(fan_out(_added_parts_read(spark, w, "emb", 1, 2)))
-        _commit_append(assign_cells(batch, cents), w, "ann_index", 2)
-        _commit_append(assign_pq_codes(batch, cbook), w, "pq_codes", 2)
+        # index and code maintenance both consume the same batch delta
+        # but commit to disjoint tables — overlapped for the same reason
+        overlap(
+            lambda: _commit_append(
+                assign_cells(batch, cents), w, "ann_index", 2
+            ),
+            lambda: _commit_append(
+                assign_pq_codes(batch, cbook), w, "pq_codes", 2
+            ),
+        )
 
         v_pin = 2  # the index version a mid-retrain reader holds
         _require(
@@ -1710,14 +1795,18 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unexpected index version pre-retrain",
         )
         pinned = read_table(spark, w, "ann_index", version=v_pin)
-        chk_pre = pinned.agg(
-            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
 
         # ---- RETRAIN: derive, stage, intend, swap-with-crash, recover
         live = _rt_view(fan_out(read_table(spark, w, "emb")))
-        n = live.count()
+        # the pre-swap checksum (ann_index) and the corpus count (emb)
+        # read disjoint tables — one overlapped round-trip, not two
+        chk_pre, n = overlap(
+            lambda: pinned.agg(
+                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0],
+            live.count,
+        )
         k_new = math.isqrt(n)
         stride = (n + k_new - 1) // k_new
         n_cells_new = (n + stride - 1) // stride
@@ -1725,10 +1814,18 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = live.withColumn(
             "rn", F.row_number().over(Window.orderBy(F.asc("vec_id")))
         )
-        seeds = ranked.filter((F.col("rn") - 1) % stride == 0).select(
-            F.col("rn").alias("cent_id"),
-            F.col("emb").alias("cvec"),
-            F.col("nrm").alias("cnrm"),
+        # every staged artifact derives from the seed table, and the
+        # four staged writes run CONCURRENTLY below — persist the seeds
+        # so the global-window rank derivation runs once, not once per
+        # staged consumer (K·dim rows: KB-sized at any corpus scale)
+        seeds = (
+            ranked.filter((F.col("rn") - 1) % stride == 0)
+            .select(
+                F.col("rn").alias("cent_id"),
+                F.col("emb").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            )
+            .persist()
         )
         staged = {
             "ann_centroids": seeds,
@@ -1750,16 +1847,29 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             live,
             staged["pq_codebook"],
         )
-        tx = {}
-        for table, df in staged.items():
+
+        # stage all four artifacts CONCURRENTLY (disjoint directories,
+        # guide §2.6); the durable intent is cut only after every part
+        # is fully on disk — the WAP ordering multi_commit requires
+        def _stage(table: str, df: DataFrame):
             df.coalesce(1).write.parquet(
                 os.path.join(w, table, "retrain1")
             )
-            tx[table] = {
+            return table, {
                 "base": _current_version(w, table),
                 "added": ["retrain1"],
                 "removed": _manifest(w, table) or [],
             }
+
+        tx = dict(
+            overlap(
+                *[
+                    (lambda t=t, d=d: _stage(t, d))
+                    for t, d in staged.items()
+                ]
+            )
+        )
+        seeds.unpersist()
         os.makedirs(os.path.join(w, _TXN_DIR), exist_ok=True)
         with open(os.path.join(w, _TXN_DIR, "rt.json"), "w") as fh:
             json.dump(tx, fh)
@@ -1784,13 +1894,27 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index reassignment took more than one commit",
         )
 
-        # serve-continuity: the pinned pre-retrain snapshot is intact
-        chk_post = read_table(
-            spark, w, "ann_index", version=v_pin
-        ).agg(
-            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+        # ---- recall@k: frozen phase served from the PINNED read
+        corpus = live
+        # FIXED-SIZE query panel (first RT_QMAX positions of each
+        # drifted line): recall audits sample queries — the FAISS eval
+        # shape — so audit cost is O(panel x corpus) = linear in the
+        # corpus, never quadratic
+        queries = corpus.filter(
+            (F.col("vec_id") >= RT_OFF)
+            & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
+        )
+        # serve-continuity checksum (pinned ann_index) and the panel
+        # count (emb-derived) read disjoint state: overlapped (§2.6)
+        chk_post, nq = overlap(
+            lambda: read_table(spark, w, "ann_index", version=v_pin)
+            .agg(
+                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0],
+            queries.count,
+        )
         _require(
             tuple(chk_pre) == tuple(chk_post),
             "pinned pre-retrain index changed under the swap",
@@ -1805,18 +1929,6 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             == PQ_CENTS * PQ_SUB,
             "retrained PQ codebook has wrong arity",
         )
-
-        # ---- recall@k: frozen phase served from the PINNED read
-        corpus = live
-        # FIXED-SIZE query panel (first RT_QMAX positions of each
-        # drifted line): recall audits sample queries — the FAISS eval
-        # shape — so audit cost is O(panel x corpus) = linear in the
-        # corpus, never quadratic
-        queries = corpus.filter(
-            (F.col("vec_id") >= RT_OFF)
-            & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
-        )
-        nq = queries.count()
         _require(nq > 0, "drift batch empty")
         exact5 = _rt_topk(queries, corpus).persist()
         cells_f = read_table(spark, w, "ann_index", version=v_pin)
@@ -2020,8 +2132,15 @@ def q_ann_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
         _commit_append(_centroid_rows(base1), w, "ann_centroids", 1)
         cents = read_table(spark, w, "ann_centroids")
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
-        _commit_append(_rt_drift(spark, base1), w, "emb", 2)
+        # the v1 index build (against the committed centroids) and the
+        # drift append (emb v2) touch disjoint tables — overlapped
+        # (§2.6); the drift-batch maintenance below needs both
+        overlap(
+            lambda: _commit_append(
+                assign_cells(base1, cents), w, "ann_index", 1
+            ),
+            lambda: _commit_append(_rt_drift(spark, base1), w, "emb", 2),
+        )
         batch2 = _rt_view(
             fan_out(_added_parts_read(spark, w, "emb", 1, 2))
         )
@@ -2259,23 +2378,45 @@ def q_stream_ann_auto_retrain(
     land(emb.select("vec_id", F.expr(E_SQL).alias("emb")), "b0")
     first = spark.read.parquet(os.path.join(src, "b0.parquet"))
     base1 = _rt_view(fan_out(first))
-    # frozen v1 quantizer, trained on batch 0 alone (trained_through
-    # is the baseline watermark the monitor reads back)
-    _commit_append(
-        _centroid_rows(base1).withColumn(
-            "trained_through", F.lit(0).cast("long")
+
+    # The frozen v1 quantizer commit (trained on batch 0 alone —
+    # trained_through is the baseline watermark the monitor reads
+    # back), the benign-batch build and the drift-batch build all
+    # derive from the already-landed b0 file and write disjoint
+    # destinations: three independent job chains, overlapped (§2.6).
+    # Batch ORDER is semantic (the monitor timeline), and the file
+    # source orders by modification time — so the concurrent builds
+    # only STAGE; promotion into the source dir stays sequential with
+    # explicitly increasing mtimes, making arrival order deterministic
+    # regardless of which staging job finishes first.
+    def _stage_batch(df: DataFrame, name: str) -> None:
+        df.coalesce(1).write.parquet(os.path.join(base, f"stage_{name}"))
+
+    overlap(
+        lambda: _commit_append(
+            _centroid_rows(base1).withColumn(
+                "trained_through", F.lit(0).cast("long")
+            ),
+            base,
+            "ann_centroids",
+            1,
         ),
-        base,
-        "ann_centroids",
-        1,
-    )
-    land(
-        first.filter(F.col("vec_id") % 7 == 1).select(
-            (F.col("vec_id") + F.lit(AR_BEN1)).alias("vec_id"), "emb"
+        lambda: _stage_batch(
+            first.filter(F.col("vec_id") % 7 == 1).select(
+                (F.col("vec_id") + F.lit(AR_BEN1)).alias("vec_id"),
+                "emb",
+            ),
+            "b1",
         ),
-        "b1",
+        lambda: _stage_batch(_rt_drift(spark, base1), "b2"),
     )
-    land(_rt_drift(spark, base1), "b2")
+    t0_land = os.stat(os.path.join(src, "b0.parquet")).st_mtime
+    for i, name in enumerate(("b1", "b2"), start=1):
+        stage = os.path.join(base, f"stage_{name}")
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, times=(t0_land + i, t0_land + i))
 
     events: list = []
     applied: dict = {}
@@ -2289,6 +2430,9 @@ def q_stream_ann_auto_retrain(
         k_new = math.isqrt(n)
         _require(k_new > N_CELLS, "corpus too small to scale K up")
         stride = (n + k_new - 1) // k_new
+        # both staged artifacts consume the seed table and the writes
+        # run concurrently — persist so the global-window derivation
+        # runs once (K·dim rows, KB-sized)
         seeds = (
             view.withColumn(
                 "rn",
@@ -2301,23 +2445,31 @@ def q_stream_ann_auto_retrain(
                 F.col("nrm").alias("cnrm"),
                 F.lit(bid - 1).cast("long").alias("trained_through"),
             )
+            .persist()
         )
         new_index = _assign_with_cos(view, seeds).withColumn(
             "epoch", F.lit(2).cast("long")
         )
-        tx = {}
-        for table, df in (
-            ("ann_centroids", seeds),
-            ("ann_index", new_index),
-        ):
+
+        def _stage(table: str, df: DataFrame):
             df.coalesce(1).write.parquet(
                 os.path.join(base, table, "retrain1")
             )
-            tx[table] = {
+            return table, {
                 "base": _current_version(base, table),
                 "added": ["retrain1"],
                 "removed": _manifest(base, table) or [],
             }
+
+        # disjoint staging directories — overlapped (§2.6); the intent
+        # is durable only after both parts are fully written
+        tx = dict(
+            overlap(
+                lambda: _stage("ann_centroids", seeds),
+                lambda: _stage("ann_index", new_index),
+            )
+        )
+        seeds.unpersist()
         os.makedirs(os.path.join(base, _TXN_DIR), exist_ok=True)
         with open(
             os.path.join(base, _TXN_DIR, "auto_rt.json"), "w"
@@ -2350,67 +2502,90 @@ def q_stream_ann_auto_retrain(
         if _current_version(base, "txn_log") >= batch_id + 1:
             return
         # the TRIGGER: last committed monitor verdict, evaluated at
-        # the batch boundary before this batch touches the index
+        # the batch boundary before this batch touches the index.
+        # The verdict read (ann_monitor) and the quantizer-watermark
+        # read (ann_centroids) touch disjoint tables — overlapped;
+        # when the trigger actually fires (once per lifecycle) the
+        # quantizer swaps and the watermark is simply re-read.
         mon = read_table(sess, base, "ann_monitor")
-        if mon is not None:
-            last = mon.orderBy(F.desc("batch_id")).first()
-            if bool(last["should_retrain"]) and (
-                _current_version(base, "ann_centroids") == 1
-            ):
-                _auto_retrain(sess, batch_id)
-                events.append((batch_id, "retrain"))
-        cents = read_table(sess, base, "ann_centroids")
+
+        def _quantizer_state() -> tuple:
+            c = read_table(sess, base, "ann_centroids")
+            return c, int(c.agg(F.max("trained_through")).first()[0])
+
+        last, (cents, tt) = overlap(
+            lambda: (
+                mon.orderBy(F.desc("batch_id")).first()
+                if mon is not None
+                else None
+            ),
+            _quantizer_state,
+        )
+        if (
+            last is not None
+            and bool(last["should_retrain"])
+            and _current_version(base, "ann_centroids") == 1
+        ):
+            _auto_retrain(sess, batch_id)
+            events.append((batch_id, "retrain"))
+            cents, tt = _quantizer_state()
         ep = _current_version(base, "ann_centroids")
-        tt = int(cents.agg(F.max("trained_through")).first()[0])
         part = f"b{batch_id}"
         view = batch_df.select(
             "vec_id", "emb", _norm("emb").alias("nrm")
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        _assign_with_cos(view, cents).withColumn(
-            "epoch", F.lit(ep).cast("long")
-        ).coalesce(1).write.parquet(
-            os.path.join(base, "ann_index", part)
+        # the index part and the emb part are disjoint destinations
+        # derived from the same micro-batch: two overlapped writes
+        # (§2.6) instead of two sequential sub-second jobs
+        overlap(
+            lambda: _assign_with_cos(view, cents)
+            .withColumn("epoch", F.lit(ep).cast("long"))
+            .coalesce(1)
+            .write.parquet(os.path.join(base, "ann_index", part)),
+            lambda: batch_df.select("vec_id", "emb")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(1)
+            .write.parquet(os.path.join(base, "emb", part)),
         )
-        batch_df.select("vec_id", "emb").withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).coalesce(1).write.parquet(os.path.join(base, "emb", part))
         # drift signals from maintained artifacts alone: the staged
-        # batch part vs the committed index's training-baseline rows
+        # batch part vs the committed index's training-baseline rows.
+        # ONE aggregation job (side, cell) -> (count, cosine sum)
+        # covers what three sequential jobs computed before (each
+        # side's n/sum plus the per-cell occupancy join): the ≤2·cells
+        # collected rows finish the identical integer arithmetic
+        # driver-side — exact longs either way, same values.
         cur = sess.read.parquet(os.path.join(base, "ann_index", part))
         idx = read_table(sess, base, "ann_index")
-        baseline = (
-            cur if idx is None else idx.filter(F.col("batch_id") <= tt)
-        )
-
-        def _st(df: DataFrame) -> tuple:
-            r = df.agg(
-                F.count(F.lit(1)), F.sum("mc_s6")
-            ).first()
-            return int(r[0]), int(r[1])
-
-        n2, s2 = _st(cur)
-        n1, s1 = _st(baseline)
-        occ_j = (
-            baseline.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("c1"))
-            .join(
-                cur.groupBy("cell").agg(F.count(F.lit(1)).alias("c2")),
-                "cell",
-                "full_outer",
-            )
-            .select(
-                F.coalesce("c1", F.lit(0)).alias("c1"),
-                F.coalesce("c2", F.lit(0)).alias("c2"),
-            )
-        )
-        num = int(
-            occ_j.agg(
-                F.sum(
-                    F.abs(
-                        F.col("c2") * F.lit(n1) - F.col("c1") * F.lit(n2)
-                    )
+        sides = cur.select(F.lit(1).alias("side"), "cell", "mc_s6")
+        if idx is not None:
+            sides = sides.unionByName(
+                idx.filter(F.col("batch_id") <= tt).select(
+                    F.lit(0).alias("side"), "cell", "mc_s6"
                 )
-            ).first()[0]
+            )
+        c1m: dict = {}
+        c2m: dict = {}
+        for r in (
+            sides.groupBy("side", "cell")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("mc_s6").alias("s"))
+            .collect()
+        ):
+            (c2m if r["side"] == 1 else c1m)[r["cell"]] = (
+                int(r["c"]),
+                int(r["s"]),
+            )
+        if idx is None:
+            c1m = c2m  # baseline IS the build batch at batch 0
+        n2 = sum(c for c, _ in c2m.values())
+        s2 = sum(s for _, s in c2m.values())
+        n1 = sum(c for c, _ in c1m.values())
+        s1 = sum(s for _, s in c1m.values())
+        num = sum(
+            abs(
+                c2m.get(cell, (0, 0))[0] * n1
+                - c1m.get(cell, (0, 0))[0] * n2
+            )
+            for cell in set(c1m) | set(c2m)
         )
         mean2 = F.round(F.lit(s2) / F.lit(n2 * 1_000_000.0), 6)
         mean1 = F.round(F.lit(s1) / F.lit(n1 * 1_000_000.0), 6)
@@ -2428,10 +2603,23 @@ def q_stream_ann_auto_retrain(
         ).coalesce(1).write.parquet(
             os.path.join(base, "ann_monitor", part)
         )
-        sess.range(1).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.lit(ep).cast("long").alias("epoch"),
-        ).coalesce(1).write.parquet(os.path.join(base, "txn_log", part))
+        # the txn_log row is two driver-known longs: write the part
+        # directly with pyarrow (same schema, same values) instead of
+        # spending a Spark job on a 1-row literal relation (§4.2's
+        # "don't ship what the driver already holds", applied to I/O)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.join(base, "txn_log", part), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "batch_id": _pa.array([batch_id], _pa.int64()),
+                    "epoch": _pa.array([ep], _pa.int64()),
+                }
+            ),
+            os.path.join(base, "txn_log", part, "part-00000.parquet"),
+        )
         applied[batch_id] = n2
         multi_commit(
             base,
@@ -2493,22 +2681,11 @@ def q_stream_ann_auto_retrain(
     _require(applied == before, "idle restart re-applied batches")
 
     # accounting: every corpus row indexed exactly once, all under the
-    # retrained quantizer (full reassignment), batch sizes preserved
+    # retrained quantizer (full reassignment), batch sizes preserved.
+    # Per-batch counts (one fused job: the epoch check rides the same
+    # aggregation as a conditional count) and the panel count read
+    # disjoint tables — overlapped (§2.6).
     idx = read_table(spark, base, "ann_index")
-    per_b = {
-        r["batch_id"]: r["n"]
-        for r in idx.groupBy("batch_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    _require(
-        per_b == applied
-        and idx.filter(F.col("epoch") != 2).count() == 0,
-        f"post-swap accounting broken: {per_b} vs {applied}",
-    )
-
-    # recall over the drifted panel: pinned pre-retrain index vs the
-    # auto-retrained one (version pinning IS the mid-retrain serve)
     emb_t = fan_out(read_table(spark, base, "emb"))
     corpus_all = emb_t.select(
         "vec_id", "emb", _norm("emb").alias("nrm")
@@ -2521,7 +2698,21 @@ def q_stream_ann_auto_retrain(
         & (F.col("vec_id") < RT_OFF + RT_M * RT_BLOCK)
         & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
     )
-    nq = queries.count()
+    acct_rows, nq = overlap(
+        lambda: idx.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("epoch") != 2).cast("long")).alias("off_epoch"),
+        )
+        .collect(),
+        queries.count,
+    )
+    per_b = {r["batch_id"]: r["n"] for r in acct_rows}
+    _require(
+        per_b == applied
+        and sum(r["off_epoch"] for r in acct_rows) == 0,
+        f"post-swap accounting broken: {per_b} vs {applied}",
+    )
     _require(nq > 0, "drift panel empty")
 
     def _recall(corpus: DataFrame, cells: DataFrame) -> float:
@@ -2558,13 +2749,18 @@ def q_stream_ann_auto_retrain(
         hits = exact.join(srv, ["qid", "cand"]).count()
         return hits / float(nq * RT_K)
 
-    rec_f = _recall(
-        corpus_pin,
-        read_table(spark, base, "ann_index", version=v_pin).select(
-            "vec_id", "cell"
+    # the two audits (pinned snapshot vs retrained head) are fully
+    # independent count jobs — overlapped (§2.6), halving the audit's
+    # wall clock on an otherwise idle local[32]
+    rec_f, rec_r = overlap(
+        lambda: _recall(
+            corpus_pin,
+            read_table(spark, base, "ann_index", version=v_pin).select(
+                "vec_id", "cell"
+            ),
         ),
+        lambda: _recall(corpus_all, idx.select("vec_id", "cell")),
     )
-    rec_r = _recall(corpus_all, idx.select("vec_id", "cell"))
     _require(
         rec_f <= 0.75 and rec_r >= rec_f + 0.2,
         f"auto-retrain recall did not recover: {rec_f} -> {rec_r}",
