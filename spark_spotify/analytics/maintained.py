@@ -537,17 +537,16 @@ def q_ann_maintained_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_table(spark, w, "emb").select("vec_id", "label"),
             "vec_id",
         )
-        kinds = {
-            r["_change_type"]
-            for r in feed.select("_change_type").distinct().collect()
-        }
+        # ONE delta-sized collect feeds both the kind check and the
+        # erased-key list — the feed's full-outer-join plan used to run
+        # twice (distinct kinds, then keys)
+        feed_rows = feed.select("vec_id", "_change_type").collect()
+        kinds = {r["_change_type"] for r in feed_rows}
         _require(
             kinds == {"delete"},
             f"erasure feed carries non-delete rows: {kinds}",
         )
-        # delta-sized by the erasure contract (same posture as the DV
-        # part-id collects at etl/pipeline.py:4530)
-        gone = [r["vec_id"] for r in feed.select("vec_id").collect()]
+        gone = [r["vec_id"] for r in feed_rows]
         _require(bool(gone), "erasure batch unexpectedly empty")
         delete_rows(
             spark,
