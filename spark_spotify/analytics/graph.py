@@ -86,6 +86,46 @@ def _coin_sql(u: str, v: str) -> str:
     )
 
 
+def _order_pairs(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deduped undirected co-supply pairs (u < v) from a
+    (l_orderkey, l_suppkey) relation — the UNSAMPLED twin of
+    ``_sampled_edges``: per-order array pairing for bounded orders
+    (measured 3-4× faster than a row self-join on the fixture — see
+    ``_sampled_edges``), hyper-orders (> {TRI_GROUP_CAP} suppliers)
+    diverted to the distributed self-join path.  Returns ``(pairs,
+    grp)`` with ``grp`` the persisted per-order set aggregate; the
+    caller unpersists it once the pair set is materialized."""
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    grp = grp.persist()
+    pairs_small = (
+        grp.filter(F.size("ss") <= TRI_GROUP_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, "
+                    "greatest(size(ss) - i - 1, 0)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
+    ex = (
+        grp.filter(F.size("ss") > TRI_GROUP_CAP)
+        .select("l_orderkey", F.explode("ss").alias("s"))
+        .alias("a")
+    )
+    pairs_big = ex.join(
+        ex.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.s") < F.col("b.s")),
+    ).select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+    return pairs_small.unionByName(pairs_big).distinct(), grp
+
+
 def _sampled_edges(li: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deduped, DOULION-sampled undirected co-supply edges (u < v) from a
     (l_orderkey, l_suppkey) relation.  Returns ``(edges, grp)`` where
@@ -238,9 +278,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("wx"), F.col("dst").alias("wy")
     )
-    n_tri = wedges.join(closing, ["wx", "wy"]).count()
-    n_v = deg.count()
+    # the edge count doubles as the action that materializes the und
+    # cache (running it FIRST avoids the cache-population race where
+    # concurrent jobs each recompute the pair join); the remaining two
+    # counts both read the now-cached edge set and are independent —
+    # overlapped (guide §2.6), the degree count back-fills the wedge
+    # join's straggler tail
+    from spark_spotify.functions.concurrency import overlap
+
     n_e = und.count()
+    n_tri, n_v = overlap(
+        wedges.join(closing, ["wx", "wy"]).count,
+        deg.count,
+    )
     oriented.unpersist()
     und.unpersist()
     grp.unpersist()
@@ -283,35 +333,38 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration join co-locates; vertex state lives in the cluster
     (broadcast here only because suppliers << edges), and the checkpoint
     cadence bounds both lineage depth and recovery cost."""
+    from pyspark.sql import Window
+
     from spark_spotify.functions.checkpoint import stable_checkpoint
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .distinct()
-    )
+    # pair generation via the per-order array pairing (_order_pairs) —
+    # the same measured 3-4× win over the row self-join the triangle
+    # gate already banked; collect_set dedups (orderkey, suppkey)
+    # repeats, so no up-front distinct pass over lineitem is needed
+    und, grp = _order_pairs(li)
     e = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").persist()
-    ranks = deg.select(
-        F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("r")
+    # out-degree as a window count over the edge list — ONE shuffle on
+    # src attaches d to every edge, where the groupBy + equi-join form
+    # shuffled the edge list twice more (guide §2.4: two operations
+    # keyed the same way share one exchange)
+    ed = e.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
+    ranks = (
+        ed.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
     )
     for i in range(PR_ITERS):
+        # vertex state is supplier-sized (orders of magnitude under the
+        # edge list): broadcast it explicitly so no iteration ever
+        # falls back to shuffling the persisted edge list (§3.1)
         ranks = (
-            ed.join(ranks, ed["src"] == ranks["v"])
+            ed.join(F.broadcast(ranks), ed["src"] == ranks["v"])
             .select("dst", F.expr("r div d").alias("cb"))
             .groupBy("dst")
             .agg(F.sum("cb").alias("inflow"))
@@ -334,6 +387,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP_K)
     )
     ed.unpersist()
+    grp.unpersist()
     return out
 
 

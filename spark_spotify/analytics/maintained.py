@@ -563,15 +563,20 @@ def q_ann_maintained_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # serve from the maintained (DV-filtered) index vs recompute
         live = _vec_view(fan_out(read_table(spark, w, "emb")))
-        served = _topk_from_cells(
-            live.join(read_table(spark, w, "ann_index"), "vec_id")
-        ).transform(stable_checkpoint)
-        recomputed = _topk_from_cells(
-            live.join(assign_cells(live, cents), "vec_id")
+        # maintained serve and from-scratch recompute are independent
+        # jobs over the same (DV-filtered) corpus — overlapped (§2.6),
+        # the same shape q_ann_pq_maintained's equality witness uses
+        served, rec_rows = overlap(
+            lambda: _topk_from_cells(
+                live.join(read_table(spark, w, "ann_index"), "vec_id")
+            ).transform(stable_checkpoint),
+            lambda: _topk_from_cells(
+                live.join(assign_cells(live, cents), "vec_id")
+            ).collect(),
         )
         _require(
             sorted(map(tuple, served.collect()))
-            == sorted(map(tuple, recomputed.collect())),
+            == sorted(map(tuple, rec_rows)),
             "maintained index serve != post-delete recompute",
         )
         return served
@@ -748,15 +753,20 @@ def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_idx == n_corpus,
         f"index covers {n_idx} of {n_corpus} streamed vectors",
     )
-    served = _topk_from_cells(
-        corpus.join(read_table(spark, base, "ann_index"), "vec_id")
-    ).transform(stable_checkpoint)
-    recomputed = _topk_from_cells(
-        corpus.join(assign_cells(corpus, cents), "vec_id")
+    # maintained serve and from-scratch recompute are independent jobs
+    # over the same streamed corpus — overlapped (§2.6), the same shape
+    # as the batch maintained gates' equality witness
+    served, rec_rows = overlap(
+        lambda: _topk_from_cells(
+            corpus.join(read_table(spark, base, "ann_index"), "vec_id")
+        ).transform(stable_checkpoint),
+        lambda: _topk_from_cells(
+            corpus.join(assign_cells(corpus, cents), "vec_id")
+        ).collect(),
     )
     _require(
         sorted(map(tuple, served.collect()))
-        == sorted(map(tuple, recomputed.collect())),
+        == sorted(map(tuple, rec_rows)),
         "stream-maintained index serve != from-scratch recompute",
     )
     return served
@@ -1256,15 +1266,16 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_table(spark, w, "docs").select("doc_id", "source"),
             "doc_id",
         )
-        kinds = {
-            r["_change_type"]
-            for r in feed.select("_change_type").distinct().collect()
-        }
+        # ONE delta-sized collect feeds both the kind check and the
+        # erased-key list — the feed's full-outer-join plan used to run
+        # twice (distinct kinds, then keys)
+        feed_rows = feed.select("doc_id", "_change_type").collect()
+        kinds = {r["_change_type"] for r in feed_rows}
         _require(
             kinds == {"delete"},
             f"takedown feed carries non-delete rows: {kinds}",
         )
-        gone = [r["doc_id"] for r in feed.select("doc_id").collect()]
+        gone = [r["doc_id"] for r in feed_rows]
         _require(bool(gone), "takedown batch unexpectedly empty")
         delete_rows(
             spark,
@@ -1929,7 +1940,6 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retrained PQ codebook has wrong arity",
         )
         _require(nq > 0, "drift batch empty")
-        exact5 = _rt_topk(queries, corpus).persist()
         cells_f = read_table(spark, w, "ann_index", version=v_pin)
         cells_r = read_table(spark, w, "ann_index")
 
@@ -1968,6 +1978,18 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("qid", "cand")
             )
 
+        # the exact panel top-k and the two cell-restricted serves are
+        # three independent pairwise-scan jobs; fused lazily they ran
+        # inside ONE action (each branch re-deriving the corpus view).
+        # Materialize each k·nq-row result via stable_checkpoint with
+        # the jobs OVERLAPPED (§2.6) — the audit joins below then run
+        # over three tiny leaves.
+        exact5, srv_f, srv_r = overlap(
+            lambda: stable_checkpoint(_rt_topk(queries, corpus)),
+            lambda: stable_checkpoint(served(cells_f)),
+            lambda: stable_checkpoint(served(cells_r)),
+        )
+
         def phase_row(name: str, ncells: int, srv: DataFrame) -> DataFrame:
             return (
                 exact5.join(srv, ["qid", "cand"])
@@ -1984,15 +2006,12 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         out = (
-            phase_row("frozen", N_CELLS, served(cells_f))
-            .unionByName(
-                phase_row("retrained", n_cells_new, served(cells_r))
-            )
+            phase_row("frozen", N_CELLS, srv_f)
+            .unionByName(phase_row("retrained", n_cells_new, srv_r))
             .orderBy("phase")
             .transform(stable_checkpoint)
         )
         rows = {r["phase"]: r for r in out.collect()}
-        exact5.unpersist()
         _require(
             rows["frozen"]["recall_at_k"] <= 0.75,
             f"drift failed to degrade frozen recall: {rows['frozen']}",
@@ -2586,21 +2605,49 @@ def q_stream_ann_auto_retrain(
             )
             for cell in set(c1m) | set(c2m)
         )
-        mean2 = F.round(F.lit(s2) / F.lit(n2 * 1_000_000.0), 6)
-        mean1 = F.round(F.lit(s1) / F.lit(n1 * 1_000_000.0), 6)
-        tvd = F.round(F.lit(num) / F.lit(2.0 * n1 * n2), 6)
-        sess.range(1).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.lit(n2).cast("long").alias("n_vecs"),
-            mean2.alias("mean_assign_cos"),
-            tvd.alias("occupancy_tvd"),
-            (
-                (F.abs(mean2 - mean1) > F.lit(DRIFT_COS_THRESHOLD))
-                | (tvd > F.lit(DRIFT_TVD_THRESHOLD))
-            ).alias("should_retrain"),
-            F.lit(ep).cast("long").alias("epoch"),
-        ).coalesce(1).write.parquet(
-            os.path.join(base, "ann_monitor", part)
+        # every monitor value is a driver-held scalar by this point, so
+        # the verdict row is written directly with pyarrow (like the
+        # txn_log row below) instead of spending a Spark job on a 1-row
+        # literal relation.  Rounding parity with F.round(double, 6):
+        # Spark rounds BigDecimal(Double.toString(x)) HALF_UP; Python's
+        # repr is the same shortest decimal for the same double (two
+        # decimal expansions of ONE double cannot diverge at the 7th
+        # decimal for O(1) magnitudes), so Decimal(repr(x)) HALF_UP
+        # yields the identical double.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _round6(x: float) -> float:
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+
+        mean2 = _round6(s2 / (n2 * 1_000_000.0))
+        mean1 = _round6(s1 / (n1 * 1_000_000.0))
+        tvd = _round6(num / (2.0 * n1 * n2))
+        should = (
+            abs(mean2 - mean1) > DRIFT_COS_THRESHOLD
+            or tvd > DRIFT_TVD_THRESHOLD
+        )
+        import pyarrow as _pa0
+        import pyarrow.parquet as _pq0
+
+        os.makedirs(os.path.join(base, "ann_monitor", part), exist_ok=True)
+        _pq0.write_table(
+            _pa0.table(
+                {
+                    "batch_id": _pa0.array([batch_id], _pa0.int64()),
+                    "n_vecs": _pa0.array([n2], _pa0.int64()),
+                    "mean_assign_cos": _pa0.array(
+                        [mean2], _pa0.float64()
+                    ),
+                    "occupancy_tvd": _pa0.array([tvd], _pa0.float64()),
+                    "should_retrain": _pa0.array([should], _pa0.bool_()),
+                    "epoch": _pa0.array([ep], _pa0.int64()),
+                }
+            ),
+            os.path.join(base, "ann_monitor", part, "part-00000.parquet"),
         )
         # the txn_log row is two driver-known longs: write the part
         # directly with pyarrow (same schema, same values) instead of
@@ -2715,7 +2762,6 @@ def q_stream_ann_auto_retrain(
     _require(nq > 0, "drift panel empty")
 
     def _recall(corpus: DataFrame, cells: DataFrame) -> float:
-        exact = _rt_topk(queries, corpus)
         q = queries.join(cells, "vec_id").select(
             F.col("vec_id").alias("qid"),
             F.col("emb").alias("qe"),
@@ -2745,7 +2791,9 @@ def q_stream_ann_auto_retrain(
             .filter(F.col("rn") <= RT_K)
             .select("qid", "cand")
         )
-        hits = exact.join(srv, ["qid", "cand"]).count()
+        hits = _rt_topk(queries, corpus).join(
+            srv, ["qid", "cand"]
+        ).count()
         return hits / float(nq * RT_K)
 
     # the two audits (pinned snapshot vs retrained head) are fully

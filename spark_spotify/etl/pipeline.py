@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from spark_spotify.etl.dims import date_dim, event_type_dim
 from spark_spotify.functions.checkpoint import stable_checkpoint
+from spark_spotify.functions.concurrency import overlap
 from spark_spotify.etl.fact import fact_from
 from spark_spotify.etl.silver import clean_events
 from spark_spotify.etl.stats import daily_stats
@@ -4678,18 +4679,15 @@ def merge_rows(
     # enforce the MERGE cardinality precondition Delta enforces: a
     # duplicate (or NULL) source key would fan out through the
     # full-outer join and commit corrupt rows.  One aggregate over the
-    # delta-sized source.
-    sc_row = source.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(key).alias("nk"),
-        F.countDistinct(key).alias("nd"),
-    ).collect()[0]
-    _require(
-        sc_row["n"] == sc_row["nk"] == sc_row["nd"],
-        f"source keys must be unique and non-null "
-        f"(rows={sc_row['n']}, non-null={sc_row['nk']}, "
-        f"distinct={sc_row['nd']})",
-    )
+    # delta-sized source — deferred into a thunk so the part-discovery
+    # scan (read-only, independent) can run overlapped with it (§2.6);
+    # both must settle before any byte is written.
+    def _cardinality_row():
+        return source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(key).alias("nk"),
+            F.countDistinct(key).alias("nd"),
+        ).collect()[0]
     m_base = _read_manifest_file(warehouse, table, base) if base else None
     specs = {}
     affected: set[str] = set()
@@ -4721,28 +4719,46 @@ def merge_rows(
         # are affected by definition, so discovery is skipped
         specs = m_base["specs"]
         affected = set(parts)
+        sc_row = _cardinality_row()
     elif parts:
         specs = m_base["specs"]
-        probe = None
-        for br in _part_branches(
-            spark, warehouse, table, parts, specs, m_base["schema"]
-        ):
-            # project (key, file) BEFORE the join — input_file_name() is
-            # single-source only, and this keeps the probe slim, the
-            # late-materialization shape
-            b = br.select(F.col(key), F.input_file_name().alias("f"))
-            probe = b if probe is None else probe.unionByName(b)
-        hits = (
-            probe.join(
-                F.broadcast(source.select(key).distinct()), key, "inner"
+
+        def _discover():
+            probe = None
+            for br in _part_branches(
+                spark, warehouse, table, parts, specs, m_base["schema"]
+            ):
+                # project (key, file) BEFORE the join —
+                # input_file_name() is single-source only, and this
+                # keeps the probe slim, the late-materialization shape
+                b = br.select(F.col(key), F.input_file_name().alias("f"))
+                probe = b if probe is None else probe.unionByName(b)
+            return (
+                probe.join(
+                    F.broadcast(source.select(key).distinct()),
+                    key,
+                    "inner",
+                )
+                .select("f")
+                .distinct()
+                .collect()
             )
-            .select("f")
-            .distinct()
-            .collect()
-        )
+
+        # two independent read-only jobs — cardinality gate and part
+        # discovery — overlapped (§2.6): the gate still settles before
+        # any write or commit below
+        sc_row, hits = overlap(_cardinality_row, _discover)
         for r in hits:
             rel = os.path.relpath(unquote(urlparse(r.f).path), tdir)
             affected.add(rel.split(os.sep)[0])
+    else:
+        sc_row = _cardinality_row()
+    _require(
+        sc_row["n"] == sc_row["nk"] == sc_row["nd"],
+        f"source keys must be unique and non-null "
+        f"(rows={sc_row['n']}, non-null={sc_row['nk']}, "
+        f"distinct={sc_row['nd']})",
+    )
     # arm conditions follow SQL MERGE three-valued logic: NULL = arm
     # does not apply (coalesce to false), and arms are tried IN ORDER
     _first_arm = _merge_first_arm

@@ -1594,12 +1594,22 @@ def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"restart must apply exactly the row feed ({applied} vs {n2})",
     )
     # the replica carries the source's STABLE ids: equality holds
-    # row-for-row including row_id, through both physical rewrites
+    # row-for-row including row_id, through both physical rewrites.
+    # Multiset equality as ONE job: signed per-row multiplicities must
+    # all cancel — the same assertion the two exceptAll counts made,
+    # with one shuffle instead of two full-plan joins.
     rep = read_table(spark, base, "rep")
     head = read_table_with_row_ids(spark, base, "src").select(*rep.columns)
+    diverged = (
+        rep.withColumn("_side", F.lit(1))
+        .unionByName(head.withColumn("_side", F.lit(-1)))
+        .groupBy(*rep.columns)
+        .agg(F.sum("_side").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .count()
+    )
     _require(
-        rep.exceptAll(head).count() == 0
-        and head.exceptAll(rep).count() == 0,
+        diverged == 0,
         "replica diverged from the head snapshot under row-id lineage",
     )
     return rep.drop("row_id")
@@ -2086,10 +2096,18 @@ def q_stream_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         part = f"b{batch_id}"
         batch_df.coalesce(1).write.parquet(_os.path.join(tdir, part))
-        batch_df.sparkSession.range(1).select(
-            F.lit(batch_id).cast("long").alias("batch_id")
-        ).coalesce(1).write.parquet(
-            _os.path.join(base, "txn_log", part)
+        # the txn_log row is one driver-known long: write the part
+        # directly with pyarrow (same schema, same value) instead of
+        # spending a Spark job on a 1-row literal relation per batch
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(_os.path.join(base, "txn_log", part), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {"batch_id": _pa.array([batch_id], _pa.int64())}
+            ),
+            _os.path.join(base, "txn_log", part, "part-00000.parquet"),
         )
         multi_commit(
             base,
