@@ -769,10 +769,22 @@ def q_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         attempt[batch_id] = k + 1
         fpart, gpart = f"fb{batch_id}a{k}", f"gb{batch_id}a{k}"
         tag = f"b{batch_id}a{k}"
-        delta.coalesce(1).write.parquet(_os.path.join(base, "f", fpart))
         gold = read_table(ss, base, "s")
         gnew = rollup(delta) if gold is None else combine(gold, rollup(delta))
-        gnew.coalesce(1).write.parquet(_os.path.join(base, "s", gpart))
+        # the fact part and the gold part are independent staging
+        # writes to disjoint tables (gnew reads the delta PLAN, not the
+        # written part) — overlapped (§2.6); both must land before the
+        # intent/commit below, which overlap's join guarantees
+        from spark_spotify.functions.concurrency import overlap as _ov
+
+        _ov(
+            lambda: delta.coalesce(1).write.parquet(
+                _os.path.join(base, "f", fpart)
+            ),
+            lambda: gnew.coalesce(1).write.parquet(
+                _os.path.join(base, "s", gpart)
+            ),
+        )
         old_gold = _manifest(base, "s") or []
         if crash["armed"]:
             crash["armed"] = False
