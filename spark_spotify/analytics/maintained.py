@@ -119,6 +119,25 @@ def _part_rows(warehouse: str, table: str, parts: list[str]) -> int:
     return n
 
 
+def _dir_rows(path: str) -> int:
+    """Exact row count of a bare parquet file/dir from footers alone —
+    the ``_part_rows`` metadata shortcut for paths OUTSIDE the
+    manifest protocol (source tables, landed arrival dirs).  Valid
+    wherever the consuming view is a 1:1 projection (no filters, no
+    DVs): footer rows == scan rows, with no Spark job."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _added_parts_read(
     spark: SparkSession, warehouse: str, table: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -321,7 +340,9 @@ def q_ann_maintained_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = math.isqrt(emb.count())
+    # corpus size from the source parquet footers (1:1 projection, no
+    # filters): a driver-side metadata read, no count job
+    k = math.isqrt(_dir_rows(os.path.join(sf_dir, "embeddings.parquet")))
     late = (F.col("vec_id") >= k) & (F.col("vec_id") % 4 == 1)
     w = tempfile.mkdtemp(prefix="spark_spotify_annks_")
     try:
@@ -432,9 +453,17 @@ def q_dedup_incremental_maintained(
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     w = tempfile.mkdtemp(prefix="spark_spotify_dedm_")
     try:
-        _commit_append(corpus.filter(_dedup_early()), w, "docs", 1)
-        _commit_append(
-            corpus_index(read_table(spark, w, "docs")), w, "dedup_index", 1
+        # the v1 docs commit is an exact copy of the early slice, so
+        # the v1 index build derives from the SOURCE relation
+        # (row-identical) — disjoint tables, overlapped (§2.6).  The
+        # O(batch) maintenance claim below is untouched: the v2 delta
+        # index still consumes ONLY the committed append's parts.
+        early = corpus.filter(_dedup_early())
+        overlap(
+            lambda: _commit_append(early, w, "docs", 1),
+            lambda: _commit_append(
+                corpus_index(early), w, "dedup_index", 1
+            ),
         )
         idx_parts_v1 = list(_manifest(w, "dedup_index") or [])
 
@@ -497,20 +526,32 @@ def q_ann_maintained_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     w = tempfile.mkdtemp(prefix="spark_spotify_annd_")
     try:
-        _commit_append(emb, w, "emb", 1)
-        base1 = _vec_view(fan_out(read_table(spark, w, "emb")))
-        _commit_append(
-            base1.filter(F.col("vec_id") < N_CELLS).select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("emb").alias("cvec"),
-                F.col("nrm").alias("cnrm"),
-            ),
-            w,
-            "ann_centroids",
-            1,
+        # the emb commit is an exact copy of the source relation, so
+        # the centroid+index build chain derives from the SOURCE view
+        # (row-identical to the committed table) and overlaps with the
+        # base-table commit — disjoint tables, no data dependency
+        # (§2.6)
+        base1 = _vec_view(fan_out(emb))
+
+        def _build_index() -> DataFrame:
+            _commit_append(
+                base1.filter(F.col("vec_id") < N_CELLS).select(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("emb").alias("cvec"),
+                    F.col("nrm").alias("cnrm"),
+                ),
+                w,
+                "ann_centroids",
+                1,
+            )
+            cents = read_table(spark, w, "ann_centroids")
+            _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
+            return cents
+
+        _, cents = overlap(
+            lambda: _commit_append(emb, w, "emb", 1),
+            _build_index,
         )
-        cents = read_table(spark, w, "ann_centroids")
-        _commit_append(assign_cells(base1, cents), w, "ann_index", 1)
 
         def _inodes(table: str) -> dict:
             out = {}
@@ -918,16 +959,16 @@ def q_stream_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _require(applied == before, "idle restart re-applied batches")
 
     # accounting: every corpus row indexed exactly once; epochs split
-    # exactly at the swap boundary
-    # corpus count and per-epoch index counts read disjoint relations —
-    # one overlapped round-trip (§2.6)
+    # exactly at the swap boundary.  The corpus count comes from the
+    # landed arrival files' parquet footers (1:1 projection — no
+    # filters, no DVs), so only the per-epoch histogram needs a job.
     idx = read_table(spark, base, "ann_index")
     corpus = _vec_view(fan_out(spark.read.parquet(src)))
-    n_corpus, ep_rows = overlap(
-        corpus.count,
-        lambda: idx.groupBy("epoch")
+    n_corpus = _dir_rows(src)
+    ep_rows = (
+        idx.groupBy("epoch")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect(),
+        .collect()
     )
     ep_counts = {r["epoch"]: r["n"] for r in ep_rows}
     _require(
@@ -1237,9 +1278,15 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     w = tempfile.mkdtemp(prefix="spark_spotify_dedd_")
     try:
-        _commit_append(corpus, w, "docs", 1)
-        _commit_append(
-            corpus_index(read_table(spark, w, "docs")), w, "dedup_index", 1
+        # the docs commit is an exact copy of ``corpus``, so the index
+        # build can derive from the SOURCE relation (row-identical to
+        # the committed table) — the two commits then touch disjoint
+        # tables with no data dependency and overlap (§2.6)
+        overlap(
+            lambda: _commit_append(corpus, w, "docs", 1),
+            lambda: _commit_append(
+                corpus_index(corpus), w, "dedup_index", 1
+            ),
         )
 
         def _inodes(table: str) -> dict:
@@ -1808,15 +1855,15 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # ---- RETRAIN: derive, stage, intend, swap-with-crash, recover
         live = _rt_view(fan_out(read_table(spark, w, "emb")))
-        # the pre-swap checksum (ann_index) and the corpus count (emb)
-        # read disjoint tables — one overlapped round-trip, not two
-        chk_pre, n = overlap(
-            lambda: pinned.agg(
-                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0],
-            live.count,
-        )
+        # corpus size from parquet footers alone (emb is append-only in
+        # this drill — no DVs — so footer rows == live rows): a
+        # driver-side metadata read replaces the full count job that
+        # used to ride alongside the checksum
+        n = _part_rows(w, "emb", _manifest(w, "emb") or [])
+        chk_pre = pinned.agg(
+            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
         k_new = math.isqrt(n)
         stride = (n + k_new - 1) // k_new
         n_cells_new = (n + stride - 1) // stride
@@ -2444,7 +2491,10 @@ def q_stream_ann_auto_retrain(
         view = live.select(
             "vec_id", "emb", _norm("emb").alias("nrm"), "batch_id"
         )
-        n = view.count()
+        # corpus size from parquet footers alone (emb is append-only in
+        # this drill — no DVs — so footer rows == live rows): a
+        # driver-side metadata read instead of a full count job
+        n = _part_rows(base, "emb", _manifest(base, "emb") or [])
         k_new = math.isqrt(n)
         _require(k_new > N_CELLS, "corpus too small to scale K up")
         stride = (n + k_new - 1) // k_new
@@ -3691,7 +3741,8 @@ def _f_ann_scaled(spark: SparkSession, sf_dir: str):
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = math.isqrt(emb.count())
+    # footer-count shortcut, as in the drill itself
+    k = math.isqrt(_dir_rows(os.path.join(sf_dir, "embeddings.parquet")))
     late = (F.col("vec_id") >= k) & (F.col("vec_id") % 4 == 1)
     w = tempfile.mkdtemp(prefix="spark_spotify_srvks_")
     _commit_append(emb.filter(~late), w, "emb", 1)
@@ -3732,7 +3783,8 @@ def _f_ann_retrain(spark: SparkSession, sf_dir: str):
     base1 = _rt_view(fan_out(read_table(spark, w, "emb")))
     _commit_append(_rt_drift(spark, base1), w, "emb", 2)
     live = _rt_view(fan_out(read_table(spark, w, "emb")))
-    n = live.count()
+    # append-only emb: footer rows == live rows (no DVs), no count job
+    n = _part_rows(w, "emb", _manifest(w, "emb") or [])
     k_new = math.isqrt(n)
     stride = (n + k_new - 1) // k_new
     ranked = live.withColumn(

@@ -6430,20 +6430,32 @@ def q_cdf_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = tempfile.mkdtemp(prefix="spark_spotify_rowcdf_")
     try:
-        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
-        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
-        enable_row_tracking(w, "t")
+        # the two-commit table build mutates only the warehouse while
+        # the expected-cardinality agg reads only the SOURCE relation —
+        # independent job chains, overlapped (§2.6)
+        def _build() -> None:
+            _commit_append(
+                ev.filter(F.col("event_id") % 2 == 0), w, "t", 1
+            )
+            _commit_append(
+                ev.filter(F.col("event_id") % 2 == 1), w, "t", 2
+            )
+            enable_row_tracking(w, "t")
+
+        _, expected = overlap(
+            _build,
+            lambda: ev.agg(
+                *[
+                    F.count(F.when(F.col("user_id") == u, 1)).alias(k)
+                    for k, u in (
+                        ("d", DELETE_USER),
+                        ("u", MERGE_UPDATE_USER),
+                        ("i", MERGE_INSERT_USER),
+                    )
+                ]
+            ).collect()[0],
+        )
         v0 = _current_version(w, "t")
-        expected = ev.agg(
-            *[
-                F.count(F.when(F.col("user_id") == u, 1)).alias(k)
-                for k, u in (
-                    ("d", DELETE_USER),
-                    ("u", MERGE_UPDATE_USER),
-                    ("i", MERGE_INSERT_USER),
-                )
-            ]
-        ).collect()[0]
         n_del, n_upd, n_ins = expected["d"], expected["u"], expected["i"]
         delete_rows(spark, w, "t", F.col("user_id") == DELETE_USER, "d1")
         live = read_table(spark, w, "t")

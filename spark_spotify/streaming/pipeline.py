@@ -629,11 +629,19 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(base, "src")
     _os.makedirs(src)
 
-    def land(df: DataFrame, name: str) -> None:
+    def land(df: DataFrame, name: str) -> int:
+        """Write + promote one arrival file; returns its EXACT row
+        count from the written parquet footer, so callers that assert
+        on the landed cardinality never execute the plan a second
+        time (guide §1.2: don't compute things twice)."""
+        import pyarrow.parquet as _papq
+
         stage = _os.path.join(base, f"stage_{name}")
         df.coalesce(1).write.parquet(stage)
         part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+        dst = _os.path.join(src, f"{name}.parquet")
+        _os.rename(part, dst)
+        return _papq.ParquetFile(dst).metadata.num_rows
 
     land(events.filter(F.col("ts") <= F.lit(cut)), "wave1")
     counts: dict = {}
@@ -659,8 +667,7 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
     run("a")
-    n2 = events.filter(F.col("ts") > F.lit(cut)).count()
-    land(events.filter(F.col("ts") > F.lit(cut)), "wave2")
+    n2 = land(events.filter(F.col("ts") > F.lit(cut)), "wave2")
     run("b")
     _require(
         counts.get("b", 0) == n2,
@@ -1419,11 +1426,19 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(base, "feed")
     _os.makedirs(src)
 
-    def land(df: DataFrame, name: str) -> None:
+    def land(df: DataFrame, name: str) -> int:
+        """Write + promote one feed file; returns its EXACT row count
+        from the written parquet footer, so the landed-cardinality
+        assertion never executes the (full-outer-join) feed plan a
+        second time (guide §1.2)."""
+        import pyarrow.parquet as _papq
+
         stage = _os.path.join(base, f"stage_{name}")
         df.coalesce(1).write.parquet(stage)
         part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        _os.rename(part, _os.path.join(src, f"{name}.parquet"))
+        dst = _os.path.join(src, f"{name}.parquet")
+        _os.rename(part, dst)
+        return _papq.ParquetFile(dst).metadata.num_rows
 
     land(feed1, "b1")
     applied: dict = {}
@@ -1467,8 +1482,7 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
     run()
-    n2 = feed2.count()
-    land(feed2, "b2")
+    n2 = land(feed2, "b2")
     run()
     _require(
         applied.get(1, 0) == n2,
@@ -1537,11 +1551,19 @@ def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _os.path.join(base, "feed")
     _os.makedirs(src_dir)
 
-    def land(df: DataFrame, name: str) -> None:
+    def land(df: DataFrame, name: str) -> int:
+        """Write + promote one feed file; returns its EXACT row count
+        from the written parquet footer, so the landed-cardinality
+        assertion never executes the row-lineage feed plan a second
+        time (guide §1.2)."""
+        import pyarrow.parquet as _papq
+
         stage = _os.path.join(base, f"stage_{name}")
         df.coalesce(1).write.parquet(stage)
         part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        _os.rename(part, _os.path.join(src_dir, f"{name}.parquet"))
+        dst = _os.path.join(src_dir, f"{name}.parquet")
+        _os.rename(part, dst)
+        return _papq.ParquetFile(dst).metadata.num_rows
 
     land(feed1, "b1")
     applied: dict = {}
@@ -1598,8 +1620,7 @@ def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_rows(spark, base, "src", src_delta, "event_id", "m1")
     compact_table(spark, base, "src", "z")
     feed2 = row_lineage_feed(spark, base, "src", v0)
-    n2 = feed2.count()
-    land(feed2.select(*feed1.columns), "b2")
+    n2 = land(feed2.select(*feed1.columns), "b2")
     run()
     _require(
         applied.get(1, 0) == n2,
