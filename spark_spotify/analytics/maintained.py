@@ -1529,21 +1529,39 @@ def q_ann_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     w = tempfile.mkdtemp(prefix="spark_spotify_annopt_")
     try:
-        _commit_append(emb, w, "emb", 1)
-        vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
+        # all three build chains derive from the SOURCE view (the
+        # committed emb/centroid tables are exact copies of it), so the
+        # emb commit, the centroid commit and the index-append chain
+        # touch disjoint tables with no data dependency — overlapped
+        # (§2.6).  The full corpus assignment is computed ONCE and
+        # persisted: the three arrival-layout appends each used to
+        # re-run the n·K crossJoin scoring just to write a third of it.
+        vecs = _vec_view(fan_out(emb))
         cents = vecs.filter(F.col("vec_id") < N_CELLS).select(
             F.col("vec_id").alias("cent_id"),
             F.col("emb").alias("cvec"),
             F.col("nrm").alias("cnrm"),
         )
-        _commit_append(cents, w, "ann_centroids", 1)
+        assign = assign_cells(vecs, cents).persist()
+
+        def _index_chain() -> None:
+            # three appends, each spanning every cell — arrival layout
+            for k in range(3):
+                _commit_append(
+                    assign.filter(F.col("vec_id") % 3 == k),
+                    w,
+                    "ann_index",
+                    k + 1,
+                )
+
+        overlap(
+            lambda: _commit_append(emb, w, "emb", 1),
+            lambda: _commit_append(cents, w, "ann_centroids", 1),
+            _index_chain,
+        )
+        assign.unpersist()
+        vecs = _vec_view(fan_out(read_table(spark, w, "emb")))
         cents_t = read_table(spark, w, "ann_centroids")
-        assign = assign_cells(vecs, cents_t)
-        # three appends, each spanning every cell — arrival layout
-        for k in range(3):
-            _commit_append(
-                assign.filter(F.col("vec_id") % 3 == k), w, "ann_index", k + 1
-            )
         qcell = assign_cells(
             vecs.filter(F.col("vec_id") == ANCHOR_ID), cents_t
         ).collect()[0]["cell"]

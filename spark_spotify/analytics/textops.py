@@ -1638,8 +1638,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     none are skipped.  That portability makes the whole training loop
     hash-oracle-able: the oracle replays all {BPE_TRAIN_MERGES} rounds
     as chained SQL stages, bit-identically."""
-    merges, vocab = _bpe_fit(spark, sf_dir)
-    vocab.unpersist()
+    merges = _bpe_fit(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string,"
@@ -1658,8 +1657,7 @@ _BPE_MERGE_CACHE: dict[str, list] = {}
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     if sf_dir not in _BPE_MERGE_CACHE:
-        _, vocab = _bpe_fit(spark, sf_dir)
-        vocab.unpersist()
+        _bpe_fit(spark, sf_dir)
     return _BPE_MERGE_CACHE[sf_dir]
 
 
@@ -1690,19 +1688,26 @@ def _bpe_vocab_df(
     )
 
 
-def _bpe_fit(spark: SparkSession, sf_dir: str):
-    """Run the training loop; return (merge list, PERSISTED final vocab
-    relation (token, freq, s) with all merges applied — the caller
-    unpersists).  Populates the merge cache."""
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> list:
+    """Run the training loop; return the merge list (and populate the
+    merge cache).  ONE persisted corpus-derived relation (token, freq,
+    spaced form); each round's literal replace is chained LAZILY on
+    top of it — the same stateless-rewrite shape ``_bpe_vocab_df``
+    uses — so a round costs exactly one vocab-sized pair-count job.
+    The previous eager per-round re-materialization (persist + count
+    per merge) doubled the loop's job count for no reuse win: round
+    t+1's single job re-applies t cheap string replaces to rows
+    already pinned in memory, and both callers discard the final
+    vocab relation anyway."""
     tok = _bpe_token_base(spark, sf_dir)
-    cur = tok.select(
+    base = tok.select(
         "token",
         "freq",
         F.concat(
             F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")
         ).alias("s"),
     ).persist()
-    cur.count()  # materialize the one corpus-derived relation
+    base.count()  # materialize the one corpus-derived relation
     # adjacent symbol pairs of the spaced form: split -> ['', s1.., '']
     pair_expr = F.expr(
         "CASE WHEN size(split(s, '  ')) >= 4 THEN "
@@ -1712,9 +1717,11 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
         "ELSE array() END"
     )
     merges = []
+    s = F.col("s")
     for it in range(1, BPE_TRAIN_MERGES + 1):
         top = (
-            cur.select("freq", F.explode(pair_expr).alias("p"))
+            base.select("freq", s.alias("s"))
+            .select("freq", F.explode(pair_expr).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -1725,18 +1732,10 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((it, a, b, a + b, cnt))
-        nxt = cur.select(
-            "token",
-            "freq",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-        ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    base.unpersist()
     _BPE_MERGE_CACHE[sf_dir] = merges
-    return merges, cur
+    return merges
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

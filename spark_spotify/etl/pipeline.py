@@ -1394,25 +1394,27 @@ def _write_bloom_sidecar(
     rows = scan.filter(F.col("pos").isNotNull()).distinct()
     rows.coalesce(1).write.parquet(os.path.join(tdir, name))
     # the coverage/kind markers land as a SECOND file in the sidecar
-    # dir, built as a SQL VALUES relation: a createDataFrame-backed
-    # (Python-parallelize) plan costs ~5 s PER ACTION on this runtime
-    # regardless of row count, while the JVM LocalRelation write is
-    # ~0.2 s — measured, and the reason the union-into-the-scan shape
-    # was abandoned.  The dir is private until the manifest references
-    # it, so the two-file write is commit-safe.
-    _require(
-        all("'" not in p for p in todo), f"part name contains a quote"
-    )
-    vals = ", ".join(
-        [f"('{p}', -1)" for p in todo]
-        + [f"('', {_BLOOM_KIND_S if kind == 's' else _BLOOM_KIND_I})"]
-    )
-    markers = spark.sql(
-        f"SELECT CAST(p AS STRING) p, CAST(pos AS INT) pos "
-        f"FROM VALUES {vals} AS t(p, pos)"
-    )
-    markers.coalesce(1).write.mode("append").parquet(
-        os.path.join(tdir, name)
+    # dir; every value is driver-known, so the file is written directly
+    # with pyarrow (same schema Spark wrote for the position rows:
+    # p string, pos int32) instead of spending a Spark job on a literal
+    # relation — the same shape the stream sinks use for txn_log rows.
+    # The dir is private until the manifest references it, so the
+    # two-file write is commit-safe.
+    import pyarrow as _pa
+    import pyarrow.parquet as _papq
+
+    _papq.write_table(
+        _pa.table(
+            {
+                "p": _pa.array(list(todo) + [""], _pa.string()),
+                "pos": _pa.array(
+                    [-1] * len(todo)
+                    + [_BLOOM_KIND_S if kind == "s" else _BLOOM_KIND_I],
+                    _pa.int32(),
+                ),
+            }
+        ),
+        os.path.join(tdir, name, "markers-00000.parquet"),
     )
 
 
