@@ -381,6 +381,13 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # One JSON line, compact separators, flushed, and NOTHING printed to
+    # stdout after it: round 9's record was lost to the driver's tail
+    # capture truncating the head of a ~12 KB line — compact separators
+    # shave ~25% off the line, and keeping it the LAST stdout bytes
+    # guarantees a tail capture of any size preserves its tail-end (the
+    # sf/calibration blocks) while the full line is what the driver
+    # parses when the buffer is big enough (VERDICT r10 #4).
     print(
         json.dumps(
             {
@@ -392,12 +399,14 @@ def main() -> None:
                 "calibration": {
                     "job_sec_pre": calib_pre,
                     "job_sec_post": calib_post,
-                    "loadavg_pre": loadavg_pre,
-                    "loadavg_post": loadavg_post,
+                    "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+                    "loadavg_post": [round(x, 2) for x in loadavg_post],
                 },
                 "serve_only": serve_only,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 

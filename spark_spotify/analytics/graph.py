@@ -27,10 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_spotify.sources.tables import load_table
+from spark_spotify.sources.tables import load_table, table_rows
 
 PR_SCALE = 1_000_000_000  # rank unit: parts-per-billion
 PR_TOP_K = 20
+
+# Vertex-state broadcast is only a hint when the state PROVABLY fits:
+# 16M rows of two bigints is ~0.5 GB as a built hash relation — inside
+# the guide's "a few hundred MB is usually fine" band and far under the
+# 8 GB / 512M-row broadcast hard cap (§3.1 "the small side must actually
+# fit").  Vertex state grows with SF (suppliers, customers+suppliers):
+# at ~100 TB it is ~1e9 rows, where a forced broadcast would OOM the
+# driver — past the bound the loop falls back to a plain equi-join
+# (values identical; the hint never changes results, only the plan).
+GRAPH_STATE_BROADCAST_ROWS = 16_000_000
+
+
+def _state_broadcast(df: DataFrame, sf_dir: str, *tables: str) -> DataFrame:
+    """Broadcast hint for loop vertex state, gated on the parquet-footer
+    row counts of the base tables that bound it (a driver-side metadata
+    read, zero Spark jobs).  Unknown size (object store) or over-bound
+    sizes take the conservative branch: no hint."""
+    n = 0
+    for t in tables:
+        r = table_rows(sf_dir, t)
+        if r is None:
+            return df
+        n += r
+    return F.broadcast(df) if n <= GRAPH_STATE_BROADCAST_ROWS else df
 
 
 def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,9 +394,15 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(PR_ITERS):
         # vertex state is supplier-sized (orders of magnitude under the
         # edge list): broadcast it explicitly so no iteration ever
-        # falls back to shuffling the persisted edge list (§3.1)
+        # falls back to shuffling the persisted edge list — but ONLY
+        # when the supplier footer count proves the state fits (§3.1);
+        # past the bound the join of ranks against the src-partitioned
+        # persisted edge list reuses ed's layout instead
         ranks = (
-            ed.join(F.broadcast(ranks), ed["src"] == ranks["v"])
+            ed.join(
+                _state_broadcast(ranks, sf_dir, "supplier"),
+                ed["src"] == ranks["v"],
+            )
             .select("dst", F.expr("r div d").alias("cb"))
             .groupBy("dst")
             .agg(F.sum("cb").alias("inflow"))
@@ -452,10 +482,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edge list): broadcast it explicitly so no round shuffles the
         # checkpointed edge relation, whose RDD-scan leaf has no size
         # statistics for the planner to pick the broadcast itself
-        # (§3.1).  Mid-loop truncation follows the pagerank cadence —
+        # (§3.1) — gated on the customer+supplier footer counts that
+        # bound the node space, since label state grows with SF.
+        # Mid-loop truncation follows the pagerank cadence —
         # measured at sf0.1: per-round checkpoint 4.26 s, broadcast +
         # cadence-bounded 3.79 s, results bit-identical.
-        lb = F.broadcast(labels)
+        lb = _state_broadcast(labels, sf_dir, "customer", "supplier")
         nb = edges.join(lb, edges["v"] == lb["node"]).select("u", "lab")
         new = (
             nb.groupBy("u", "lab")
@@ -468,6 +500,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         labels = new.select(F.col("u").alias("node"), "lab")
+        # at the current LP_ROUNDS=3 horizon this branch never fires
+        # (first cadence point is round 4): the served plan contains
+        # all three rounds and no mid-loop materialization job runs.
+        # A future LP_ROUNDS bump re-arms it — re-measure the plan
+        # depth then (the 3.79 s figure above assumes no mid-loop cut).
         if r % PR_CKPT_EVERY == 0 and r < LP_ROUNDS:
             labels = stable_checkpoint(labels)
     return (

@@ -104,17 +104,36 @@ def _part_rows(warehouse: str, table: str, parts: list[str]) -> int:
     """Row count of the named parts from parquet FOOTERS alone — a
     driver-side metadata read, no Spark job.  This is how the
     accounting proofs count at 100 TB too: the planner's row counts
-    come from file statistics, never from scans."""
+    come from file statistics, never from scans.
+
+    ONLY valid while no counted part carries a deletion vector (footer
+    rows == live rows requires it); the manifest's dv map is checked so
+    a future MOR delete in one of these drills fails LOUDLY here
+    instead of silently overcounting into a wrong K (ADVICE r10)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    from spark_spotify.etl.pipeline import (
+        _current_version,
+        _read_manifest_file,
+    )
+
+    v = _current_version(warehouse, table)
+    dv = _read_manifest_file(warehouse, table, v)["dv"] if v else {}
     n = 0
     for p in parts:
-        for f in _glob.glob(
+        _require(
+            not dv.get(p),
+            f"_part_rows: {table}/{p} carries deletion vectors — "
+            "footer counts are stale, use a scan",
+        )
+        files = _glob.glob(
             os.path.join(warehouse, table, p, "**", "*.parquet"),
             recursive=True,
-        ):
+        )
+        _require(files, f"_part_rows: no parquet files in {table}/{p}")
+        for f in files:
             n += pq.ParquetFile(f).metadata.num_rows
     return n
 
@@ -124,7 +143,9 @@ def _dir_rows(path: str) -> int:
     the ``_part_rows`` metadata shortcut for paths OUTSIDE the
     manifest protocol (source tables, landed arrival dirs).  Valid
     wherever the consuming view is a 1:1 projection (no filters, no
-    DVs): footer rows == scan rows, with no Spark job."""
+    DVs): footer rows == scan rows, with no Spark job.  An empty or
+    unresolvable path fails loudly — a silent 0 would flow into
+    isqrt() as K=0 far from the cause (ADVICE r10)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -134,7 +155,8 @@ def _dir_rows(path: str) -> int:
             os.path.join(path, "**", "*.parquet"), recursive=True
         )
     else:
-        files = [path]
+        files = [path] if os.path.isfile(path) else []
+    _require(files, f"_dir_rows: no parquet files under {path}")
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

@@ -1400,9 +1400,18 @@ def _write_bloom_sidecar(
     # relation — the same shape the stream sinks use for txn_log rows.
     # The dir is private until the manifest references it, so the
     # two-file write is commit-safe.
+    import glob as _glob
+
     import pyarrow as _pa
     import pyarrow.parquet as _papq
 
+    # derive the pos arrow type from the file Spark JUST wrote, so the
+    # two files in one sidecar dir can never diverge if the position
+    # expression's cast ever changes — a mismatch would otherwise only
+    # surface as a dataset-schema-unification error at probe time, far
+    # from this write (ADVICE r10)
+    spark_part = _glob.glob(os.path.join(tdir, name, "part-*.parquet"))[0]
+    pos_type = _papq.ParquetFile(spark_part).schema_arrow.field("pos").type
     _papq.write_table(
         _pa.table(
             {
@@ -1410,7 +1419,7 @@ def _write_bloom_sidecar(
                 "pos": _pa.array(
                     [-1] * len(todo)
                     + [_BLOOM_KIND_S if kind == "s" else _BLOOM_KIND_I],
-                    _pa.int32(),
+                    pos_type,
                 ),
             }
         ),
@@ -3547,13 +3556,25 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from spark_spotify.functions.concurrency import overlap
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
     w = tempfile.mkdtemp(prefix="spark_spotify_rowtrack_")
     try:
-        _commit_append(ev.filter(F.col("event_id") % 2 == 0), w, "t", 1)
-        _commit_append(ev.filter(F.col("event_id") % 2 == 1), w, "t", 2)
+        # the two seed appends are disjoint row sets landing as separate
+        # parts; swing_rebase's append∥append auto-rebase makes the
+        # concurrent commits safe, and the table state (two parts, all
+        # rows) is identical either way — overlapped (§2.6)
+        overlap(
+            lambda: _commit_append(
+                ev.filter(F.col("event_id") % 2 == 0), w, "t", 1
+            ),
+            lambda: _commit_append(
+                ev.filter(F.col("event_id") % 2 == 1), w, "t", 2
+            ),
+        )
         enable_row_tracking(w, "t")
         before = read_table_with_row_ids(spark, w, "t").select(
             "event_id", F.col("row_id").alias("rid_before")
@@ -3564,18 +3585,28 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         compact_table(spark, w, "t", "z")
         after = read_table_with_row_ids(spark, w, "t")
-        n = after.count()
-        _require(
-            after.select("row_id").distinct().count() == n,
-            "row ids must stay unique through rewrites",
-        )
         out = after.join(before, "event_id").select(
             "event_id",
             "user_id",
             "value",
             (F.col("rid_before") == F.col("row_id")).alias("id_stable"),
         )
-        return stable_checkpoint(out)
+        # ONE aggregation job covers what two sequential counts proved
+        # (§1.2: n and distinct-n ride the same scan), and it overlaps
+        # with the output materialization — both read the compacted
+        # table snapshot read-only (§2.6)
+        uniq_row, out = overlap(
+            lambda: after.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("row_id")).alias("nd"),
+            ).collect()[0],
+            lambda: stable_checkpoint(out),
+        )
+        _require(
+            uniq_row["nd"] == uniq_row["n"],
+            "row ids must stay unique through rewrites",
+        )
+        return out
     finally:
         shutil.rmtree(w, ignore_errors=True)
 
@@ -5214,8 +5245,19 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _link_fact_into(warehouse, parts, cw)
         _swing(cw, "fact", parts)
+        from spark_spotify.functions.concurrency import overlap
+
         fact = read_table(spark, cw, "fact")
-        n_before = fact.count()
+        # ONE aggregation job covers both pre-merge cardinalities the
+        # final assert needs (§1.2: total and insert-arm count ride the
+        # same pre-merge scan instead of two sequential count jobs)
+        pre = fact.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(
+                (F.col("user_id") == MERGE_INSERT_USER).cast("long")
+            ).alias("n_inserts"),
+        ).collect()[0]
+        n_before, n_inserts = int(pre["n_before"]), int(pre["n_inserts"] or 0)
         updates = fact.filter(
             F.col("user_id") == MERGE_UPDATE_USER
         ).withColumn("value", F.col("value") * 2)
@@ -5228,7 +5270,6 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             -(F.col("event_id") + F.lit(1)),
         )
-        n_inserts = inserts.count()
         n_affected = merge_rows(
             spark,
             cw,
@@ -5239,11 +5280,17 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _require(n_affected >= 1, "update arm matched no part")
         out = read_table(spark, cw, "fact")
+        # the grown-by-exactly-the-inserts proof and the output
+        # materialization both read the post-merge snapshot read-only —
+        # overlapped (§2.6)
+        n_after, out = overlap(
+            out.count, lambda: stable_checkpoint(out)
+        )
         _require(
-            out.count() == n_before + n_inserts,
+            n_after == n_before + n_inserts,
             "MERGE must add exactly the not-matched rows",
         )
-        return stable_checkpoint(out)
+        return out
     finally:
         shutil.rmtree(cw, ignore_errors=True)
 

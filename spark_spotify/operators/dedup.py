@@ -209,11 +209,16 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> estimated + exact
     Jaccard, filtered at the threshold.
 
-    ``sigs`` feeds the banding join and both verify joins; persist it so the
-    shingle/hash computation runs once (at warehouse scale this intermediate
-    would be materialized to Parquet and maintained incrementally).
+    ``sigs`` feeds the banding join and both verify joins; materialize it
+    ONCE via ``stable_checkpoint`` so the shingle/hash computation runs
+    once (at warehouse scale this intermediate would be materialized to
+    Parquet and maintained incrementally).  A columnar ``persist`` was
+    measured ~19% slower at sf0.1 (minima 2.38 s vs 1.92 s, alternating
+    same-session pairs): compressing the shingle ARRAYS into cache
+    batches costs more than the checkpoint's raw block write, and the
+    relation is only read back in full.
     """
-    sigs = signatures(docs).persist()
+    sigs = stable_checkpoint(signatures(docs))
     pairs = candidate_pairs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -251,10 +256,9 @@ def minhash_near_dups(docs: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .transform(stable_checkpoint)
     )
-    # the verified pair set is output-sized; materializing it lets the
-    # signature cache be released NOW — a resident persist pins its plan's
-    # generated code for the session and degrades every later query
-    sigs.unpersist()
+    # the verified pair set is output-sized; materializing it means the
+    # signature blocks have no consumers left (checkpointed blocks are
+    # reclaimed once the DataFrame is GC'd — session.py cleanCheckpoints)
     return out
 
 
@@ -440,21 +444,28 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     at sf0.1 that surfaced as a 0.948-Jaccard pair present in one engine's
     output only.  Exact-verify guards precision, never recall — recall
     parity has to come from the signatures themselves."""
-    # sig is persisted because the band self-join consumes it twice (both
-    # aliases) — without it the whole gram->min aggregation runs once per
-    # side.  (Measured dead end, kept for the record: deriving the K
+    # sig is materialized once (stable_checkpoint) because the band
+    # self-join consumes it twice (both aliases) — without it the whole
+    # gram->min aggregation runs once per side.  A columnar persist here
+    # was measured ~15% slower end-to-end at sf0.1 (minima 3.12 s vs
+    # 2.64 s over alternating same-session pairs): the cache build pays
+    # per-batch compression for a doc-sized relation read back exactly
+    # once per consumer, the checkpoint's raw block write does not.
+    # (Measured dead end, kept for the record: deriving the K
     # components from ONE base hash — seeded long re-hash or multiply-mod
     # permutations — is slower end-to-end here, because the re-hashed band
     # values collide differently and inflate the candidate set, and ANSI
     # mode rejects the deliberate multiply wrap outright.)
-    sig = _char_gram_rows(fan_out(docs)).groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))).alias(
-                f"mh{seed}"
-            )
-            for seed in range(N_HASHES)
-        ]
-    ).persist()
+    sig = stable_checkpoint(
+        _char_gram_rows(fan_out(docs)).groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))
+                ).alias(f"mh{seed}")
+                for seed in range(N_HASHES)
+            ]
+        )
+    )
     r = NGRAM_ROWS_PER_BAND
     bands = discriminative_bands(
         sig.select(
@@ -472,12 +483,11 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     # the candidate-pair set is consumed three times downstream (candidate
     # doc list, intersection join, final assembly); checkpointing the
-    # output-sized result runs the band self-join once AND releases the
-    # signature cache right here — signatures have no further role (the
-    # verify is exact-Jaccard only).  stable_checkpoint upgrades this to a
-    # reliable checkpoint automatically when the session has a checkpoint
-    # dir (preemptible-executor deployments), since the block still has
-    # pending consumers.
+    # output-sized result runs the band self-join once — signatures have
+    # no further role past it (the verify is exact-Jaccard only).
+    # stable_checkpoint upgrades this to a reliable checkpoint
+    # automatically when the session has a checkpoint dir (preemptible-
+    # executor deployments), since the block still has pending consumers.
     pairs = (
         a.join(
             b,
@@ -491,7 +501,6 @@ def ngram_jaccard_near_dups(docs: DataFrame) -> DataFrame:
         .distinct()
         .transform(stable_checkpoint)
     )
-    sig.unpersist()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
