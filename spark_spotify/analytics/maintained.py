@@ -1900,10 +1900,6 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-side metadata read replaces the full count job that
         # used to ride alongside the checksum
         n = _part_rows(w, "emb", _manifest(w, "emb") or [])
-        chk_pre = pinned.agg(
-            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
         k_new = math.isqrt(n)
         stride = (n + k_new - 1) // k_new
         n_cells_new = (n + stride - 1) // stride
@@ -1947,7 +1943,14 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # stage all four artifacts CONCURRENTLY (disjoint directories,
         # guide §2.6); the durable intent is cut only after every part
-        # is fully on disk — the WAP ordering multi_commit requires
+        # is fully on disk — the WAP ordering multi_commit requires.
+        # The serve-continuity PRE-checksum rides the same overlap
+        # group: it reads the IMMUTABLE pinned index version (manifests
+        # and parts are never mutated; the swap only adds a new
+        # version), so its value is identical whether it runs before,
+        # during, or after the staging writes — what matters is that it
+        # lands before the swap below, which the overlap barrier
+        # guarantees.
         def _stage(table: str, df: DataFrame):
             df.coalesce(1).write.parquet(
                 os.path.join(w, table, "retrain1")
@@ -1958,14 +1961,17 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "removed": _manifest(w, table) or [],
             }
 
-        tx = dict(
-            overlap(
-                *[
-                    (lambda t=t, d=d: _stage(t, d))
-                    for t, d in staged.items()
-                ]
-            )
+        *tx_pairs, chk_pre = overlap(
+            *[
+                (lambda t=t, d=d: _stage(t, d))
+                for t, d in staged.items()
+            ],
+            lambda: pinned.agg(
+                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0],
         )
+        tx = dict(tx_pairs)
         seeds.unpersist()
         os.makedirs(os.path.join(w, _TXN_DIR), exist_ok=True)
         with open(os.path.join(w, _TXN_DIR, "rt.json"), "w") as fh:
@@ -2002,20 +2008,8 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
         )
         # serve-continuity checksum (pinned ann_index) and the panel
-        # count (emb-derived) read disjoint state: overlapped (§2.6)
-        chk_post, nq = overlap(
-            lambda: read_table(spark, w, "ann_index", version=v_pin)
-            .agg(
-                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()[0],
-            queries.count,
-        )
-        _require(
-            tuple(chk_pre) == tuple(chk_post),
-            "pinned pre-retrain index changed under the swap",
-        )
+        # count (emb-derived) read disjoint state — they join the ONE
+        # audit overlap group below (§2.6)
         # PQ retrained alongside: corpus covered exactly once
         _require(
             _part_rows(w, "pq_codes", ["retrain1"]) == n * PQ_SUB,
@@ -2026,7 +2020,6 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             == PQ_CENTS * PQ_SUB,
             "retrained PQ codebook has wrong arity",
         )
-        _require(nq > 0, "drift batch empty")
         cells_f = read_table(spark, w, "ann_index", version=v_pin)
         cells_r = read_table(spark, w, "ann_index")
 
@@ -2065,17 +2058,31 @@ def q_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("qid", "cand")
             )
 
-        # the exact panel top-k and the two cell-restricted serves are
-        # three independent pairwise-scan jobs; fused lazily they ran
-        # inside ONE action (each branch re-deriving the corpus view).
-        # Materialize each k·nq-row result via stable_checkpoint with
-        # the jobs OVERLAPPED (§2.6) — the audit joins below then run
-        # over three tiny leaves.
-        exact5, srv_f, srv_r = overlap(
+        # the exact panel top-k, the two cell-restricted serves, the
+        # serve-continuity checksum and the panel count are FIVE
+        # independent read-only jobs over committed state — ONE overlap
+        # group (§2.6) instead of a 2-job pair followed by a 3-job
+        # group: nothing downstream needs chk_post/nq before the audit
+        # scans can start, so the extra serialization point was pure
+        # driver stall.  Each k·nq-row audit result is materialized via
+        # stable_checkpoint; the audit joins below run over tiny leaves.
+        chk_post, nq, exact5, srv_f, srv_r = overlap(
+            lambda: read_table(spark, w, "ann_index", version=v_pin)
+            .agg(
+                F.expr("bit_xor(xxhash64(vec_id, cell))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0],
+            queries.count,
             lambda: stable_checkpoint(_rt_topk(queries, corpus)),
             lambda: stable_checkpoint(served(cells_f)),
             lambda: stable_checkpoint(served(cells_r)),
         )
+        _require(
+            tuple(chk_pre) == tuple(chk_post),
+            "pinned pre-retrain index changed under the swap",
+        )
+        _require(nq > 0, "drift batch empty")
 
         def phase_row(name: str, ncells: int, srv: DataFrame) -> DataFrame:
             return (
@@ -2819,8 +2826,8 @@ def q_stream_ann_auto_retrain(
     # accounting: every corpus row indexed exactly once, all under the
     # retrained quantizer (full reassignment), batch sizes preserved.
     # Per-batch counts (one fused job: the epoch check rides the same
-    # aggregation as a conditional count) and the panel count read
-    # disjoint tables — overlapped (§2.6).
+    # aggregation as a conditional count), the panel count and both
+    # recall audits form ONE overlap group below (§2.6).
     idx = read_table(spark, base, "ann_index")
     emb_t = fan_out(read_table(spark, base, "emb"))
     corpus_all = emb_t.select(
@@ -2834,24 +2841,7 @@ def q_stream_ann_auto_retrain(
         & (F.col("vec_id") < RT_OFF + RT_M * RT_BLOCK)
         & (F.col("vec_id") % RT_BLOCK < RT_QMAX)
     )
-    acct_rows, nq = overlap(
-        lambda: idx.groupBy("batch_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("epoch") != 2).cast("long")).alias("off_epoch"),
-        )
-        .collect(),
-        queries.count,
-    )
-    per_b = {r["batch_id"]: r["n"] for r in acct_rows}
-    _require(
-        per_b == applied
-        and sum(r["off_epoch"] for r in acct_rows) == 0,
-        f"post-swap accounting broken: {per_b} vs {applied}",
-    )
-    _require(nq > 0, "drift panel empty")
-
-    def _recall(corpus: DataFrame, cells: DataFrame) -> float:
+    def _recall_hits(corpus: DataFrame, cells: DataFrame) -> int:
         q = queries.join(cells, "vec_id").select(
             F.col("vec_id").alias("qid"),
             F.col("emb").alias("qe"),
@@ -2881,23 +2871,43 @@ def q_stream_ann_auto_retrain(
             .filter(F.col("rn") <= RT_K)
             .select("qid", "cand")
         )
-        hits = _rt_topk(queries, corpus).join(
-            srv, ["qid", "cand"]
-        ).count()
-        return hits / float(nq * RT_K)
+        return (
+            _rt_topk(queries, corpus)
+            .join(srv, ["qid", "cand"])
+            .count()
+        )
 
-    # the two audits (pinned snapshot vs retrained head) are fully
-    # independent count jobs — overlapped (§2.6), halving the audit's
-    # wall clock on an otherwise idle local[32]
-    rec_f, rec_r = overlap(
-        lambda: _recall(
+    # the accounting aggregation, the panel count and BOTH recall audits
+    # (pinned snapshot vs retrained head) are four fully independent
+    # read-only jobs over committed tables — ONE overlap group instead of
+    # two sequential pairs (§2.6): the recall ratios only need nq as a
+    # Python division AFTER the counts land, so nothing forces the
+    # second serialization point the old pair structure paid
+    acct_rows, nq, hits_f, hits_r = overlap(
+        lambda: idx.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("epoch") != 2).cast("long")).alias("off_epoch"),
+        )
+        .collect(),
+        queries.count,
+        lambda: _recall_hits(
             corpus_pin,
             read_table(spark, base, "ann_index", version=v_pin).select(
                 "vec_id", "cell"
             ),
         ),
-        lambda: _recall(corpus_all, idx.select("vec_id", "cell")),
+        lambda: _recall_hits(corpus_all, idx.select("vec_id", "cell")),
     )
+    per_b = {r["batch_id"]: r["n"] for r in acct_rows}
+    _require(
+        per_b == applied
+        and sum(r["off_epoch"] for r in acct_rows) == 0,
+        f"post-swap accounting broken: {per_b} vs {applied}",
+    )
+    _require(nq > 0, "drift panel empty")
+    rec_f = hits_f / float(nq * RT_K)
+    rec_r = hits_r / float(nq * RT_K)
     _require(
         rec_f <= 0.75 and rec_r >= rec_f + 0.2,
         f"auto-retrain recall did not recover: {rec_f} -> {rec_r}",
