@@ -774,12 +774,22 @@ def q_stream_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if _current_version(base, "ann_index") >= batch_id + 1:
             return
-        applied[batch_id] = batch_df.count()
         _commit_append(
             assign_cells(_vec_view(batch_df), cents),
             base,
             "ann_index",
             batch_id + 1,
+        )
+        # batch cardinality from the JUST-COMMITTED index part's
+        # footers: assign_cells emits exactly one row per batch vector,
+        # so the batch plan executes once (in the commit) instead of
+        # once more for a count job (§1.2).  The value is still derived
+        # from what the sink actually indexed — the accounting asserts
+        # below keep their evidential force.  (batch_df.inputFiles()
+        # resolves empty inside foreachBatch, so the source-footer
+        # shortcut is unavailable.)
+        applied[batch_id] = _part_rows(
+            base, "ann_index", [f"p{batch_id + 1}"]
         )
 
     def run() -> None:
@@ -2189,11 +2199,17 @@ def q_sample_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sample delta {n_added} != batch members {n_expected}",
         )
         out = read_table(spark, w, "sample_index")
+        # leak check ∥ output materialization: both read the committed
+        # sample snapshot read-only (§2.6)
+        n_leak, out = overlap(
+            out.filter(F.col("bucket") >= SAMPLE_TH).count,
+            lambda: stable_checkpoint(out),
+        )
         _require(
-            out.filter(F.col("bucket") >= SAMPLE_TH).count() == 0,
+            n_leak == 0,
             "non-member leaked into the maintained sample",
         )
-        return out.transform(stable_checkpoint)
+        return out
     finally:
         shutil.rmtree(w, ignore_errors=True)
 

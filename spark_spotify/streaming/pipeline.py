@@ -435,13 +435,30 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = os.path.join(stage, "stream")
     os.makedirs(stream_dir)
     try:
-        for name, df, mtime in (
+        from spark_spotify.functions.concurrency import overlap
+
+        batches = (
             ("a", batch_a, 1_000_000_000),
             ("b", batch_b, 1_000_000_100),
             ("c", batch_c, 1_000_000_200),
-        ):
+        )
+
+        # the three delivery files are disjoint filters of one source
+        # writing to disjoint staging dirs — STAGED concurrently (§2.6);
+        # promotion into the stream dir stays sequential with explicit
+        # mtimes, so the file source's arrival order is deterministic
+        # regardless of which staging job finishes first (the
+        # auto-retrain gate's batch-landing pattern)
+        def _stage_write(name: str, df: DataFrame) -> None:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"w_{name}")
+            )
+
+        overlap(
+            *[(lambda n=n, d=d: _stage_write(n, d)) for n, d, _ in batches]
+        )
+        for name, _df, mtime in batches:
             tmp = os.path.join(stage, f"w_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(
                 f for f in os.listdir(tmp) if f.endswith(".parquet")
             )
@@ -648,8 +665,23 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(phase: str) -> None:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            counts[phase] = counts.get(phase, 0) + batch_df.count()
+            # commit first, then take the batch cardinality from the
+            # written part's parquet footers — the batch plan executes
+            # ONCE instead of once for the count and once for the write
+            # (guide §1.2); footer rows == batch rows exactly, the same
+            # metadata contract land() above uses
+            import glob as _g
+
+            import pyarrow.parquet as _papq
+
             _commit_append(batch_df, base, "t", f"{phase}{batch_id}")
+            # _commit_append writes the delta as part p{version}
+            counts[phase] = counts.get(phase, 0) + sum(
+                _papq.ParquetFile(f).metadata.num_rows
+                for f in _g.glob(
+                    _os.path.join(base, "t", f"p{phase}{batch_id}", "*.parquet")
+                )
+            )
 
         q = (
             spark.readStream.schema(events.schema)
@@ -1321,6 +1353,8 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict = {"main": [], "dlq": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_spotify.functions.concurrency import overlap
+
         main = batch_df.filter(F.col("ok")).select(
             "event_id", "corruption", "k"
         )
@@ -1331,8 +1365,13 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mp = f"{base}/main/p{batch_id}"
         dp = f"{base}/dlq/p{batch_id}"
-        main.write.mode("overwrite").parquet(mp)
-        dlq.write.mode("overwrite").parquet(dp)
+        # the two routes are disjoint destinations derived from the same
+        # micro-batch: two overlapped writes (§2.6) instead of two
+        # sequential sub-second jobs — the stream_txn_sink pattern
+        overlap(
+            lambda: main.write.mode("overwrite").parquet(mp),
+            lambda: dlq.write.mode("overwrite").parquet(dp),
+        )
         state["main"] = state["main"] + [mp]
         state["dlq"] = state["dlq"] + [dp]
 
@@ -1458,6 +1497,11 @@ def q_stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         replica = read_table(ss, base, "rep")
         if replica is None:
             replica = batch_df.drop("_change_type").limit(0)
+        # NOTE (r11): substituting this count with a footer read of the
+        # landed feed file BY NAME would assume batch_id->file mapping —
+        # the very checkpoint/offset behavior this gate proves — and
+        # batch_df.inputFiles() resolves empty inside foreachBatch, so
+        # the honest per-batch count job stays.
         applied[batch_id] = batch_df.count()
         _commit(
             apply_change_feed(replica, batch_df, "played_date"),
@@ -1577,6 +1621,11 @@ def q_stream_cdf_row_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         replica = read_table(ss, base, "rep")
         if replica is None:
             replica = batch_df.drop("_change_type").limit(0)
+        # NOTE (r11): substituting this count with a footer read of the
+        # landed feed file BY NAME would assume batch_id->file mapping —
+        # the very checkpoint/offset behavior this gate proves — and
+        # batch_df.inputFiles() resolves empty inside foreachBatch, so
+        # the honest per-batch count job stays.
         applied[batch_id] = batch_df.count()
         _commit(
             apply_change_feed(replica, batch_df, "row_id"),
@@ -1723,11 +1772,25 @@ def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             bad = batch_df.filter(~(F.col("value") >= 0)).withColumn(
                 "quarantine_batch", F.lit(batch_id)
             )
-            bad.write.mode("overwrite").parquet(
-                _os.path.join(base, "quarantine", f"b{batch_id}")
+            qdir = _os.path.join(base, "quarantine", f"b{batch_id}")
+            # quarantine write ∥ gold commit: disjoint destinations from
+            # one batch (§2.6); the quarantine cardinality then comes
+            # from the written file's footers, not a second plan run
+            # (§1.2)
+            from spark_spotify.functions.concurrency import overlap
+
+            overlap(
+                lambda: bad.write.mode("overwrite").parquet(qdir),
+                lambda: _commit_append(
+                    ok, base, "gold", v0 + batch_id + 1
+                ),
             )
-            quarantined[batch_id] = bad.count()
-            _commit_append(ok, base, "gold", v0 + batch_id + 1)
+            import pyarrow.parquet as _papq
+
+            quarantined[batch_id] = sum(
+                _papq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(_os.path.join(qdir, "*.parquet"))
+            )
 
     def run() -> None:
         q = (
