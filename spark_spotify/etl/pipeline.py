@@ -5176,7 +5176,11 @@ def _merge_rows_mor(
                 - F.lit(1),
             )
         ins = ins.select(*out_cols)
-        n_ins = ins.count()
+        # the insert count only feeds the row-id high-water-mark advance
+        # below — untracked tables never read it, so they skip the whole
+        # extra execution of the insert plan (§1.2; the plan still runs
+        # once inside the part write either way)
+        n_ins = ins.count() if tracked else 0
         updates.unionByName(ins).coalesce(
             APPEND_WRITE_FILES
         ).write.parquet(os.path.join(tdir, new_part))
@@ -5328,14 +5332,22 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out
 
         fact = read_table(spark, cw, "fact")
-        n_before = fact.count()
+        # ONE aggregation job covers both pre-merge cardinalities
+        # (§1.2: the insert-arm count rides the total count's scan)
+        pre = fact.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(
+                (F.col("user_id") == MERGE_INSERT_USER).cast("long")
+            ).alias("n_inserts"),
+        ).collect()[0]
+        n_before = int(pre["n_before"])
+        n_inserts = int(pre["n_inserts"] or 0)
         updates = fact.filter(
             F.col("user_id") == MERGE_UPDATE_USER
         ).withColumn("value", F.col("value") * 2)
         inserts = fact.filter(
             F.col("user_id") == MERGE_INSERT_USER
         ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
-        n_inserts = inserts.count()
         before = _inodes()
         n_affected = merge_rows(
             spark,
@@ -5359,12 +5371,21 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MOR merge must commit one sidecar + one part, no churn",
         )
         out = read_table(spark, cw, "fact")
+        # growth proof ∥ compaction: the count reads the pre-compaction
+        # snapshot it already holds (COW — compaction only ADDS a part
+        # and a manifest version, old parts stay for time travel), so
+        # the two jobs are independent (§2.6)
+        from spark_spotify.functions.concurrency import overlap
+
+        n_after, _ = overlap(
+            out.count,
+            # compaction materializes the vectors; the table is unchanged
+            lambda: compact_table(spark, cw, "fact", "z"),
+        )
         _require(
-            out.count() == n_before + n_inserts,
+            n_after == n_before + n_inserts,
             "MERGE must add exactly the not-matched rows",
         )
-        # compaction materializes the vectors; the table is unchanged
-        compact_table(spark, cw, "fact", "z")
         m2 = _read_manifest_file(cw, "fact", _current_version(cw, "fact"))
         _require(m2["dv"] == {}, "compaction must purge the vectors")
         return stable_checkpoint(read_table(spark, cw, "fact"))
@@ -5519,7 +5540,6 @@ def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         _link_fact_into(warehouse, parts, cw)
         _swing(cw, "fact", parts)
         fact = read_table(spark, cw, "fact")
-        n_before = fact.count()
         matched_src = (
             fact.filter(F.col("user_id") == MERGE_UPDATE_USER)
             .withColumn("value", F.col("value") * 2)
@@ -5529,11 +5549,29 @@ def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_src = fact.filter(
             F.col("user_id") == MERGE_INSERT_USER
         ).withColumn("event_id", -(F.col("event_id") + F.lit(1)))
-        n_deletes = matched_src.filter(
-            F.pmod("event_id", F.lit(3)) == 0
-        ).count()
-        n_inserts = insert_src.filter(F.col("played_hour") < 12).count()
-        n_skipped = insert_src.count() - n_inserts
+        # ONE aggregation job covers the four pre-merge cardinalities
+        # the asserts and the final accounting need (§1.2: they all
+        # ride the same fact scan; the arm filters are pure predicates
+        # over unmodified columns, so the conditional sums are exactly
+        # the old four counts)
+        is_upd = F.col("user_id") == MERGE_UPDATE_USER
+        is_ins = F.col("user_id") == MERGE_INSERT_USER
+        pre = fact.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(
+                (is_upd & (F.pmod("event_id", F.lit(3)) == 0)).cast(
+                    "long"
+                )
+            ).alias("n_deletes"),
+            F.sum(
+                (is_ins & (F.col("played_hour") < 12)).cast("long")
+            ).alias("n_inserts"),
+            F.sum(is_ins.cast("long")).alias("n_ins_total"),
+        ).collect()[0]
+        n_before = int(pre["n_before"])
+        n_deletes = int(pre["n_deletes"] or 0)
+        n_inserts = int(pre["n_inserts"] or 0)
+        n_skipped = int(pre["n_ins_total"] or 0) - n_inserts
         _require(n_deletes >= 1, "delete arm matched no row")
         _require(n_inserts >= 1, "insert arm admitted no row")
         _require(n_skipped >= 1, "insert condition filtered no row")
@@ -5559,11 +5597,18 @@ def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         out = read_table(spark, cw, "fact")
+        # accounting proof ∥ output materialization — both read the
+        # post-merge snapshot read-only (§2.6)
+        from spark_spotify.functions.concurrency import overlap
+
+        n_after, out = overlap(
+            out.count, lambda: stable_checkpoint(out)
+        )
         _require(
-            out.count() == n_before - n_deletes + n_inserts,
+            n_after == n_before - n_deletes + n_inserts,
             "MERGE row accounting: -deletes +conditional inserts",
         )
-        return stable_checkpoint(out)
+        return out
     finally:
         shutil.rmtree(cw, ignore_errors=True)
 
@@ -5825,17 +5870,27 @@ def wap_publish(
         staged = spark.read.parquet(
             *[os.path.join(tdir, p) for p in staged_parts]
         )
-        if staged.filter(F.col(key).isNull()).limit(1).count() > 0:
-            return False
-        if (
-            staged.groupBy(key)
+        # the audit's probes — null key, intra-staging duplicate,
+        # CHECK/generated violation, already-published key — are
+        # independent read-only jobs over the staged delta; run them as
+        # ONE overlap group (§2.6) instead of four sequential
+        # short-circuiting probes.  The audit VERDICT is identical
+        # (publish iff every probe is clean); the only trade is that a
+        # FAILING audit now pays all probes instead of stopping at the
+        # first — failed audits are the rare path, and each probe is
+        # still a limit(1) short-circuit job.
+        from spark_spotify.functions.concurrency import overlap
+
+        probes = [
+            lambda: staged.filter(F.col(key).isNull())
+            .limit(1)
+            .count(),
+            lambda: staged.groupBy(key)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
             .limit(1)
-            .count()
-            > 0
-        ):
-            return False
+            .count(),
+        ]
         # table CHECK constraints are part of the audit: WAP is the one
         # commit path that doesn't go through _enforce_constraints, and
         # an un-audited constraint violation must fail the publish (the
@@ -5848,29 +5903,35 @@ def wap_publish(
             for phys, logical in m_cur["renames"].items():
                 chk = chk.withColumnRenamed(phys, logical)
             checks = dict(m_cur["constraints"])
+            missing_generated = False
             for gcol, gexpr in m_cur["generated"].items():
                 # a staged part MISSING a generated column fails the
                 # audit: the bytes are already written, so it cannot be
                 # materialized post-hoc the way _commit_append does
                 if gcol not in chk.columns:
-                    return False
+                    missing_generated = True
+                    break
                 checks[f"generated:{gcol}"] = f"{gcol} <=> ({gexpr})"
-            if (
-                checks
-                and chk.filter(_violation_filter(checks))
+            if missing_generated:
+                return False
+            if checks:
+                probes.append(
+                    lambda chk=chk, checks=checks: chk.filter(
+                        _violation_filter(checks)
+                    )
+                    .limit(1)
+                    .count()
+                )
+        published = read_table(spark, warehouse, table, version=ver or None)
+        if published is not None:
+            probes.append(
+                lambda: staged.join(
+                    published.select(key), key, "left_semi"
+                )
                 .limit(1)
                 .count()
-                > 0
-            ):
-                return False
-        published = read_table(spark, warehouse, table, version=ver or None)
-        if (
-            published is not None
-            and staged.join(published.select(key), key, "left_semi")
-            .limit(1)
-            .count()
-            > 0
-        ):
+            )
+        if any(n > 0 for n in overlap(*probes)):
             return False
         promoted = []
         for p in staged_parts:
